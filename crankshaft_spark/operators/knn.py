@@ -1,0 +1,191 @@
+"""Distributed exact k-nearest-neighbor self-join.
+
+Reference behavior: per-row ordered GiST index scan
+``ORDER BY j.the_geom <-> i.the_geom ASC LIMIT k`` with deterministic
+id-ascending output
+(/root/reference/src/py/crankshaft/crankshaft/pysal_utils/pysal_utils.py:132-160).
+That plan is inherently single-node; this operator re-derives the same
+*result* as a distributed filter-and-refine plan:
+
+  1. encode every point into a cellv1 grid cell (pure column math);
+  2. candidate pairs via an equi shuffle join: left side exploded to its
+     k-ring of cells, right side keyed by cell — Catalyst/AQE handle
+     partition coalescing and skew-splitting of hot (urban) cells;
+  3. exact distance + ``row_number() over (partition by id
+     order by d2, nbr)`` top-k;
+  4. *exactness guarantee*: a neighbor outside the ring block is at planar
+     distance > ring*cell_size, so any point whose k-th candidate distance
+     exceeds that bound (or with < k candidates) is re-run with a doubled
+     ring.  The driver loop converges in O(log(domain/cell_size)) passes and
+     pass ≥ 2 touches only the sparse stragglers, so at 1000-executor scale
+     the cost is one shuffle join plus a tiny remainder join.
+
+Ties are broken by (distance, neighbor id) — pinned, deterministic, and
+identical to the O(n²) oracle SQL used by the correctness harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crankshaft_spark.functions.cells import cell_expr, ring_cells_expr
+from crankshaft_spark.functions.distance import planar_dist2
+
+
+def _topk_for(
+    left: DataFrame, pts: DataFrame, k: int, ring: int, cell_size: float,
+    exclude_self: bool,
+) -> DataFrame:
+    """Top-k candidates for `left` points against `pts` within `ring` cells.
+
+    Returns (id, x, y, nbr, d2, rank, knn_cnt, knn_maxd2).
+    """
+    lhs = left.select(
+        "id", "x", "y",
+        F.explode(ring_cells_expr(F.col("cell"), ring)).alias("cell"),
+    )
+    rhs = pts.select(
+        F.col("id").alias("nbr"),
+        F.col("x").alias("nx"),
+        F.col("y").alias("ny"),
+        "cell",
+    )
+    cand = lhs.join(rhs, "cell")
+    if exclude_self:
+        cand = cand.where(F.col("id") != F.col("nbr"))
+    cand = (
+        cand.select(
+            "id", "x", "y", "nbr",
+            planar_dist2(F.col("x"), F.col("y"), F.col("nx"), F.col("ny")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("d2").asc(), F.col("nbr").asc())
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    stats = Window.partitionBy("id")
+    return topk.withColumn("knn_cnt", F.count("*").over(stats)).withColumn(
+        "knn_maxd2", F.max("d2").over(stats)
+    )
+
+
+def _norm_points(df: DataFrame, id_col: str, x: str, y: str,
+                 cell_size: float) -> DataFrame:
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(x).cast("double").alias("x"),
+            F.col(y).cast("double").alias("y"),
+        )
+        .na.drop(subset=["id", "x", "y"])
+        .withColumn("cell", cell_expr(F.col("x"), F.col("y"), cell_size))
+    )
+
+
+def knn_edges(
+    df: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+    cell_size: float = 1.0,
+    initial_ring: int = 1,
+    domain_span: float = 360.0,
+) -> DataFrame:
+    """Exact kNN edge list ``(id, nbr, d2, rank)`` for a point DataFrame
+    against itself (self-pairs excluded), matching the reference's kNN
+    neighbor query semantics."""
+    pts = _norm_points(df, id_col, x, y, cell_size)
+    return _knn_loop(pts, pts, k, cell_size, initial_ring, domain_span, True)
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+    cell_size: float = 1.0,
+    initial_ring: int = 1,
+    domain_span: float = 360.0,
+) -> DataFrame:
+    """Bipartite exact kNN: for each left point, its k nearest right points
+    → (id, nbr, d2, rank).  Used by IDW interpolation and gravity-style
+    candidate generation."""
+    lpts = _norm_points(left, id_col, x, y, cell_size)
+    rpts = _norm_points(right, id_col, x, y, cell_size)
+    return _knn_loop(lpts, rpts, k, cell_size, initial_ring, domain_span, False)
+
+
+def _brute_topk(left: DataFrame, rpts: DataFrame, k: int,
+                exclude_self: bool) -> DataFrame:
+    """Broadcast cross-join top-k for a (small) straggler set — the final
+    fallback when ring expansion would blow past ``max_ring``.  ``left`` is
+    by construction the residue of isolated points, so broadcasting it is
+    bounded even at cluster scale."""
+    lhs = F.broadcast(left.select("id", "x", "y"))
+    rhs = rpts.select(
+        F.col("id").alias("nbr"), F.col("x").alias("nx"), F.col("y").alias("ny")
+    )
+    cand = lhs.crossJoin(rhs)
+    if exclude_self:
+        cand = cand.where(F.col("id") != F.col("nbr"))
+    w = Window.partitionBy("id").orderBy(F.col("d2").asc(), F.col("nbr").asc())
+    return (
+        cand.select(
+            "id", "nbr",
+            planar_dist2(F.col("x"), F.col("y"), F.col("nx"), F.col("ny")).alias("d2"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _knn_loop(
+    lpts: DataFrame,
+    rpts: DataFrame,
+    k: int,
+    cell_size: float,
+    initial_ring: int,
+    domain_span: float,
+    exclude_self: bool,
+    max_ring: int = 8,
+) -> DataFrame:
+    rpts.cache()
+
+    resolved_parts: list[DataFrame] = []
+    unresolved = lpts
+    ring = initial_ring
+    while True:
+        if ring > max_ring or ring * cell_size > domain_span:
+            # straggler fallback: exact via broadcast cross-join
+            resolved_parts.append(
+                _brute_topk(unresolved, rpts, k, exclude_self)
+                .select("id", "nbr", "d2", "rank")
+            )
+            break
+        topk = _topk_for(unresolved, rpts, k, ring, cell_size, exclude_self)
+        guarantee = float(ring * cell_size) ** 2
+        ok = (F.col("knn_cnt") >= k) & (F.col("knn_maxd2") <= F.lit(guarantee))
+        done = topk.where(ok)
+        resolved_parts.append(done.select("id", "nbr", "d2", "rank"))
+        # ids not fully resolved this pass — including points with zero
+        # candidates in the ring (absent from topk entirely)
+        done_ids = done.select("id").distinct()
+        pending = unresolved.join(done_ids, "id", "left_anti")
+        # driver-side convergence check; pass >= 2 only touches stragglers
+        if pending.limit(1).count() == 0:
+            break
+        unresolved = pending
+        ring *= 2
+
+    out = resolved_parts[0]
+    for part in resolved_parts[1:]:
+        out = out.unionByName(part)
+    return out

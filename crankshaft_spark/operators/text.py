@@ -1,0 +1,174 @@
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+These are engine-native additions beyond the reference's operator set
+(brief: dedup, language-ID, quality scoring, token counting, fingerprints).
+Every closed-form operator here is expressed with engine-portable string
+algebra (length/replace/substring/md5) so the DuckDB oracle can check the
+exact same arithmetic:
+
+    occurrences(s, pat) = (len(s) − len(replace(s, pat, ''))) / len(pat)
+
+All hot paths are built-in JVM functions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# language marker words (space-delimited probes over lowercased text);
+# deterministic heuristic shared verbatim with the oracle SQL
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " de "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " les ", " et "],
+    "pt": [" o ", " os ", " em "],
+}
+
+
+def _occurrences(col: Column, pat: str) -> Column:
+    return (
+        F.length(col) - F.length(F.replace(col, F.lit(pat), F.lit("")))
+    ) / F.lit(len(pat))
+
+
+def occurrences_sql(expr: str, pat: str) -> str:
+    p = pat.replace("'", "''")
+    return (
+        f"(length({expr}) - length(replace({expr}, '{p}', ''))) "
+        f"/ CAST({len(pat)} AS DOUBLE)"
+    )
+
+
+def token_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_alpha_chars, avg_token_len) via whitespace
+    counting — the scale-safe token estimator (no split materialization)."""
+    t = F.col(text_col)
+    n_spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    n_tokens = n_spaces + 1
+    n_alpha = F.length(F.replace(t, F.lit(" "), F.lit("")))
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_alpha.cast("long").alias("n_alpha_chars"),
+        F.round(n_alpha.cast("double") / n_tokens, 6).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, stopword_ratio, space_ratio, quality) — simple
+    length/stopword/whitespace heuristics for corpus filtering."""
+    t = F.lower(F.col(text_col))
+    n_chars = F.length(t)
+    n_spaces = n_chars - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    n_tokens = n_spaces + 1
+    stop_hits = sum(
+        (_occurrences(t, w) for ws in LANG_MARKERS.values() for w in ws),
+        F.lit(0.0),
+    )
+    stopword_ratio = stop_hits / n_tokens
+    space_ratio = n_spaces.cast("double") / n_chars
+    quality = (
+        F.when(n_chars < 20, 0.0)
+        .otherwise(
+            F.least(F.lit(1.0), stopword_ratio * 4.0)
+            * F.least(F.lit(1.0), n_chars.cast("double") / 200.0)
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        F.round(space_ratio, 6).alias("space_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def lang_scores(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, score_<lang>… , predicted_lang) — n-gram/stopword counting
+    language ID with a deterministic first-max tie-break."""
+    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    cols = {}
+    for lang, words in LANG_MARKERS.items():
+        cols[lang] = sum((_occurrences(t, w) for w in words), F.lit(0.0))
+    score_cols = [cols[lang].alias(f"score_{lang}") for lang in LANG_MARKERS]
+    out = docs.select("doc_id", *score_cols)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return out.withColumn("predicted_lang", pred)
+
+
+def dedup_exact(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: (text_hash, n_copies, keep_id) — hash-groupBy
+    keyed on md5(text), keep the smallest doc_id per group."""
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, *, text_col: str = "text", n: int = 4,
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct character n-gram shingle set per doc: (doc_id, sh).
+
+    Pure Spark SQL (sequence + explode + substring) — the same construction
+    runs on DuckDB via generate_series for oracle parity.
+    """
+    t = F.col(text_col)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length(t) - (n - 1))).alias("i"),
+            t.alias("_t"),
+        )
+        .select(id_col, F.substring(F.col("_t"), F.col("i").cast("int"), n).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity ≥ threshold → (a, b, jaccard).
+
+    Distributed set-similarity join: explode shingle sets, equi-join on the
+    shingle (the candidate generator — only docs sharing ≥1 shingle meet),
+    count intersections, compute |A∩B| / (|A|+|B|−|A∩B|).  For web-scale
+    corpora the shingle join is the standard inverted-index pattern; pair
+    pruning (prefix filtering / minhash banding) layers on top.
+    """
+    sh = shingles(docs, text_col=text_col, n=n, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "sh")
+    b = sh.select(F.col(id_col).alias("b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("i").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("i")).cast("double"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out

@@ -1,0 +1,543 @@
+"""Driver-contract query catalog: each operator as (Spark plan, DuckDB oracle).
+
+Every entry returns columns whose names AND values match the oracle SQL
+bit-for-bit (integers/strings/booleans) or to 6 rounded decimals (doubles),
+per the parity rules in crankshaft_spark.sources.derived.
+
+Conventions:
+  * points are derived from customer/supplier keys by closed-form integer
+    arithmetic (same text in both engines);
+  * kNN ordering ties broken by (d2, nbr);
+  * all float outputs wrapped in round(x, 6) on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crankshaft_spark.functions.cells import cell_sql
+from crankshaft_spark.operators import (
+    equal_interval_bins,
+    getis_gstar,
+    knn_edges,
+    moran_global,
+    moran_local,
+    outlier_percent,
+    outlier_stddev,
+    quantile_bins,
+    row_standardize,
+    spatial_lag,
+    weighted_mean_center,
+)
+from crankshaft_spark.operators.ann import cosine_topk
+from crankshaft_spark.operators.gravity import gravity_huff
+from crankshaft_spark.operators.grid import density_grid
+from crankshaft_spark.operators.interpolation import interpolate_idw
+from crankshaft_spark.operators.markov import _classify
+from crankshaft_spark.operators.text import (
+    LANG_MARKERS,
+    dedup_exact,
+    lang_scores,
+    ngram_jaccard_pairs,
+    occurrences_sql,
+    token_stats,
+)
+from crankshaft_spark.sources.derived import (
+    CUSTOMER_POINTS_SQL,
+    SUPPLIER_POINTS_SQL,
+    customer_points,
+    supplier_points,
+)
+
+KNN_K = 5
+KNN_CELL = 6.0
+
+# shared oracle CTE prologue: derived point tables + brute-force kNN edges
+_PTS_CTE = f"WITH pts AS ({CUSTOMER_POINTS_SQL}), spts AS ({SUPPLIER_POINTS_SQL})"
+_KNN_CTE = f"""{_PTS_CTE},
+knn AS (
+  SELECT id, nbr, d2,
+         CAST(row_number() OVER (PARTITION BY id ORDER BY d2 ASC, nbr ASC) AS INT) AS rank
+  FROM (
+    SELECT a.id AS id, b.id AS nbr,
+           (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+    FROM pts a JOIN pts b ON a.id <> b.id
+  ) p
+  QUALIFY rank <= {KNN_K}
+)"""
+
+
+def _knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = customer_points(spark, sf_dir)
+    return knn_edges(pts, k=KNN_K, cell_size=KNN_CELL)
+
+
+def _edges_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return row_standardize(_knn(spark, sf_dir).select("id", "nbr"))
+
+
+# ---------------------------------------------------------------- queries ---
+
+def q_knn_edges(spark, sf_dir):
+    return _knn(spark, sf_dir).select(
+        "id", "nbr", "rank", F.round("d2", 6).alias("d2r")
+    )
+
+
+def o_knn_edges():
+    return f"{_KNN_CTE} SELECT id, nbr, rank, round(d2, 6) AS d2r FROM knn"
+
+
+def q_spatial_lag(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    lag = spatial_lag(_edges_w(spark, sf_dir), pts.select("id", "value"))
+    return lag.select("id", F.round("lag", 6).alias("lag_value"))
+
+
+def o_spatial_lag():
+    return f"""{_KNN_CTE}
+    SELECT k.id, round(sum(p.value / {KNN_K}.0), 6) AS lag_value
+    FROM knn k JOIN pts p ON k.nbr = p.id
+    GROUP BY k.id"""
+
+
+def q_moran_local(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    res = moran_local(pts.select("id", "value"), _edges_w(spark, sf_dir))
+    return res.select("id", "quad", F.round("local_i", 6).alias("local_i"))
+
+
+def o_moran_local():
+    return f"""{_KNN_CTE},
+    stats AS (SELECT avg(value) AS mu, count(*) AS n FROM pts),
+    z AS (SELECT id, value - mu AS z FROM pts, stats),
+    den AS (SELECT sum(z*z) AS den FROM z),
+    lagz AS (
+      SELECT k.id, sum(z.z / {KNN_K}.0) AS lz
+      FROM knn k JOIN z ON k.nbr = z.id GROUP BY k.id
+    )
+    SELECT z.id,
+           CASE WHEN z.z > 0 AND l.lz > 0 THEN 'HH'
+                WHEN z.z <= 0 AND l.lz > 0 THEN 'LH'
+                WHEN z.z <= 0 AND l.lz <= 0 THEN 'LL'
+                ELSE 'HL' END AS quad,
+           round((stats.n - 1) * z.z * l.lz / den.den, 6) AS local_i
+    FROM z JOIN lagz l ON z.id = l.id, stats, den"""
+
+
+def q_moran_global(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    res = moran_global(pts.select("id", "value"), _edges_w(spark, sf_dir))
+    return res.select(
+        F.round("moran_i", 6).alias("moran_i"),
+        F.round("expected_i", 6).alias("expected_i"),
+    )
+
+
+def o_moran_global():
+    return f"""{_KNN_CTE},
+    stats AS (SELECT avg(value) AS mu, count(*) AS n FROM pts),
+    z AS (SELECT id, value - mu AS z FROM pts, stats),
+    den AS (SELECT sum(z*z) AS den FROM z),
+    lagz AS (
+      SELECT k.id, sum(z.z / {KNN_K}.0) AS lz
+      FROM knn k JOIN z ON k.nbr = z.id GROUP BY k.id
+    )
+    SELECT round(sum(z.z * l.lz) / any_value(den.den), 6) AS moran_i,
+           round(-1.0 / (any_value(stats.n) - 1), 6) AS expected_i
+    FROM z JOIN lagz l ON z.id = l.id, stats, den"""
+
+
+def q_getis_z(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    res = getis_gstar(pts.select("id", "value"), _edges_w(spark, sf_dir))
+    return res.select(
+        "id", F.round("gs", 6).alias("gs"), F.round("z_score", 6).alias("z_score")
+    )
+
+
+def o_getis_z():
+    return f"""{_KNN_CTE},
+    tot AS (SELECT sum(value) AS ysum, sum(value*value) AS y2sum,
+                   count(*) AS n FROM pts),
+    nbrsum AS (
+      SELECT k.id, sum(p.value) AS s, count(*) AS deg
+      FROM knn k JOIN pts p ON k.nbr = p.id GROUP BY k.id
+    )
+    SELECT p.id,
+           round((ns.s + p.value) / ((ns.deg + 1) * t.ysum), 6) AS gs,
+           round(
+             ((ns.s + p.value) / ((ns.deg + 1) * t.ysum)
+              - (ns.deg * ((t.ysum - p.value) / (t.n - 1)) + p.value)
+                / ((ns.deg + 1) * t.ysum))
+             / sqrt(
+                 ns.deg
+                 * ((t.y2sum - p.value*p.value) / (t.n - 1)
+                    - ((t.ysum - p.value) / (t.n - 1))
+                      * ((t.ysum - p.value) / (t.n - 1)))
+                 * (t.n - 1 - ns.deg) / (t.n - 2)
+                 / (((ns.deg + 1) * t.ysum) * ((ns.deg + 1) * t.ysum))
+               ), 6) AS z_score
+    FROM pts p JOIN nbrsum ns ON p.id = ns.id, tot t"""
+
+
+MARKOV_T = 5
+MARKOV_K = 5
+
+
+def q_markov_classes(spark, sf_dir):
+    """Per-period quantile classes of a closed-form synthetic panel."""
+    pts = customer_points(spark, sf_dir)
+    long = pts.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(MARKOV_T - 1))).alias("t"),
+    ).withColumn(
+        "y", ((F.col("id") * 31 + F.col("t") * 17) % 1000).cast("double") / 10.0
+    )
+    return _classify(long, MARKOV_K).select("id", "t", F.col("cls").cast("int").alias("cls"))
+
+
+def o_markov_classes():
+    pcts = ", ".join(str((i + 1) / MARKOV_K) for i in range(MARKOV_K))
+    return f"""{_PTS_CTE},
+    long AS (
+      SELECT id, t, CAST((id * 31 + t * 17) % 1000 AS DOUBLE) / 10.0 AS y
+      FROM pts, (SELECT unnest(range({MARKOV_T})) AS t)
+    ),
+    brk AS (
+      SELECT t, quantile_cont(y, [{pcts}]) AS bs FROM long GROUP BY t
+    )
+    SELECT long.id, long.t,
+           CAST(least(len(list_filter(brk.bs, b -> b < long.y)), {MARKOV_K - 1}) AS INT) AS cls
+    FROM long JOIN brk ON long.t = brk.t"""
+
+
+def q_outlier_stddev(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    return outlier_stddev(pts.select("id", "value"), num_deviations=2.0)
+
+
+def o_outlier_stddev():
+    return f"""{_PTS_CTE},
+    s AS (SELECT avg(value) AS mu, stddev_samp(value) AS sd FROM pts)
+    SELECT id, abs((value - mu) / sd) > 2.0 AS is_outlier FROM pts, s"""
+
+
+def q_outlier_percent(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    return outlier_percent(pts.select("id", "value"), outlier_fraction=1.5)
+
+
+def o_outlier_percent():
+    return f"""{_PTS_CTE},
+    s AS (SELECT avg(value) AS mu FROM pts)
+    SELECT id, CASE WHEN mu <> 0 THEN value / mu > 1.5 END AS is_outlier
+    FROM pts, s"""
+
+
+def q_bins_equal(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    res = equal_interval_bins(pts, value_col="value", breaks=7)
+    return res.select("bin", F.round("break_value", 6).alias("break_value"))
+
+
+def o_bins_equal():
+    return f"""{_PTS_CTE},
+    s AS (SELECT min(value) AS lo, max(value) AS hi FROM pts)
+    SELECT i AS bin,
+           round(CASE WHEN i = 7 THEN hi
+                      ELSE lo + i * (hi - lo) / 7.0 END, 6) AS break_value
+    FROM s, (SELECT unnest(range(1, 8)) AS i)"""
+
+
+def q_bins_quantile(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    res = quantile_bins(pts, value_col="value", breaks=5)
+    return res.select("bin", F.round("break_value", 6).alias("break_value"))
+
+
+def o_bins_quantile():
+    # reference rule: rank-based with two-element mean at integer edges
+    return f"""{_PTS_CTE},
+    ranked AS (
+      SELECT value AS v, row_number() OVER (ORDER BY value) AS r,
+             count(*) OVER () AS n
+      FROM pts
+    ),
+    t AS (
+      SELECT i AS bin, CAST(ceil(n * i / 5.0) AS BIGINT) AS tr,
+             ((n * i) % 5) = 0 AS two, n
+      FROM (SELECT unnest(range(1, 5)) AS i), (SELECT any_value(n) AS n FROM ranked)
+    )
+    SELECT bin, round(avg(v), 6) AS break_value
+    FROM t JOIN ranked ON ranked.r = t.tr OR (t.two AND ranked.r = t.tr + 1)
+    GROUP BY bin
+    UNION ALL
+    SELECT 5 AS bin, round(max(value), 6) AS break_value FROM pts"""
+
+
+def q_weighted_mean(spark, sf_dir):
+    pts = customer_points(spark, sf_dir).withColumn(
+        "w", F.abs(F.col("value")) + 1.0
+    )
+    res = weighted_mean_center(pts, group_cols=["nationkey"])
+    return res.select(
+        "nationkey", F.round("cx", 6).alias("cx"), F.round("cy", 6).alias("cy")
+    )
+
+
+def o_weighted_mean():
+    return f"""{_PTS_CTE}
+    SELECT nationkey,
+           round(sum(x * (abs(value) + 1.0)) / sum(abs(value) + 1.0), 6) AS cx,
+           round(sum(y * (abs(value) + 1.0)) / sum(abs(value) + 1.0), 6) AS cy
+    FROM pts GROUP BY nationkey"""
+
+
+def q_grid_density(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    return density_grid(pts, cell_sizes=[5.0, 20.0]).select("zoom", "cell", "n")
+
+
+def o_grid_density():
+    c5 = cell_sql("x", "y", 5.0)
+    c20 = cell_sql("x", "y", 20.0)
+    return f"""{_PTS_CTE}
+    SELECT 0 AS zoom, {c5} AS cell, count(*) AS n FROM pts GROUP BY 2
+    UNION ALL
+    SELECT 1 AS zoom, {c20} AS cell, count(*) AS n FROM pts GROUP BY 2"""
+
+
+IDW_K = 8
+
+
+def q_idw(spark, sf_dir):
+    src = customer_points(spark, sf_dir)
+    tgt = supplier_points(spark, sf_dir).withColumn("x", F.col("x") + 0.005)
+    res = interpolate_idw(
+        tgt, src, num_neighbors=IDW_K, power=2.0, cell_size=KNN_CELL
+    )
+    return res.select("id", F.round("est", 6).alias("est"))
+
+
+def o_idw():
+    return f"""{_PTS_CTE},
+    tgt AS (SELECT id, x + 0.005 AS x, y FROM spts),
+    knn8 AS (
+      SELECT tid, sid, d2,
+             row_number() OVER (PARTITION BY tid ORDER BY d2 ASC, sid ASC) AS rk
+      FROM (
+        SELECT t.id AS tid, s.id AS sid,
+               (t.x-s.x)*(t.x-s.x) + (t.y-s.y)*(t.y-s.y) AS d2
+        FROM tgt t JOIN pts s ON true
+      ) p
+      QUALIFY rk <= {IDW_K}
+    )
+    SELECT k.tid AS id,
+           round(sum(p.value / d2) / sum(1.0 / d2), 6) AS est
+    FROM knn8 k JOIN pts p ON k.sid = p.id
+    GROUP BY k.tid"""
+
+
+GRAVITY_RADIUS = 30.0
+
+
+def q_gravity(spark, sf_dir):
+    src = customer_points(spark, sf_dir).withColumn(
+        "pop", F.abs(F.col("value")) + 1.0
+    )
+    tgt = supplier_points(spark, sf_dir)
+    res = gravity_huff(src, tgt, radius=GRAVITY_RADIUS, cell_size=10.0)
+    return res.select(
+        "source_id", "target_id",
+        F.round("dist", 6).alias("dist"), F.round("h", 6).alias("h"),
+    )
+
+
+def o_gravity():
+    return f"""{_PTS_CTE},
+    pairs AS (
+      SELECT p.id AS source_id, s.id AS target_id,
+             sqrt((p.x-s.x)*(p.x-s.x) + (p.y-s.y)*(p.y-s.y)) AS dist,
+             s.weight AS w
+      FROM pts p JOIN spts s ON true
+      WHERE sqrt((p.x-s.x)*(p.x-s.x) + (p.y-s.y)*(p.y-s.y)) <= {GRAVITY_RADIUS}
+        AND sqrt((p.x-s.x)*(p.x-s.x) + (p.y-s.y)*(p.y-s.y)) > 0
+    ),
+    den AS (SELECT source_id, sum(w / dist) AS d FROM pairs GROUP BY source_id)
+    SELECT p.source_id, p.target_id, round(p.dist, 6) AS dist,
+           round(100.0 * (p.w / p.dist) / den.d, 6) AS h
+    FROM pairs p JOIN den ON p.source_id = den.source_id"""
+
+
+# ------------------------------------------------ text / training-data ops --
+
+def q_dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_exact(docs)
+
+
+def o_dedup_exact():
+    return """SELECT md5(text) AS text_hash, count(*) AS n_copies,
+                     min(doc_id) AS keep_id
+              FROM documents GROUP BY 1"""
+
+
+def q_token_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_stats(docs)
+
+
+def o_token_stats():
+    return """SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha_chars,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / (length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_token_len
+    FROM documents"""
+
+
+def q_lang_scores(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_scores(docs)
+
+
+def o_lang_scores():
+    padded = "(' ' || lower(text) || ' ')"
+    score_exprs = []
+    for lang, words in LANG_MARKERS.items():
+        parts = " + ".join(occurrences_sql(padded, w) for w in words)
+        score_exprs.append(f"({parts}) AS score_{lang}")
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""WITH s AS (
+      SELECT doc_id, {", ".join(score_exprs)} FROM documents
+    )
+    SELECT doc_id, {", ".join("score_" + l for l in langs)},
+           {case} AS predicted_lang
+    FROM s"""
+
+
+JACCARD_N = 4
+JACCARD_THRESHOLD = 0.35  # yields a few hundred near-dup pairs at sf0.01
+JACCARD_DOC_LIMIT = 100
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < JACCARD_DOC_LIMIT)
+    )
+    return ngram_jaccard_pairs(
+        docs, n=JACCARD_N, threshold=JACCARD_THRESHOLD
+    )
+
+
+def o_ngram_jaccard():
+    return f"""WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {JACCARD_N}) AS sh
+      FROM documents, unnest(range(1, length(text) - {JACCARD_N
+        - 2})) AS g(i)
+      WHERE doc_id < {JACCARD_DOC_LIMIT}
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT inter.a, inter.b,
+           round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON inter.a = sa.doc_id
+    JOIN sz sb ON inter.b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {JACCARD_THRESHOLD}"""
+
+
+ANN_K = 10
+
+
+def q_ann_cosine(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    res = cosine_topk(
+        emb.where(F.col("vec_id") != 0), [float(v) for v in probe], k=ANN_K
+    )
+    return res.select("vec_id", "rank", F.round("cos", 5).alias("cos"))
+
+
+def o_ann_cosine():
+    return f"""WITH probe AS (
+      SELECT embedding AS p FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(p[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(p) + 1),
+                 i -> CAST(p[i] AS DOUBLE) * CAST(p[i] AS DOUBLE)))))
+             AS cos
+      FROM embeddings, probe WHERE vec_id <> 0
+    )
+    SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank,
+           round(cos, 5) AS cos
+    FROM scored
+    QUALIFY rank <= {ANN_K}"""
+
+
+# -------------------------------------------------------------- catalog -----
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "knn_edges": q_knn_edges,
+        "spatial_lag": q_spatial_lag,
+        "moran_local": q_moran_local,
+        "moran_global": q_moran_global,
+        "getis_z": q_getis_z,
+        "markov_classes": q_markov_classes,
+        "outlier_stddev": q_outlier_stddev,
+        "outlier_percent": q_outlier_percent,
+        "bins_equal": q_bins_equal,
+        "bins_quantile": q_bins_quantile,
+        "weighted_mean": q_weighted_mean,
+        "grid_density": q_grid_density,
+        "idw_interp": q_idw,
+        "gravity_h": q_gravity,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "lang_scores": q_lang_scores,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine": q_ann_cosine,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "knn_edges": o_knn_edges(),
+        "spatial_lag": o_spatial_lag(),
+        "moran_local": o_moran_local(),
+        "moran_global": o_moran_global(),
+        "getis_z": o_getis_z(),
+        "markov_classes": o_markov_classes(),
+        "outlier_stddev": o_outlier_stddev(),
+        "outlier_percent": o_outlier_percent(),
+        "bins_equal": o_bins_equal(),
+        "bins_quantile": o_bins_quantile(),
+        "weighted_mean": o_weighted_mean(),
+        "grid_density": o_grid_density(),
+        "idw_interp": o_idw(),
+        "gravity_h": o_gravity(),
+        "dedup_exact": o_dedup_exact(),
+        "token_stats": o_token_stats(),
+        "lang_scores": o_lang_scores(),
+        "ngram_jaccard": o_ngram_jaccard(),
+        "ann_cosine": o_ann_cosine(),
+    }

@@ -1,0 +1,40 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs everything inside one PostgreSQL backend process
+(``PARALLEL UNSAFE`` plpython functions, /root/reference/src/pg/sql/10_moran.sql:18).
+Our engine is built for a multi-executor cluster; these configs encode the
+physical-design decisions that matter at 100 TB:
+
+  * AQE on (runtime coalescing + skew-join splitting for Zipf-hot cells);
+  * Arrow on (every Python crossing is a vectorized batch, never per-row);
+  * shuffle partition count sized for the local test harness but overridable
+    via ``spark.sql.shuffle.partitions`` on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def session_conf(builder: SparkSession.Builder, shuffle_partitions: int = 32):
+    """Apply engine defaults to a SparkSession builder."""
+    return (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+    )
+
+
+def get_session(
+    master: str = "local[*]",
+    app_name: str = "crankshaft_spark",
+    shuffle_partitions: int = 32,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults."""
+    builder = SparkSession.builder.master(master).appName(app_name)
+    return session_conf(builder, shuffle_partitions).getOrCreate()

@@ -1,0 +1,75 @@
+"""Getis-Ord Gi* parity with the reference fixture.
+
+Mirrors /root/reference/src/py/crankshaft/test/test_clustering_getis.py:
+z_sim within 1e-2 of getis.json at seed 1234, permutations=999 — our
+PySAL-replica path reproduces the RNG stream, so we assert much tighter.
+The analytic path is checked for agreement in hotspot ranking.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crankshaft_spark.operators import (
+    getis_gstar,
+    getis_gstar_pysal_sim,
+    weights_from_neighbors,
+)
+
+
+@pytest.fixture(scope="module")
+def getis_input(spark, getis_neighbors_fixture):
+    df = spark.createDataFrame(
+        [
+            (r["id"], float(r["value"]), r["neighbors"])
+            for r in getis_neighbors_fixture
+        ],
+        "id long, value double, neighbors array<long>",
+    )
+    edges = weights_from_neighbors(df)
+    return df.select("id", "value"), edges
+
+
+def test_getis_pysal_sim_fixture(getis_input, getis_neighbors_fixture,
+                                 getis_fixture):
+    values, edges = getis_input
+    res = {
+        r["id"]: r
+        for r in getis_gstar_pysal_sim(
+            values, edges, permutations=999, seed=1234
+        ).collect()
+    }
+    for row, (exp_z, exp_p, exp_pz) in zip(getis_neighbors_fixture,
+                                           getis_fixture):
+        got = res[row["id"]]
+        # reference test tolerance is 1e-2; the RNG replica is exact
+        assert got["z_sim"] == pytest.approx(exp_z, abs=1e-9)
+        assert got["p_sim"] == pytest.approx(exp_p, abs=1e-9)
+        assert got["p_z_sim"] == pytest.approx(exp_pz, abs=1e-6)
+
+
+def test_getis_analytic_consistency(getis_input, getis_neighbors_fixture,
+                                    getis_fixture):
+    """Analytic z agrees with the simulated z_sim at MC accuracy and ranks
+    the same hotspots (the scale path must find the same structure)."""
+    values, edges = getis_input
+    res = {r["id"]: r for r in getis_gstar(values, edges).collect()}
+    # PySAL's z_sim uses a POOLED std across all rows (a 1.x quirk), so the
+    # per-row analytic z differs row-wise (max dev 1.68 on this fixture);
+    # assert the distribution-level agreement instead
+    devs = [
+        abs(res[row["id"]]["z_score"] - exp_z)
+        for row, (exp_z, _, _) in zip(getis_neighbors_fixture, getis_fixture)
+    ]
+    assert max(devs) < 2.0
+    assert sum(devs) / len(devs) < 0.35
+    # top-5 hotspot ids by analytic z contain the top-3 by simulated z
+    sim_sorted = [
+        row["id"]
+        for row, e in sorted(
+            zip(getis_neighbors_fixture, getis_fixture),
+            key=lambda t: -t[1][0],
+        )
+    ]
+    ana_sorted = sorted(res, key=lambda i: -res[i]["z_score"])
+    assert set(sim_sorted[:3]) <= set(ana_sorted[:5])
