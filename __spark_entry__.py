@@ -21,24 +21,13 @@ from crankshaft_spark.plans import driver_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: Gi* hotspots over sf0.001-derived points; rows > 0."""
-    from pyspark.sql import functions as F
+    """Flagship north-rule pipeline on sf0.001: Common-Crawl-style page
+    table -> byte-identical text extraction -> geocode -> broadcast
+    cell->polygon PIP join -> salted per-cell rollup -> queen weights ->
+    Gi* hotspot classification.  Rows > 0, stable schema."""
+    from crankshaft_spark.plans.pipeline import hotspot_pipeline
 
-    from crankshaft_spark.operators import getis_gstar, knn_edges, row_standardize
-    from crankshaft_spark.sources.derived import customer_points
-
-    sf_dir = "/root/testdata/sf0.001"
-    pts = customer_points(spark, sf_dir)
-    edges = row_standardize(
-        knn_edges(pts, k=5, cell_size=12.0).select("id", "nbr")
-    )
-    res = getis_gstar(pts.select("id", "value"), edges)
-    return res.select(
-        "id",
-        F.round("gs", 6).alias("gs"),
-        F.round("z_score", 6).alias("z_score"),
-        F.round("p_value", 6).alias("p_value"),
-    )
+    return hotspot_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -493,6 +493,54 @@ def o_ann_cosine():
     QUALIFY rank <= {ANN_K}"""
 
 
+# -------------------------------------------- web-page pipeline (north rule) --
+
+def q_page_extract(spark, sf_dir):
+    """Byte-identical text extraction from raw html (north-rule invariant)."""
+    from crankshaft_spark.sources.webpages import extract_text, synth_webpages
+
+    pages = synth_webpages(spark, sf_dir)
+    return extract_text(pages).select(
+        "page_id", "url", F.col("extracted_text").alias("text")
+    )
+
+
+def o_page_extract():
+    from crankshaft_spark.sources.webpages import WEBPAGES_SQL
+
+    return f"SELECT page_id, url, text FROM ({WEBPAGES_SQL})"
+
+
+def q_pip_assign(spark, sf_dir):
+    """Point-in-polygon tile assignment over the geocoded page table."""
+    from crankshaft_spark.operators.pip import pip_join
+    from crankshaft_spark.sources.admin import admin_polygons
+    from crankshaft_spark.sources.webpages import synth_webpages
+
+    pages = synth_webpages(spark, sf_dir).select("page_id", "lon", "lat")
+    return pip_join(pages, admin_polygons()).select("page_id", "poly_id")
+
+
+def o_pip_assign():
+    from crankshaft_spark.sources.admin import pip_oracle_sql
+    from crankshaft_spark.sources.webpages import WEBPAGES_SQL
+
+    return pip_oracle_sql(WEBPAGES_SQL)
+
+
+def q_hotspot_pipeline(spark, sf_dir):
+    """Flagship end-to-end: crawl -> PIP -> cell rollup -> Gi* hotspots."""
+    from crankshaft_spark.plans.pipeline import hotspot_pipeline
+
+    return hotspot_pipeline(spark, sf_dir).drop("p_value")
+
+
+def o_hotspot_pipeline():
+    from crankshaft_spark.plans.pipeline import hotspot_oracle_sql
+
+    return hotspot_oracle_sql()
+
+
 # -------------------------------------------------------------- catalog -----
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -516,6 +564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_scores": q_lang_scores,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine": q_ann_cosine,
+        "page_extract": q_page_extract,
+        "pip_assign": q_pip_assign,
+        "hotspot_pipeline": q_hotspot_pipeline,
     }
 
 
@@ -540,4 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_scores": o_lang_scores(),
         "ngram_jaccard": o_ngram_jaccard(),
         "ann_cosine": o_ann_cosine(),
+        "page_extract": o_page_extract(),
+        "pip_assign": o_pip_assign(),
+        "hotspot_pipeline": o_hotspot_pipeline(),
     }
