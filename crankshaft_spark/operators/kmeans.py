@@ -1,0 +1,177 @@
+"""KMeans clustering — spatial and nonspatial (CDB_KMeans family).
+
+Reference: /root/reference/src/pg/sql/11_kmeans.sql:3-47 backed by
+/root/reference/src/py/crankshaft/crankshaft/clustering/kmeans.py:14-113.
+The reference ``array_agg``s the whole table into one PG backend row and fits
+sklearn in-process; here the fit is pyspark.ml KMeans (distributed Lloyd with
+k-means|| init) and every per-row output is column/Arrow math:
+
+  * spatial:    cluster point coords (x, y) -> (id, cluster_no)
+  * nonspatial: standardize columns (population std, matching sklearn
+    StandardScaler, NOT Spark ml's sample-std scaler), cluster, and emit
+    per-row scaled-space cluster center (map), sqeuclidean silhouette, and
+    global inertia (kmeans.py:77-90).
+
+Silhouette with sqeuclidean distance decomposes over per-cluster aggregates:
+  mean_{j in C} ||x_i - x_j||^2 = ||x_i||^2 - 2 x_i . mu_C + msq_C
+with msq_C = mean_{j in C} ||x_j||^2 — so no pairwise matrix is ever built;
+cluster stats (k rows) are broadcast and the per-row math runs vectorized in
+mapInPandas.  sklearn convention: silhouette = 0 for singleton clusters.
+
+Scale note: the fit shuffles k small partial-sum vectors per partition per
+iteration; per-row outputs are one broadcast join — no driver collect of data
+rows at any scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _assemble(df: DataFrame, cols: list[str], out: str = "_feat"):
+    from pyspark.ml.feature import VectorAssembler
+
+    return VectorAssembler(inputCols=cols, outputCol=out).transform(df)
+
+
+def _best_of(feat: DataFrame, k: int, max_iter: int, seed: int, n_init: int):
+    """Best-of-n_init restarts by training cost — sklearn's n_init semantics
+    (kmeans.py:30 ``n_init=20``), which Spark's single k-means|| run lacks.
+    Each restart is one distributed fit; the driver only compares k centers."""
+    from pyspark.ml.clustering import KMeans
+
+    feat = feat.cache()
+    best = None
+    for i in range(max(1, n_init)):
+        m = KMeans(k=k, maxIter=max_iter, seed=seed + i,
+                   featuresCol="_feat").fit(feat)
+        if best is None or m.summary.trainingCost < best.summary.trainingCost:
+            best = m
+    return best
+
+
+def kmeans_spatial(
+    points: DataFrame,
+    *,
+    k: int,
+    x: str = "x",
+    y: str = "y",
+    max_iter: int = 300,
+    seed: int = 1234,
+    n_init: int = 10,
+) -> DataFrame:
+    """CDB_KMeans: cluster point coordinates → (id, cluster_no).
+
+    Label sets compare permutation-invariantly, as the reference's own test
+    does (test_clustering_kmeans.py:35-51 asserts cardinalities, not ids).
+    """
+    feat = _assemble(points.na.drop(subset=[x, y]), [x, y])
+    model = _best_of(feat, k, max_iter, seed, n_init)
+    return (
+        model.transform(feat)
+        .select("id", F.col("prediction").cast("int").alias("cluster_no"))
+    )
+
+
+def _scale_pop(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Standardize columns to mean 0 / population-std 1 (sklearn semantics)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.avg(c).alias(f"_mu_{c}"), F.stddev_pop(c).alias(f"_sd_{c}")]
+    stats = df.agg(*aggs)
+    out = df.join(F.broadcast(stats))
+    for c in cols:
+        sd = F.when(F.col(f"_sd_{c}") == 0, F.lit(1.0)).otherwise(F.col(f"_sd_{c}"))
+        out = out.withColumn(c, (F.col(c) - F.col(f"_mu_{c}")) / sd)
+    return out.select(df.columns)
+
+
+def kmeans_nonspatial(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    k: int = 5,
+    standardize: bool = True,
+    max_iter: int = 300,
+    seed: int = 0,
+    n_init: int = 10,
+) -> DataFrame:
+    """CDB_KMeansNonspatial → (id, cluster_label, cluster_center,
+    silhouette, inertia).
+
+    ``cluster_center`` is a map col→center-coordinate in the (scaled) fit
+    space, mirroring the reference's JSON centers (kmeans.py:77-79);
+    ``inertia`` is the global sum of squared distances to assigned centers,
+    repeated per row (kmeans.py:85-89).
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    clean = df.na.drop(subset=cols)
+    if standardize:
+        clean = _scale_pop(clean, cols)
+    feat = _assemble(clean, cols)
+    model = _best_of(feat, k, max_iter, seed, n_init)
+    labeled = model.transform(feat).withColumn(
+        "_arr", vector_to_array("_feat")
+    ).select("id", "_arr", F.col("prediction").cast("int").alias("cluster_label"))
+
+    centers = np.array([np.asarray(c, dtype=float) for c in model.clusterCenters()])
+
+    # per-cluster stats for the sqeuclidean silhouette decomposition
+    stats = (
+        labeled.groupBy("cluster_label")
+        .agg(
+            F.count("*").alias("n"),
+            *[F.avg(F.col("_arr")[i]).alias(f"mu{i}") for i in range(len(cols))],
+            F.avg(
+                F.aggregate("_arr", F.lit(0.0), lambda a, v: a + v * v)
+            ).alias("msq"),
+        )
+        .collect()
+    )
+    kk = len(stats)
+    mu = np.zeros((kk, len(cols)))
+    msq = np.zeros(kk)
+    cnt = np.zeros(kk)
+    for r in stats:
+        c = r["cluster_label"]
+        cnt[c] = r["n"]
+        msq[c] = r["msq"]
+        mu[c] = [r[f"mu{i}"] for i in range(len(cols))]
+
+    inertia = float(model.summary.trainingCost)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((mu, msq, cnt, centers))
+    colnames = list(cols)
+
+    schema = (
+        "id long, cluster_label int, cluster_center map<string,double>, "
+        "silhouette double, inertia double"
+    )
+
+    def compute(pdfs):
+        bmu, bmsq, bcnt, bcenters = bc.value
+        for pdf in pdfs:
+            X = np.stack(pdf["_arr"].to_numpy())
+            lab = pdf["cluster_label"].to_numpy()
+            xn = (X * X).sum(axis=1)
+            # d2[i, c] = mean sqeuclidean distance from x_i to cluster c
+            d2 = xn[:, None] - 2.0 * X @ bmu.T + bmsq[None, :]
+            own = d2[np.arange(len(lab)), lab]
+            a = np.where(bcnt[lab] > 1, own * bcnt[lab] / np.maximum(bcnt[lab] - 1, 1), 0.0)
+            d2[np.arange(len(lab)), lab] = np.inf
+            b = d2.min(axis=1)
+            denom = np.maximum(a, b)
+            sil = np.where((bcnt[lab] > 1) & (denom > 0), (b - a) / np.where(denom == 0, 1, denom), 0.0)
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "cluster_label": lab,
+                "cluster_center": [dict(zip(colnames, bcenters[c])) for c in lab],
+                "silhouette": sil,
+                "inertia": inertia,
+            })
+
+    return labeled.mapInPandas(compute, schema=schema)

@@ -541,6 +541,38 @@ def o_hotspot_pipeline():
     return hotspot_oracle_sql()
 
 
+# ------------------------------------------------------------------ ML ------
+# ML fits are not DuckDB-expressible; these get rows-only driver checks
+# (the pytest suite asserts their semantics against reference fixtures).
+
+def q_kmeans_spatial(spark, sf_dir):
+    from crankshaft_spark.operators.kmeans import kmeans_spatial
+
+    pts = customer_points(spark, sf_dir)
+    return kmeans_spatial(pts, k=8, n_init=4)
+
+
+def q_kmeans_nonspatial(spark, sf_dir):
+    from crankshaft_spark.operators.kmeans import kmeans_nonspatial
+
+    pts = customer_points(spark, sf_dir)
+    return kmeans_nonspatial(pts, ["x", "y", "value"], k=5, n_init=4).select(
+        "id", "cluster_label", "silhouette", "inertia"
+    )
+
+
+def q_segmentation(spark, sf_dir):
+    from crankshaft_spark.operators.segmentation import create_and_predict_segment
+
+    train = supplier_points(spark, sf_dir).select(
+        "id", F.col("weight").alias("target"), "x", "y"
+    )
+    predict = customer_points(spark, sf_dir).select("id", "x", "y")
+    return create_and_predict_segment(
+        train, "target", ["x", "y"], predict, n_estimators=20
+    )
+
+
 # -------------------------------------------------------------- catalog -----
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -567,6 +599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_extract": q_page_extract,
         "pip_assign": q_pip_assign,
         "hotspot_pipeline": q_hotspot_pipeline,
+        "kmeans_spatial": q_kmeans_spatial,
+        "kmeans_nonspatial": q_kmeans_nonspatial,
+        "segmentation_gbt": q_segmentation,
     }
 
 

@@ -1,0 +1,109 @@
+"""KMeans + segmentation vs the reference's own fixtures and assertions
+(test_clustering_kmeans.py, test_segmentation.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from crankshaft_spark.operators.kmeans import kmeans_nonspatial, kmeans_spatial
+from crankshaft_spark.operators.segmentation import create_and_predict_segment
+
+from conftest import load_fixture
+
+
+@pytest.fixture(scope="module")
+def kmeans_fixture():
+    return load_fixture("kmeans.json")
+
+
+def test_kmeans_spatial_two_clusters(spark, kmeans_fixture):
+    """Reference asserts 2 clusters of 20 points each
+    (test_clustering_kmeans.py:35-51)."""
+    row = kmeans_fixture[0]
+    pts = spark.createDataFrame(
+        list(zip(row["ids"], row["xs"], row["ys"])), "id long, x double, y double"
+    )
+    out = kmeans_spatial(pts, k=2).collect()
+    assert len(out) == len(row["ids"])
+    labels = {}
+    for r in out:
+        labels.setdefault(r["cluster_no"], []).append(r["id"])
+    sizes = sorted(len(v) for v in labels.values())
+    assert sizes == [20, 20]
+
+
+def test_kmeans_nonspatial_sklearn_example(spark):
+    """Reference uses the sklearn doc example: 6 points, 2 clusters of 3
+    (test_clustering_kmeans.py:61-87); silhouette in [-1, 1], inertia > 0."""
+    data = [(1, 1.0, 2.0), (2, 1.0, 4.0), (3, 1.0, 0.0),
+            (4, 4.0, 2.0), (5, 4.0, 4.0), (6, 4.0, 0.0)]
+    df = spark.createDataFrame(data, "id long, a double, b double")
+    out = kmeans_nonspatial(df, ["a", "b"], k=2, standardize=True).collect()
+    assert len(out) == 6
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["cluster_label"], []).append(r["id"])
+        assert -1.0 <= r["silhouette"] <= 1.0
+        assert r["inertia"] >= 0.0
+        assert set(r["cluster_center"].keys()) == {"a", "b"}
+    # sklearn example splits on the `a` column: {1,2,3} vs {4,5,6}
+    groups = sorted(sorted(v) for v in by_label.values())
+    assert groups == [[1, 2, 3], [4, 5, 6]]
+    # rows in the same cluster share the same center map
+    for rows in by_label.values():
+        centers = {
+            tuple(sorted(r["cluster_center"].items()))
+            for r in out if r["id"] in rows
+        }
+        assert len(centers) == 1
+
+
+def test_segmentation_fixture_tolerance(spark):
+    """Train on model_data.json (m1, m2), predict predict_data.json; the
+    reference accepts RMSE < 0.3 * mean(true) and per-row accuracy (MSE)
+    < 0.01 (test_segmentation.py:118-139)."""
+    model_data = load_fixture("model_data.json")[0]
+    predict_data = load_fixture("predict_data.json")
+    true_result = [r[0] for r in load_fixture("true_result.json")]
+    ids = load_fixture("data.json")[0]["ids"]
+
+    train_rows = list(zip(
+        range(len(model_data["target"])),
+        model_data["target"], model_data["m1"], model_data["m2"],
+    ))
+    train = spark.createDataFrame(
+        train_rows, "id long, target double, m1 double, m2 double"
+    )
+    feats = predict_data[0]["features"]  # one row: features[100][2]
+    pred_rows = [
+        (ids[i], float(f[0]), float(f[1])) for i, f in enumerate(feats)
+    ]
+    predict = spark.createDataFrame(pred_rows, "id long, m1 double, m2 double")
+
+    out = create_and_predict_segment(
+        train, "target", ["m1", "m2"], predict,
+        n_estimators=150, learning_rate=0.08, seed=1234,
+    )
+    got = {r["id"]: (r["prediction"], r["accuracy"]) for r in out.collect()}
+    assert len(got) == len(ids)
+    preds = np.array([got[i][0] for i in ids])
+    truth = np.array(true_result)
+    rmse = float(np.sqrt(np.mean((preds - truth) ** 2)))
+    assert rmse < 0.3 * float(np.mean(truth))
+    assert all(np.isfinite(v[1]) for v in got.values())
+
+
+def test_segmentation_imputes_nan(spark):
+    train = spark.createDataFrame(
+        [(i, float(i % 7), float(i), None if i % 10 == 0 else float(2 * i))
+         for i in range(60)],
+        "id long, target double, m1 double, m2 double",
+    )
+    predict = spark.createDataFrame(
+        [(100, 3.0, None)], "id long, m1 double, m2 double"
+    )
+    out = create_and_predict_segment(
+        train, "target", ["m1", "m2"], predict, n_estimators=5
+    ).collect()
+    assert len(out) == 1 and np.isfinite(out[0]["prediction"])
