@@ -1,0 +1,258 @@
+"""Pure-numpy computational-geometry kernels.
+
+The reference leans on PostGIS/shapely/scipy for Delaunay triangulation,
+Voronoi diagrams, polygon clipping and distance math
+(/root/reference/src/pg/sql/09_voronoi.sql, 14_densify.sql, 13_PIA.sql,
+20_overlap_sum.sql).  None of those libraries are available here, so these
+kernels re-derive the needed primitives from first principles in vectorized
+numpy.  They only ever run inside Arrow-batched pandas UDFs over BOUNDED
+groups (one polygon, one tile's points) — never over a whole table — so the
+O(n²) Bowyer-Watson / half-plane constructions are deliberate simplicity
+wins, exactly like the reference's own per-array PL/pgSQL loops.
+
+Conventions: a ring is an (n, 2) float ndarray of vertices, closed
+implicitly (first != last); polygons are convex or simple; orientation is
+normalized where it matters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ------------------------------------------------------------ basics --------
+
+def polygon_area(ring: np.ndarray) -> float:
+    """Signed shoelace area (positive = counter-clockwise)."""
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def polygon_centroid(ring: np.ndarray) -> tuple[float, float]:
+    """Area-weighted centroid (ST_Centroid for a simple ring)."""
+    x, y = ring[:, 0], ring[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    cross = x * yn - xn * y
+    a = cross.sum() / 2.0
+    if abs(a) < 1e-300:
+        return float(x.mean()), float(y.mean())
+    cx = ((x + xn) * cross).sum() / (6.0 * a)
+    cy = ((y + yn) * cross).sum() / (6.0 * a)
+    return float(cx), float(cy)
+
+
+def point_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray cast: are points inside the ring?"""
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    px = np.asarray(px, dtype=float)[:, None]
+    py = np.asarray(py, dtype=float)[:, None]
+    cond = (y1[None, :] > py) != (y2[None, :] > py)
+    dy = y2 - y1
+    dy = np.where(dy == 0, 1e-300, dy)
+    xint = x1[None, :] + (py - y1[None, :]) * (x2 - x1)[None, :] / dy[None, :]
+    return (cond & (px < xint)).sum(axis=1) % 2 == 1
+
+
+def point_seg_dist(px: np.ndarray, py: np.ndarray,
+                   ax: float, ay: float, bx: float, by: float) -> np.ndarray:
+    """Distance from points to one segment (vectorized over points)."""
+    dx, dy = bx - ax, by - ay
+    den = dx * dx + dy * dy
+    if den == 0:
+        return np.hypot(px - ax, py - ay)
+    t = np.clip(((px - ax) * dx + (py - ay) * dy) / den, 0.0, 1.0)
+    return np.hypot(px - (ax + t * dx), py - (ay + t * dy))
+
+
+def dist_to_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Min distance from points to the ring boundary (all segments)."""
+    px = np.asarray(px, dtype=float)
+    py = np.asarray(py, dtype=float)
+    best = np.full(px.shape, np.inf)
+    n = len(ring)
+    for i in range(n):
+        ax, ay = ring[i]
+        bx, by = ring[(i + 1) % n]
+        best = np.minimum(best, point_seg_dist(px, py, ax, ay, bx, by))
+    return best
+
+
+def signed_dist_to_ring(px, py, ring: np.ndarray) -> np.ndarray:
+    """Positive inside, negative outside — the reference's _Signed_Dist
+    (13_PIA.sql:104-143) convention used by the polylabel quadtree."""
+    d = dist_to_ring(px, py, ring)
+    inside = point_in_ring(px, py, ring)
+    return np.where(inside, d, -d)
+
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain → CCW hull ring."""
+    pts = np.unique(pts, axis=0)
+    if len(pts) <= 2:
+        return pts
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    p = pts[order]
+
+    def half(seq):
+        out: list[np.ndarray] = []
+        for q in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], q - out[-2]) <= 0:
+                out.pop()
+            out.append(q)
+        return out
+
+    lower = half(p)
+    upper = half(p[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+# -------------------------------------------------- clipping / halfplanes ---
+
+def clip_halfplane(ring: np.ndarray, a: float, b: float, c: float) -> np.ndarray:
+    """Sutherland-Hodgman step: keep the region a·x + b·y + c >= 0."""
+    if len(ring) == 0:
+        return ring
+    out: list[tuple[float, float]] = []
+    n = len(ring)
+    val = a * ring[:, 0] + b * ring[:, 1] + c
+    for i in range(n):
+        j = (i + 1) % n
+        vi, vj = val[i], val[j]
+        if vi >= 0:
+            out.append((ring[i, 0], ring[i, 1]))
+        if (vi >= 0) != (vj >= 0):
+            t = vi / (vi - vj)
+            out.append((
+                ring[i, 0] + t * (ring[j, 0] - ring[i, 0]),
+                ring[i, 1] + t * (ring[j, 1] - ring[i, 1]),
+            ))
+    return np.array(out) if out else np.empty((0, 2))
+
+
+def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Clip a simple polygon by a CONVEX polygon (Sutherland-Hodgman).
+    Replaces ST_Intersection for the overlap-sum candidate pairs
+    (20_overlap_sum.sql:29-33) where one side is a convex admin cell."""
+    if polygon_area(clip) < 0:
+        clip = clip[::-1]
+    out = subject
+    n = len(clip)
+    for i in range(n):
+        ax, ay = clip[i]
+        bx, by = clip[(i + 1) % n]
+        # inside = left of edge (a->b) for CCW clip ring
+        out = clip_halfplane(out, -(by - ay), bx - ax, (by - ay) * ax - (bx - ax) * ay)
+        if len(out) == 0:
+            break
+    return out
+
+
+# ------------------------------------------------------------ delaunay ------
+
+def _in_circumcircle(pts: np.ndarray, tri: tuple[int, int, int], p: np.ndarray) -> bool:
+    a, b, c = pts[tri[0]], pts[tri[1]], pts[tri[2]]
+    # normalize to CCW so the determinant sign is meaningful
+    if np.cross(b - a, c - a) < 0:
+        b, c = c, b
+    m = np.array([
+        [a[0] - p[0], a[1] - p[1], (a[0] - p[0]) ** 2 + (a[1] - p[1]) ** 2],
+        [b[0] - p[0], b[1] - p[1], (b[0] - p[0]) ** 2 + (b[1] - p[1]) ** 2],
+        [c[0] - p[0], c[1] - p[1], (c[0] - p[0]) ** 2 + (c[1] - p[1]) ** 2],
+    ])
+    return float(np.linalg.det(m)) > 0
+
+
+def delaunay(pts: np.ndarray) -> np.ndarray:
+    """Bowyer-Watson Delaunay triangulation → (m, 3) int index array.
+
+    Replaces ST_DelaunayTriangles (08_interpolation.sql:75,
+    14_densify.sql:30) / scipy.spatial.Delaunay for bounded point groups.
+    """
+    pts = np.asarray(pts, dtype=float)
+    n = len(pts)
+    if n < 3:
+        return np.empty((0, 3), dtype=int)
+    lo = pts.min(axis=0)
+    hi = pts.max(axis=0)
+    span = max(float((hi - lo).max()), 1e-12)
+    mid = (lo + hi) / 2.0
+    superpts = np.array([
+        [mid[0] - 3000 * span, mid[1] - 1500 * span],
+        [mid[0] + 3000 * span, mid[1] - 1500 * span],
+        [mid[0], mid[1] + 3000 * span],
+    ])
+    allpts = np.vstack([pts, superpts])
+    tris = np.array([[n, n + 1, n + 2]], dtype=int)
+    for i in range(n):
+        p = allpts[i]
+        # vectorized in-circumcircle determinant (same math as
+        # _in_circumcircle) over all current triangles
+        a = allpts[tris[:, 0]]
+        b = allpts[tris[:, 1]]
+        c = allpts[tris[:, 2]]
+        orient = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) \
+            - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+        ax, ay = a[:, 0] - p[0], a[:, 1] - p[1]
+        bx, by = b[:, 0] - p[0], b[:, 1] - p[1]
+        cx, cy = c[:, 0] - p[0], c[:, 1] - p[1]
+        a2 = ax * ax + ay * ay
+        b2 = bx * bx + by * by
+        c2 = cx * cx + cy * cy
+        det = (ax * (by * c2 - cy * b2)
+               - ay * (bx * c2 - cx * b2)
+               + a2 * (bx * cy - cx * by))
+        bad_mask = np.where(orient >= 0, det, -det) > 0
+        bad = tris[bad_mask]
+        edges: dict[tuple[int, int], int] = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                key = (min(e[0], e[1]), max(e[0], e[1]))
+                edges[key] = edges.get(key, 0) + 1
+        new = [(u, v, i) for (u, v), cnt in edges.items() if cnt == 1]
+        tris = np.vstack([tris[~bad_mask], np.array(new, dtype=int)]) \
+            if new else tris[~bad_mask]
+    out = tris[(tris < n).all(axis=1)]
+    return out if len(out) else np.empty((0, 3), dtype=int)
+
+
+def circumcenter(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Circumcircle center of a triangle — the reference derives Voronoi
+    vertices exactly this way (_Find_Circle, 09_voronoi.sql:188-232)."""
+    d = 2.0 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
+    if abs(d) < 1e-300:
+        return (a + b + c) / 3.0
+    ux = ((a @ a) * (b[1] - c[1]) + (b @ b) * (c[1] - a[1]) + (c @ c) * (a[1] - b[1])) / d
+    uy = ((a @ a) * (c[0] - b[0]) + (b @ b) * (a[0] - c[0]) + (c @ c) * (b[0] - a[0])) / d
+    return np.array([ux, uy])
+
+
+def voronoi_cells(pts: np.ndarray, bound: np.ndarray) -> list[np.ndarray]:
+    """Voronoi cell polygon per input point, clipped to convex ``bound``.
+
+    Cell_i = ∩_j halfplane(closer to i than j) ∩ bound — O(n) halfplane
+    clips per point over bounded groups; equivalent to the reference's
+    Delaunay-dual construction (09_voronoi.sql:6-170) but without the
+    degenerate-topology cases.
+    """
+    cells = []
+    for i, p in enumerate(pts):
+        cell = bound
+        for j, q in enumerate(pts):
+            if i == j or len(cell) == 0:
+                continue
+            # keep points closer to p than q: (q-p)·x <= (q-p)·(p+q)/2
+            a, b = q[0] - p[0], q[1] - p[1]
+            c = (a * (p[0] + q[0]) + b * (p[1] + q[1])) / 2.0
+            cell = clip_halfplane(cell, -a, -b, c)
+        cells.append(cell)
+    return cells
+
+
+def ring_to_wkt(ring: np.ndarray) -> str:
+    """Closed POLYGON WKT from a ring (6-dp coords for stable comparison)."""
+    if len(ring) == 0:
+        return "POLYGON EMPTY"
+    pts = np.vstack([ring, ring[:1]])
+    inner = ", ".join(f"{x:.6f} {y:.6f}" for x, y in pts)
+    return f"POLYGON (({inner}))"

@@ -1,0 +1,136 @@
+"""Contour map — the raster↔vector core: grid, interpolate, classify, union.
+
+Reference: CDB_Contour (/root/reference/src/pg/sql/19_contour.sql:1-142):
+rectangle-grid the buffered hull of the samples, interpolate each cell
+centroid (NN / barycentric-in-TIN / IDW), classify the cell values into bins
+(equal / heads-tails / jenks / quantile), then merge cells per bin with
+min/max/avg of the interpolated value.
+
+Spark-first: the grid is sequence+explode (no driver loop), interpolation is
+the distributed kNN-join (NN/IDW) or broadcast-TIN (barycentric) operator,
+classification is a tiny broadcast join against the break edges, and the
+per-bin rollup is one aggregation.  Instead of the reference's empirical
+time→cell-count cost model (19_contour.sql:31-37, fitted constants we do not
+port), resolution is an explicit ``cell_size`` parameter.
+
+Cell geometry is returned as (cx, cy) grid indices + bounds rather than a
+unioned multipolygon (no geometry lib here); a consumer can reassemble the
+union from the per-bin cell list, which is lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crankshaft_spark.operators.binning import (
+    equal_interval_bins,
+    headtails_bins,
+    jenks_bins,
+    quantile_bins,
+)
+from crankshaft_spark.operators.grid import rectangle_grid
+from crankshaft_spark.operators.interpolation import (
+    interpolate_barycentric,
+    interpolate_idw,
+    interpolate_nn,
+)
+
+_CLASSIFIERS = {
+    "equal": equal_interval_bins,
+    "headtails": headtails_bins,
+    "jenks": jenks_bins,
+    "quantile": quantile_bins,
+}
+
+
+def classify_bins(df: DataFrame, breaks_df: DataFrame,
+                  *, value_col: str = "est") -> DataFrame:
+    """Assign each row the smallest bin whose upper edge >= value (the
+    reference's width_bucket-style classification, 19_contour.sql:115-124).
+    ``breaks_df``: (bin, break_value) — tiny, broadcast."""
+    b = F.broadcast(breaks_df)
+    joined = df.join(b, F.col(value_col) <= F.col("break_value"), "left")
+    other = [c for c in df.columns]
+    return (
+        joined.groupBy(*other)
+        .agg(F.min("bin").alias("bin"))
+        .withColumn("bin", F.coalesce("bin", F.lit(None).cast("int")))
+    )
+
+
+def contour(
+    samples: DataFrame,
+    *,
+    value_col: str = "value",
+    cell_size: float = 1.0,
+    intmethod: str = "idw",       # 'nn' | 'bary' | 'idw'  (0 | 1 | 2)
+    classmethod: str = "quantile",  # 'equal' | 'headtails' | 'jenks' | 'quantile'
+    steps: int = 5,
+    buffer_frac: float = 0.2,
+    num_neighbors: int = 8,
+) -> DataFrame:
+    """→ (bin, min_value, max_value, avg_value, n_cells) per contour bin
+    (CDB_Contour's RETURNS TABLE minus the unioned geometry — see module
+    docstring), plus a companion cell-level frame via ``contour_cells``."""
+    cells = contour_cells(
+        samples, value_col=value_col, cell_size=cell_size,
+        intmethod=intmethod, classmethod=classmethod, steps=steps,
+        buffer_frac=buffer_frac, num_neighbors=num_neighbors,
+    )
+    return (
+        cells.where(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(
+            F.min("est").alias("min_value"),
+            F.max("est").alias("max_value"),
+            F.avg("est").alias("avg_value"),
+            F.count("*").alias("n_cells"),
+        )
+        .orderBy("bin")
+    )
+
+
+def contour_cells(
+    samples: DataFrame,
+    *,
+    value_col: str = "value",
+    cell_size: float = 1.0,
+    intmethod: str = "idw",
+    classmethod: str = "quantile",
+    steps: int = 5,
+    buffer_frac: float = 0.2,
+    num_neighbors: int = 8,
+) -> DataFrame:
+    """Cell-level contour frame → (id, cx, cy, x, y, est, bin)."""
+    ext = samples.agg(
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+    ).collect()[0]
+    dx = (ext["x1"] - ext["x0"]) * buffer_frac + cell_size
+    dy = (ext["y1"] - ext["y0"]) * buffer_frac + cell_size
+    grid = rectangle_grid(
+        samples.sparkSession,
+        ext["x0"] - dx, ext["y0"] - dy, ext["x1"] + dx, ext["y1"] + dy,
+        cell_size, cell_size,
+    )
+    centers = grid.select(
+        (F.col("cx") * 100000 + F.col("cy")).alias("id"),
+        "cx", "cy",
+        ((F.col("xmin") + F.col("xmax")) / 2).alias("x"),
+        ((F.col("ymin") + F.col("ymax")) / 2).alias("y"),
+    )
+
+    spts = samples.select("id", "x", "y", F.col(value_col).alias("value"))
+    if intmethod == "nn":
+        est = interpolate_nn(centers, spts, num_neighbors=num_neighbors,
+                             cell_size=cell_size * 4)
+    elif intmethod == "bary":
+        est = interpolate_barycentric(centers, spts)
+    else:
+        est = interpolate_idw(centers, spts, num_neighbors=num_neighbors,
+                              cell_size=cell_size * 4)
+
+    cells = centers.join(est, "id").where(~F.isnan("est") & F.col("est").isNotNull())
+    breaks_df = _CLASSIFIERS[classmethod](cells, value_col="est", breaks=steps)
+    return classify_bins(cells, breaks_df, value_col="est")

@@ -229,3 +229,38 @@ def moran_local_rate(
     return moran_local(
         rates, edges, value_col="value", permutations=permutations, seed=seed
     )
+
+
+def moran_global_rate(
+    values: DataFrame,
+    edges: DataFrame,
+    *,
+    numerator: str = "numerator",
+    denominator: str = "denominator",
+) -> DataFrame:
+    """Global Moran's I on EB-standardized rates
+    (CDB_AreasOfInterestGlobalRate, 10_moran.sql:181-198 → moran.py:153-197)."""
+    rates = assuncao_rate(
+        values.na.drop(subset=[numerator, denominator]).where(
+            F.col(denominator) != 0
+        ),
+        numerator=numerator,
+        denominator=denominator,
+    )
+    return moran_global(rates, edges, value_col="value")
+
+
+def moran_hotspots(lisa: DataFrame) -> DataFrame:
+    """CDB_GetSpatialHotspots: LISA rows with quad HH or HL
+    (10_moran.sql:124-138)."""
+    return lisa.where(F.col("quad").isin("HH", "HL"))
+
+
+def moran_coldspots(lisa: DataFrame) -> DataFrame:
+    """CDB_GetSpatialColdspots: quads LL or LH (10_moran.sql:140-155)."""
+    return lisa.where(F.col("quad").isin("LL", "LH"))
+
+
+def moran_outliers(lisa: DataFrame) -> DataFrame:
+    """CDB_GetSpatialOutliers: quads HL or LH (10_moran.sql:157-171)."""
+    return lisa.where(F.col("quad").isin("HL", "LH"))

@@ -56,3 +56,34 @@ def spatial_lag(
         .groupBy("id")
         .agg(F.sum(F.col("w") * F.col("_y")).alias(out_col))
     )
+
+
+def queen_polygon_edges(polys, *, quant: float = 1e-9):
+    """Queen contiguity for polygons: i and j are neighbors iff they share
+    at least one boundary vertex (the reference's ST_Touches template,
+    pysal_utils.py:164-190, evaluated on shared-vertex polygon meshes like
+    admin tilings).
+
+    Distributed as explode(quantized vertices) → self-join on vertex →
+    distinct pairs — an equi-join, no geometry predicate in the hot path.
+    ``polys``: (poly_id, xs array<double>, ys array<double>).
+    """
+    from pyspark.sql import functions as F
+
+    v = polys.select(
+        F.col("poly_id").alias("id"),
+        F.explode(
+            F.arrays_zip(
+                F.transform("xs", lambda x: F.round(x / quant).cast("long")),
+                F.transform("ys", lambda y: F.round(y / quant).cast("long")),
+            )
+        ).alias("_v"),
+    ).select("id", F.col("_v").getField("0").alias("_qx"),
+             F.col("_v").getField("1").alias("_qy"))
+    w = v.select(F.col("id").alias("nbr"), "_qx", "_qy")
+    return (
+        v.join(w, ["_qx", "_qy"])
+        .where(F.col("id") != F.col("nbr"))
+        .select("id", "nbr")
+        .distinct()
+    )

@@ -541,6 +541,380 @@ def o_hotspot_pipeline():
     return hotspot_oracle_sql()
 
 
+# ---------------------------------------------------- rate Moran family -----
+# num/den derived closed-form so both engines agree bit-for-bit.
+
+_RATE_CTE = f"""{_KNN_CTE},
+    nd AS (
+      SELECT id, CAST((id * 13) % 97 + 1 AS DOUBLE) AS e,
+                 CAST((id * 7) % 50 + 10 AS DOUBLE) AS b
+      FROM pts
+    ),
+    ebs AS (SELECT sum(e) AS es, sum(b) AS bs, count(*) AS cnt FROM nd),
+    r1 AS (SELECT id, e, b, e / b AS y, es / bs AS ebi_b FROM nd, ebs),
+    s2 AS (SELECT sum(b * (y - ebi_b) * (y - ebi_b)) / any_value(bs) AS s2
+           FROM r1, ebs),
+    rate AS (
+      SELECT id,
+             (y - ebi_b)
+             / sqrt((s2.s2 - ebi_b / (ebs.bs / ebs.cnt)) + ebi_b / b) AS rv
+      FROM r1, s2, ebs
+    ),
+    rstats AS (SELECT avg(rv) AS rmu, count(*) AS rn FROM rate),
+    rz AS (SELECT id, rv - rmu AS z FROM rate, rstats),
+    rden AS (SELECT sum(z*z) AS den FROM rz),
+    rlagz AS (
+      SELECT k.id, sum(rz.z / {KNN_K}.0) AS lz
+      FROM knn k JOIN rz ON k.nbr = rz.id GROUP BY k.id
+    )"""
+
+
+def _rate_values(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    return pts.select(
+        "id",
+        ((F.col("id") * 13) % 97 + 1).cast("double").alias("numerator"),
+        ((F.col("id") * 7) % 50 + 10).cast("double").alias("denominator"),
+    )
+
+
+def q_moran_local_rate(spark, sf_dir):
+    from crankshaft_spark.operators.moran import moran_local_rate
+
+    res = moran_local_rate(_rate_values(spark, sf_dir), _edges_w(spark, sf_dir))
+    return res.select("id", "quad", F.round("local_i", 6).alias("local_i"))
+
+
+def o_moran_local_rate():
+    return f"""{_RATE_CTE}
+    SELECT rz.id,
+           CASE WHEN rz.z > 0 AND l.lz > 0 THEN 'HH'
+                WHEN rz.z <= 0 AND l.lz > 0 THEN 'LH'
+                WHEN rz.z <= 0 AND l.lz <= 0 THEN 'LL'
+                ELSE 'HL' END AS quad,
+           round((rstats.rn - 1) * rz.z * l.lz / rden.den, 6) AS local_i
+    FROM rz JOIN rlagz l ON rz.id = l.id, rstats, rden"""
+
+
+def q_moran_global_rate(spark, sf_dir):
+    from crankshaft_spark.operators.moran import moran_global_rate
+
+    res = moran_global_rate(_rate_values(spark, sf_dir), _edges_w(spark, sf_dir))
+    return res.select(
+        F.round("moran_i", 6).alias("moran_i"),
+        F.round("expected_i", 6).alias("expected_i"),
+    )
+
+
+def o_moran_global_rate():
+    return f"""{_RATE_CTE}
+    SELECT round(sum(rz.z * l.lz) / any_value(rden.den), 6) AS moran_i,
+           round(-1.0 / (any_value(rstats.rn) - 1), 6) AS expected_i
+    FROM rz JOIN rlagz l ON rz.id = l.id, rstats, rden"""
+
+
+def q_moran_hotspots(spark, sf_dir):
+    from crankshaft_spark.operators.moran import moran_hotspots
+
+    pts = customer_points(spark, sf_dir)
+    res = moran_hotspots(
+        moran_local(pts.select("id", "value"), _edges_w(spark, sf_dir))
+    )
+    return res.select("id", "quad", F.round("local_i", 6).alias("local_i"))
+
+
+def o_moran_hotspots():
+    return f"SELECT * FROM ({o_moran_local()}) WHERE quad IN ('HH', 'HL')"
+
+
+# -------------------------------------------------------- more bins ---------
+
+HT_BREAKS = 4
+
+
+def q_bins_headtails(spark, sf_dir):
+    from crankshaft_spark.operators.binning import headtails_bins
+
+    pts = customer_points(spark, sf_dir)
+    res = headtails_bins(pts, value_col="value", breaks=HT_BREAKS)
+    return res.select("bin", F.round("break_value", 6).alias("break_value"))
+
+
+def o_bins_headtails():
+    # unrolled iterative mean-above-previous-break (cdb_utils.sql:146-181)
+    return f"""{_PTS_CTE},
+    b1 AS (SELECT avg(value) AS m FROM pts),
+    b2 AS (SELECT avg(value) AS m FROM pts, b1 WHERE value > b1.m),
+    b3 AS (SELECT avg(value) AS m FROM pts, b2 WHERE value > b2.m),
+    b4 AS (SELECT avg(value) AS m FROM pts, b3 WHERE value > b3.m)
+    SELECT 1 AS bin, round(m, 6) AS break_value FROM b1 WHERE m IS NOT NULL
+    UNION ALL SELECT 2, round(m, 6) FROM b2 WHERE m IS NOT NULL
+    UNION ALL SELECT 3, round(m, 6) FROM b3 WHERE m IS NOT NULL
+    UNION ALL SELECT 4, round(m, 6) FROM b4 WHERE m IS NOT NULL"""
+
+
+def q_bins_jenks(spark, sf_dir):
+    from crankshaft_spark.operators.binning import jenks_bins
+
+    pts = customer_points(spark, sf_dir)
+    res = jenks_bins(pts, value_col="value", breaks=5)
+    return res.select("bin", F.round("break_value", 6).alias("break_value"))
+
+
+# ------------------------------------------------------ NN interpolation ----
+
+NN_K = 5
+
+
+def q_interp_nn(spark, sf_dir):
+    from crankshaft_spark.operators.interpolation import interpolate_nn
+
+    src = customer_points(spark, sf_dir)
+    tgt = supplier_points(spark, sf_dir).withColumn("x", F.col("x") + 0.005)
+    res = interpolate_nn(tgt, src, num_neighbors=NN_K, cell_size=KNN_CELL)
+    return res.select("id", F.round("est", 6).alias("est"))
+
+
+def o_interp_nn():
+    return f"""{_PTS_CTE},
+    tgt AS (SELECT id, x + 0.005 AS x, y FROM spts),
+    knn5 AS (
+      SELECT tid, sid,
+             row_number() OVER (PARTITION BY tid ORDER BY d2 ASC, sid ASC) AS rk
+      FROM (
+        SELECT t.id AS tid, s.id AS sid,
+               (t.x-s.x)*(t.x-s.x) + (t.y-s.y)*(t.y-s.y) AS d2
+        FROM tgt t JOIN pts s ON true
+      ) p
+      QUALIFY rk <= {NN_K}
+    )
+    SELECT k.tid AS id, round(avg(p.value), 6) AS est
+    FROM knn5 k JOIN pts p ON k.sid = p.id
+    GROUP BY k.tid"""
+
+
+# --------------------------------------------- queen contiguity (polygons) --
+
+def _admin_polys_df(spark):
+    from crankshaft_spark.sources.admin import admin_polygons
+
+    rows = [
+        (pid, [float(p[0]) for p in ring], [float(p[1]) for p in ring])
+        for pid, ring in admin_polygons()
+    ]
+    return spark.createDataFrame(
+        rows, "poly_id long, xs array<double>, ys array<double>"
+    )
+
+
+def q_queen_edges(spark, sf_dir):
+    from crankshaft_spark.operators.weights import queen_polygon_edges
+
+    return queen_polygon_edges(_admin_polys_df(spark))
+
+
+def o_queen_edges():
+    from crankshaft_spark.sources.admin import admin_polygons
+
+    rows = []
+    for pid, ring in admin_polygons():
+        for x, y in ring:
+            rows.append(f"({pid}, {x!r}, {y!r})")
+    verts = "(SELECT * FROM (VALUES " + ", ".join(rows) + ") AS v(pid, vx, vy))"
+    return f"""
+    SELECT DISTINCT a.pid AS id, b.pid AS nbr
+    FROM {verts} a JOIN {verts} b ON a.vx = b.vx AND a.vy = b.vy
+    WHERE a.pid <> b.pid"""
+
+
+# ------------------------------------------------------- overlap sum --------
+
+def q_overlap_sum(spark, sf_dir):
+    from crankshaft_spark.operators.geometry import overlap_sum
+
+    cust = customer_points(spark, sf_dir).where(F.col("id") % 10 == 1)
+    queries = cust.select(
+        F.col("id").alias("poly_id"),
+        F.array(F.col("x"), F.col("x") + 6, F.col("x") + 6, F.col("x")).alias("xs"),
+        F.array(F.col("y"), F.col("y"), F.col("y") + 6, F.col("y") + 6).alias("ys"),
+    )
+    supp = supplier_points(spark, sf_dir)
+    targets = supp.select(
+        F.col("id").alias("poly_id"),
+        F.array(F.col("x"), F.col("x") + 9, F.col("x") + 9, F.col("x")).alias("xs"),
+        F.array(F.col("y"), F.col("y"), F.col("y") + 9, F.col("y") + 9).alias("ys"),
+        F.col("weight").alias("value"),
+    )
+    res = overlap_sum(queries, targets, cell_size=4.0)
+    return res.select(
+        F.col("qid").alias("id"), F.round("overlap_sum", 6).alias("overlap_sum")
+    )
+
+
+def o_overlap_sum():
+    # axis-aligned rectangle intersection in closed form
+    return f"""{_PTS_CTE},
+    q AS (SELECT id, x AS qx0, y AS qy0, x + 6 AS qx1, y + 6 AS qy1
+          FROM pts WHERE id % 10 = 1),
+    t AS (SELECT id AS tid, x AS tx0, y AS ty0, x + 9 AS tx1, y + 9 AS ty1,
+                 weight AS v FROM spts),
+    inter AS (
+      SELECT q.id, t.v,
+             greatest(0.0, least(qx1, tx1) - greatest(qx0, tx0))
+             * greatest(0.0, least(qy1, ty1) - greatest(qy0, ty0)) AS ia
+      FROM q JOIN t ON qx0 < tx1 AND tx0 < qx1 AND qy0 < ty1 AND ty0 < qy1
+    )
+    SELECT id, round(sum(v * ia / 81.0), 6) AS overlap_sum
+    FROM inter WHERE ia > 0 GROUP BY id"""
+
+
+# ----------------------------------------------------------- contour --------
+
+CONTOUR_CS = 8.0
+CONTOUR_STEPS = 4
+CONTOUR_BUF = 0.2
+CONTOUR_K = 8
+
+
+def q_contour(spark, sf_dir):
+    from crankshaft_spark.operators.contour import contour
+
+    samples = customer_points(spark, sf_dir)
+    res = contour(
+        samples, cell_size=CONTOUR_CS, intmethod="idw", classmethod="equal",
+        steps=CONTOUR_STEPS, buffer_frac=CONTOUR_BUF, num_neighbors=CONTOUR_K,
+    )
+    return res.select(
+        "bin",
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+        "n_cells",
+    )
+
+
+def o_contour():
+    cs, steps, buf, k = CONTOUR_CS, CONTOUR_STEPS, CONTOUR_BUF, CONTOUR_K
+    return f"""{_PTS_CTE},
+    ext AS (SELECT min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1
+            FROM pts),
+    par AS (SELECT x0, x1, y0, y1,
+                   (x1 - x0) * {buf} + {cs} AS dx,
+                   (y1 - y0) * {buf} + {cs} AS dy FROM ext),
+    dims AS (SELECT *,
+                    CAST(ceil(((x1 + dx) - (x0 - dx)) / {cs}) AS BIGINT) AS nx,
+                    CAST(ceil(((y1 + dy) - (y0 - dy)) / {cs}) AS BIGINT) AS ny
+             FROM par),
+    centers AS (
+      SELECT cx * 100000 + cy AS cid,
+             (x0 - dx + cx * {cs} + (x0 - dx + (cx + 1) * {cs})) / 2 AS gx,
+             (y0 - dy + cy * {cs} + (y0 - dy + (cy + 1) * {cs})) / 2 AS gy
+      FROM dims,
+           (SELECT unnest(range(0, (SELECT nx FROM dims))) AS cx),
+           (SELECT unnest(range(0, (SELECT ny FROM dims))) AS cy)
+    ),
+    knnc AS (
+      SELECT cid, sid, d2,
+             row_number() OVER (PARTITION BY cid ORDER BY d2 ASC, sid ASC) AS rk
+      FROM (
+        SELECT c.cid, s.id AS sid,
+               (c.gx-s.x)*(c.gx-s.x) + (c.gy-s.y)*(c.gy-s.y) AS d2
+        FROM centers c JOIN pts s ON true
+      ) p
+      QUALIFY rk <= {k}
+    ),
+    est AS (
+      SELECT k.cid,
+             CASE WHEN max(CASE WHEN d2 = 0 THEN p.value END) IS NOT NULL
+                  THEN max(CASE WHEN d2 = 0 THEN p.value END)
+                  ELSE sum(CASE WHEN d2 > 0 THEN p.value / d2 ELSE 0 END)
+                       / sum(CASE WHEN d2 > 0 THEN 1.0 / d2 ELSE 0 END)
+             END AS est
+      FROM knnc k JOIN pts p ON k.sid = p.id
+      GROUP BY k.cid
+    ),
+    es AS (SELECT min(est) AS lo, max(est) AS hi FROM est),
+    brk AS (
+      SELECT i AS bin,
+             CASE WHEN i = {steps} THEN hi
+                  ELSE lo + i * ((hi - lo) / {steps}.0) END AS bv
+      FROM es, (SELECT unnest(range(1, {steps + 1})) AS i)
+    ),
+    binned AS (
+      SELECT e.cid, e.est, min(b.bin) AS bin
+      FROM est e JOIN brk b ON e.est <= b.bv
+      GROUP BY e.cid, e.est
+    )
+    SELECT bin, round(min(est), 6) AS min_value, round(max(est), 6) AS max_value,
+           round(avg(est), 6) AS avg_value, count(*) AS n_cells
+    FROM binned GROUP BY bin"""
+
+
+# -------------------------------------- geometry-local ops (rows-only) ------
+
+def q_pia(spark, sf_dir):
+    from crankshaft_spark.operators.geometry import pia
+
+    return pia(_admin_polys_df(spark), tolerance=1e-3).select(
+        "poly_id", F.round("x", 4).alias("x"), F.round("y", 4).alias("y"),
+        F.round("dist", 4).alias("dist"),
+    )
+
+
+def q_voronoi(spark, sf_dir):
+    from crankshaft_spark.operators.geometry import voronoi
+
+    pts = customer_points(spark, sf_dir).select(
+        F.col("nationkey").cast("long").alias("grp"), "id", "x", "y"
+    )
+    return voronoi(pts).select(
+        "grp", "id", F.round("cell_area", 6).alias("cell_area")
+    )
+
+
+def q_densify(spark, sf_dir):
+    from crankshaft_spark.operators.geometry import densify
+
+    pts = customer_points(spark, sf_dir).where(F.col("id") % 5 == 1).select(
+        F.col("nationkey").cast("long").alias("grp"), "x", "y", "value"
+    )
+    return densify(pts, iterations=1).select(
+        "grp", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q_tin_map(spark, sf_dir):
+    from crankshaft_spark.operators.geometry import tin_map
+
+    pts = customer_points(spark, sf_dir).where(F.col("id") % 5 == 1).select(
+        F.col("nationkey").cast("long").alias("grp"), "x", "y", "value"
+    )
+    return tin_map(pts, iterations=0).select(
+        "grp", "tri_wkt", F.round("value", 6).alias("value")
+    )
+
+
+def q_dot_density(spark, sf_dir):
+    from crankshaft_spark.operators.geometry import dot_density
+
+    polys = _admin_polys_df(spark).withColumn(
+        "no_points", (F.col("poly_id") % 7 + 1).cast("double")
+    )
+    return dot_density(polys, seed=1234).select(
+        "poly_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y")
+    )
+
+
+def q_interp_bary(spark, sf_dir):
+    from crankshaft_spark.operators.interpolation import interpolate_barycentric
+
+    src = customer_points(spark, sf_dir)
+    tgt = supplier_points(spark, sf_dir)
+    res = interpolate_barycentric(tgt, src)
+    return res.select("id", F.round("est", 6).alias("est"))
+
+
 # ------------------------------------------------------------------ ML ------
 # ML fits are not DuckDB-expressible; these get rows-only driver checks
 # (the pytest suite asserts their semantics against reference fixtures).
@@ -599,6 +973,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_extract": q_page_extract,
         "pip_assign": q_pip_assign,
         "hotspot_pipeline": q_hotspot_pipeline,
+        "moran_local_rate": q_moran_local_rate,
+        "moran_global_rate": q_moran_global_rate,
+        "moran_hotspots": q_moran_hotspots,
+        "bins_headtails": q_bins_headtails,
+        "bins_jenks": q_bins_jenks,
+        "interp_nn": q_interp_nn,
+        "queen_edges": q_queen_edges,
+        "overlap_sum": q_overlap_sum,
+        "contour_equal": q_contour,
+        "pia": q_pia,
+        "voronoi": q_voronoi,
+        "densify": q_densify,
+        "tin_map": q_tin_map,
+        "dot_density": q_dot_density,
+        "interp_bary": q_interp_bary,
         "kmeans_spatial": q_kmeans_spatial,
         "kmeans_nonspatial": q_kmeans_nonspatial,
         "segmentation_gbt": q_segmentation,
@@ -629,4 +1018,12 @@ def oracle_sql() -> dict[str, str]:
         "page_extract": o_page_extract(),
         "pip_assign": o_pip_assign(),
         "hotspot_pipeline": o_hotspot_pipeline(),
+        "moran_local_rate": o_moran_local_rate(),
+        "moran_global_rate": o_moran_global_rate(),
+        "moran_hotspots": o_moran_hotspots(),
+        "bins_headtails": o_bins_headtails(),
+        "interp_nn": o_interp_nn(),
+        "queen_edges": o_queen_edges(),
+        "overlap_sum": o_overlap_sum(),
+        "contour_equal": o_contour(),
     }

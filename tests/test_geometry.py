@@ -1,0 +1,161 @@
+"""Geometry-local operators: PIA, Voronoi, densify/TIN, dot density,
+overlap sum, barycentric interpolation, contour.
+
+Mirrors the reference's pg_regress invariants (known PIA points
+13_pia_test.sql, voronoi mean-cell-area 09_voronoi_test.sql, dot-density
+count+containment 04_dot_density_test.sql, contour bin averages
+19_contour_test.sql) re-expressed over deterministic inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crankshaft_spark.operators.contour import contour, contour_cells
+from crankshaft_spark.operators.geometry import (
+    densify,
+    dot_density,
+    overlap_sum,
+    pia,
+    tin_map,
+    voronoi,
+)
+from crankshaft_spark.operators.interpolation import interpolate_barycentric
+
+
+def _poly_df(spark, polys):
+    # polys: list of (poly_id, [(x, y), ...], extra...)
+    rows = [(pid, [float(p[0]) for p in ring], [float(p[1]) for p in ring], *rest)
+            for pid, ring, *rest in polys]
+    extra = ""
+    if rows and len(rows[0]) > 3:
+        extra = ", " + ", ".join(
+            f"v{i} double" for i in range(len(rows[0]) - 3)
+        )
+    return spark.createDataFrame(
+        rows, f"poly_id long, xs array<double>, ys array<double>{extra}"
+    )
+
+
+def test_pia_square_center(spark):
+    """PIA of a square is its center with dist = half-side (the reference
+    asserts known points for known polygons, 13_pia_test.sql:10-24)."""
+    df = _poly_df(spark, [(1, [(0, 0), (4, 0), (4, 4), (0, 4)])])
+    r = pia(df, tolerance=1e-4).collect()[0]
+    assert abs(r["x"] - 2) < 1e-2 and abs(r["y"] - 2) < 1e-2
+    assert abs(r["dist"] - 2) < 1e-2
+
+
+def test_pia_l_shape_inside(spark):
+    ring = [(0, 0), (4, 0), (4, 1), (1, 1), (1, 4), (0, 4)]
+    df = _poly_df(spark, [(7, ring)])
+    r = pia(df, tolerance=1e-4).collect()[0]
+    # must be inside the L, not at the concave centroid
+    from crankshaft_spark.functions.geom import point_in_ring
+
+    assert point_in_ring([r["x"]], [r["y"]], np.array(ring, float))[0]
+    assert r["dist"] > 0.45
+
+
+def test_voronoi_partitions_bound(spark):
+    pts = [(0, i, float(i % 3), float(i // 3)) for i in range(9)]
+    df = spark.createDataFrame(pts, "grp long, id long, x double, y double")
+    out = voronoi(df, buffer_frac=0.5).collect()
+    assert len(out) == 9
+    assert all(r["cell_area"] > 0 for r in out)
+    # cells tile the expanded hull: areas sum to its area (<= and close)
+    from crankshaft_spark.functions.geom import convex_hull, polygon_area
+
+    hull = convex_hull(np.array([[p[2], p[3]] for p in pts]))
+    c = hull.mean(axis=0)
+    expanded = c + (hull - c) * 1.5
+    total = sum(r["cell_area"] for r in out)
+    assert abs(total - abs(polygon_area(expanded))) < 1e-6
+
+
+def test_densify_adds_centroids(spark):
+    pts = [(0, 0.0, 0.0, 1.0), (0, 2.0, 0.0, 2.0), (0, 0.0, 2.0, 3.0),
+           (0, 2.0, 2.0, 4.0)]
+    df = spark.createDataFrame(pts, "grp long, x double, y double, value double")
+    out = densify(df, iterations=1).collect()
+    assert len(out) == 6  # 4 originals + 2 triangle centroids
+    vals = sorted(r["value"] for r in out)
+    assert vals[0] == 1.0 and vals[-1] == 4.0
+    out2 = densify(df, iterations=2).count()
+    assert out2 > 6
+
+
+def test_tin_map_triangles(spark):
+    pts = [(0, 0.0, 0.0, 1.0), (0, 2.0, 0.0, 2.0), (0, 0.0, 2.0, 3.0),
+           (0, 2.0, 2.0, 4.0)]
+    df = spark.createDataFrame(pts, "grp long, x double, y double, value double")
+    out = tin_map(df, iterations=0).collect()
+    assert len(out) == 2
+    assert all(r["tri_wkt"].startswith("POLYGON") for r in out)
+
+
+def test_dot_density_count_and_containment(spark):
+    ring = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    df = _poly_df(spark, [(3, ring, 57.0)]).withColumnRenamed("v0", "no_points")
+    out = dot_density(df, points_col="no_points", seed=42).collect()
+    assert len(out) == 57
+    assert all(0 <= r["x"] <= 10 and 0 <= r["y"] <= 10 for r in out)
+    # determinism across parallelism: same seed → same points
+    out2 = dot_density(df.repartition(4), points_col="no_points", seed=42).collect()
+    assert sorted((r["x"], r["y"]) for r in out) == \
+        sorted((r["x"], r["y"]) for r in out2)
+
+
+def test_overlap_sum_half_cover(spark):
+    # query square [0,2]² ; target A [0,1]x[0,2] val 10 fully inside;
+    # target B [1,3]x[0,2] val 8, half inside
+    queries = _poly_df(spark, [(1, [(0, 0), (2, 0), (2, 2), (0, 2)])])
+    targets = _poly_df(spark, [
+        (100, [(0, 0), (1, 0), (1, 2), (0, 2)], 10.0),
+        (101, [(1, 0), (3, 0), (3, 2), (1, 2)], 8.0),
+    ]).withColumnRenamed("v0", "value")
+    out = overlap_sum(queries, targets).collect()
+    assert len(out) == 1
+    assert abs(out[0]["overlap_sum"] - (10.0 + 4.0)) < 1e-9
+
+
+def test_barycentric_linear_field_exact(spark):
+    """Barycentric interpolation reproduces a linear field exactly inside
+    the hull and returns NULL outside."""
+    rng = np.random.RandomState(5)
+    sp = rng.uniform(0, 10, size=(30, 2))
+    samples = spark.createDataFrame(
+        [(i, float(x), float(y), float(2 * x + 3 * y + 1))
+         for i, (x, y) in enumerate(sp)],
+        "id long, x double, y double, value double",
+    )
+    targets = spark.createDataFrame(
+        [(0, 5.0, 5.0), (1, 4.0, 6.0), (2, 100.0, 100.0)],
+        "id long, x double, y double",
+    )
+    got = {r["id"]: r["est"] for r in
+           interpolate_barycentric(targets, samples).collect()}
+    assert abs(got[0] - (2 * 5 + 3 * 5 + 1)) < 1e-9
+    assert abs(got[1] - (2 * 4 + 3 * 6 + 1)) < 1e-9
+    assert got[2] is None or np.isnan(got[2])
+
+
+@pytest.mark.parametrize("intmethod", ["nn", "idw", "bary"])
+def test_contour_bins_monotone(spark, intmethod):
+    """Contour bin aggregates are ordered: min/max/avg increase with bin
+    (the reference asserts per-bin avg values, 19_contour_test.sql:5-18)."""
+    rng = np.random.RandomState(9)
+    sp = rng.uniform(0, 20, size=(60, 2))
+    samples = spark.createDataFrame(
+        [(i, float(x), float(y), float(x + y)) for i, (x, y) in enumerate(sp)],
+        "id long, x double, y double, value double",
+    )
+    out = contour(samples, cell_size=2.0, intmethod=intmethod,
+                  classmethod="equal", steps=4).collect()
+    assert 2 <= len(out) <= 4
+    avgs = [r["avg_value"] for r in sorted(out, key=lambda r: r["bin"])]
+    assert avgs == sorted(avgs)
+    cells = contour_cells(samples, cell_size=2.0, intmethod=intmethod,
+                          classmethod="equal", steps=4)
+    assert cells.where(F.col("bin").isNull()).count() == 0
