@@ -94,3 +94,84 @@ def ann_topk_srp(
         buckets.where(F.col("bucket") == probe_bucket).select(id_col), id_col
     )
     return cosine_topk(cands, probe, k, id_col=id_col, vec_col=vec_col)
+
+
+def det_planes(n_planes: int, dims: int) -> list[list[float]]:
+    """Deterministic pinned hyperplanes (versioned: srpv1) — closed-form
+    integer arithmetic so the DuckDB oracle reproduces them exactly."""
+    return [
+        [(((i * 73856093 + j * 19349663) % 2001) - 1000) / 1000.0
+         for j in range(dims)]
+        for i in range(n_planes)
+    ]
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    *,
+    dims: int,
+    n_planes: int = 8,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cos) — embedding near-duplicate pairs: SRP-bucket candidate
+    join (only vectors agreeing on all n_planes sign bits meet), then exact
+    cosine verify >= threshold.  The bucket join replaces the all-pairs
+    cross product; recall is tuned by n_planes (fewer planes = bigger
+    buckets = higher recall), the standard LSH dial."""
+    planes = det_planes(n_planes, dims)
+    b = srp_bucket(embeddings, planes, id_col=id_col, vec_col=vec_col)
+    e = embeddings.join(b, id_col).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"), "bucket"
+    )
+    left = e.select(F.col(id_col).alias("a"), F.col("_v").alias("_va"), "bucket")
+    right = e.select(F.col(id_col).alias("b"), F.col("_v").alias("_vb"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .withColumn(
+            "cos",
+            _dot_expr(F.col("_va"), F.col("_vb"))
+            / (_norm_expr(F.col("_va")) * _norm_expr(F.col("_vb"))),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def neardup_oracle_sql(table: str = "embeddings", *, dims: int = 64,
+                       n_planes: int = 8, threshold: float = 0.25) -> str:
+    bucket_sum = " + ".join(
+        f"CASE WHEN dot{i} >= 0 THEN {2 ** i} ELSE 0 END"
+        for i in range(n_planes)
+    )
+    dot_cols = ", ".join(
+        f"sum(x * ((({i} * 73856093 + j * 19349663) % 2001) - 1000) / 1000.0)"
+        f" AS dot{i}"
+        for i in range(n_planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+    comp AS (
+      SELECT vec_id, j, v[j + 1] AS x
+      FROM e, (SELECT unnest(generate_series(0, {dims - 1})) AS j)
+    ),
+    dots AS (SELECT vec_id, {dot_cols} FROM comp GROUP BY vec_id),
+    bkt AS (SELECT vec_id, {bucket_sum} AS bucket FROM dots),
+    nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nn FROM comp GROUP BY vec_id),
+    cand AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    cosd AS (
+      SELECT c.a, c.b, sum(ca.x * cb.x) AS dp
+      FROM cand c
+      JOIN comp ca ON ca.vec_id = c.a
+      JOIN comp cb ON cb.vec_id = c.b AND ca.j = cb.j
+      GROUP BY c.a, c.b
+    )
+    SELECT cosd.a, cosd.b, round(dp / (na.nn * nb.nn), 6) AS cos
+    FROM cosd JOIN nrm na ON na.vec_id = cosd.a
+              JOIN nrm nb ON nb.vec_id = cosd.b
+    WHERE dp / (na.nn * nb.nn) >= {threshold}"""

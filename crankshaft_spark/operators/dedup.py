@@ -1,0 +1,301 @@
+"""Near-duplicate detection for training-data pipelines: MinHash+LSH,
+SimHash, and winnowing-style document fingerprints.
+
+Engine-native additions beyond the reference's operator set (the brief's
+dedup family).  Everything is closed-form portable arithmetic — the 32-bit
+shingle hash is ``int(hex(md5(sh))[0:8])``, identical in Spark
+(``conv(substring(md5(x),1,8),16,10)``) and DuckDB
+(``('0x' || substring(md5(x),1,8))::BIGINT``) — so every operator here has
+an exact DuckDB oracle.  All hot paths are built-in JVM expressions; no
+Python UDFs anywhere.
+
+Scale shape: shingle explode → per-doc aggregate (map-side combinable), LSH
+band equi-join for candidates (never the all-pairs cross product), exact
+verify on the candidate set only — the classic filter-and-refine, same as
+the spatial core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crankshaft_spark.operators.text import shingles
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+MINHASH_K = 16             # signature length
+MINHASH_BANDS = 4          # bands of r = K/BANDS rows
+
+SIMHASH_BITS = 32
+FP_K = 8                   # fingerprint k-gram length
+FP_W = 16                  # winnow window
+
+
+def _h32(col):
+    """Portable 32-bit string hash (first 8 hex chars of md5)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def h32_sql(expr: str) -> str:
+    return f"CAST(('0x' || substring(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _ab(j: int) -> tuple[int, int]:
+    """Deterministic hash-family coefficients for minhash function j."""
+    return 2 * j + 1, 7919 * j + 13
+
+
+def minhash_signatures(
+    docs: DataFrame, *, text_col: str = "text", n: int = 4,
+    k: int = MINHASH_K, id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) — minhash signature over the distinct
+    character-n-gram shingle set; mh_j = min over shingles of
+    (a_j·h32(sh) + b_j) mod P."""
+    sh = shingles(docs, text_col=text_col, n=n, id_col=id_col)
+    x = _h32(F.col("sh"))
+    aggs = []
+    for j in range(k):
+        a, b = _ab(j)
+        aggs.append(F.min((x * a + b) % MINHASH_P).alias(f"mh{j}"))
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, *, text_col: str = "text", n: int = 4,
+    k: int = MINHASH_K, bands: int = MINHASH_BANDS,
+    threshold: float = 0.5, id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, est_jaccard) — candidate pairs from LSH banding, scored by the
+    signature-match fraction, kept at est_jaccard >= threshold.
+
+    shingle→minhash→band→bucket-join: docs collide iff one full band of
+    r = k/bands signature slots matches; est_jaccard = (#matching slots)/k
+    is the unbiased Jaccard estimate.  The band join is the only shuffle.
+    """
+    sig = minhash_signatures(docs, text_col=text_col, n=n, k=k, id_col=id_col)
+    r = k // bands
+    band_keys = [
+        F.concat_ws("_", *[F.col(f"mh{band * r + i}") for i in range(r)])
+        for band in range(bands)
+    ]
+    banded = sig.select(
+        id_col, *[bk.alias(f"band{b}") for b, bk in enumerate(band_keys)],
+        *[F.col(f"mh{j}") for j in range(k)],
+    )
+    pairs = None
+    left = banded.select(
+        F.col(id_col).alias("a"),
+        *[F.col(f"band{b}").alias(f"lb{b}") for b in range(bands)],
+        *[F.col(f"mh{j}").alias(f"la{j}") for j in range(k)],
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"),
+        *[F.col(f"band{b}").alias(f"rb{b}") for b in range(bands)],
+        *[F.col(f"mh{j}").alias(f"ra{j}") for j in range(k)],
+    )
+    for b in range(bands):
+        p = left.join(right, F.col(f"lb{b}") == F.col(f"rb{b}")).where(
+            F.col("a") < F.col("b")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    matches = sum(
+        (F.when(F.col(f"la{j}") == F.col(f"ra{j}"), 1).otherwise(0)
+         for j in range(k)),
+        F.lit(0),
+    )
+    return (
+        pairs.dropDuplicates(["a", "b"])
+        .withColumn("est_jaccard", matches.cast("double") / F.lit(float(k)))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+def minhash_oracle_sql(docs_sql: str, *, n: int = 4, k: int = MINHASH_K,
+                       bands: int = MINHASH_BANDS,
+                       threshold: float = 0.5) -> str:
+    """DuckDB equivalent of minhash_lsh_pairs over ``docs_sql``
+    (doc_id, text)."""
+    mh_cols = []
+    for j in range(k):
+        a, b = _ab(j)
+        mh_cols.append(
+            f"min(({h32_sql('sh')} * {a} + {b}) % {MINHASH_P}) AS mh{j}"
+        )
+    r = k // bands
+    band_exprs = []
+    for band in range(bands):
+        parts = " || '_' || ".join(
+            f"CAST(mh{band * r + i} AS VARCHAR)" for i in range(r)
+        )
+        band_exprs.append(f"({parts}) AS band{band}")
+    band_join = " OR ".join(f"x.band{b} = y.band{b}" for b in range(bands))
+    match_sum = " + ".join(
+        f"CASE WHEN x.mh{j} = y.mh{j} THEN 1 ELSE 0 END" for j in range(k)
+    )
+    return f"""
+    WITH d AS ({docs_sql}),
+    sh AS (
+      SELECT DISTINCT doc_id, substring(text, i, {n}) AS sh
+      FROM d, generate_series(1, 100000) AS g(i)
+      WHERE i <= length(text) - {n - 1}
+    ),
+    sig AS (SELECT doc_id, {', '.join(mh_cols)} FROM sh GROUP BY doc_id),
+    banded AS (SELECT *, {', '.join(band_exprs)} FROM sig),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+             ({match_sum}) / {float(k)} AS est_jaccard
+      FROM banded x JOIN banded y ON ({band_join})
+      WHERE x.doc_id < y.doc_id
+    )
+    SELECT a, b, round(est_jaccard, 6) AS est_jaccard
+    FROM pairs WHERE est_jaccard >= {threshold}"""
+
+
+def simhash(
+    docs: DataFrame, *, text_col: str = "text", n: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, simhash) — 32-bit SimHash over the distinct shingle set:
+    bit i is 1 iff the count of shingles with h32 bit i set exceeds half the
+    shingle count (the +1/−1 majority vote)."""
+    sh = shingles(docs, text_col=text_col, n=n, id_col=id_col)
+    x = _h32(F.col("sh"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(x, i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sums = sh.groupBy(id_col).agg(*aggs)
+    sim = sum(
+        (F.when(F.col(f"s{i}") > 0, F.lit(2 ** i)).otherwise(0)
+         for i in range(SIMHASH_BITS)),
+        F.lit(0).cast("long"),
+    )
+    return sums.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, *, text_col: str = "text", n: int = 4,
+    max_hamming: int = 6, id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, hamming) — pairs within ``max_hamming`` bits, candidates from
+    nibble-chunk banding: 8 chunks of 4 bits, so by pigeonhole any pair with
+    hamming <= 7 shares at least one identical chunk — full recall for the
+    default threshold; chunk width is the recall/cost dial."""
+    s = simhash(docs, text_col=text_col, n=n, id_col=id_col)
+    chunks = [
+        F.shiftright(F.col("simhash"), 4 * c).bitwiseAND(15).alias(f"c{c}")
+        for c in range(8)
+    ]
+    sc = s.select(id_col, "simhash", *chunks)
+    left = sc.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("ha"),
+        *[F.col(f"c{c}").alias(f"lc{c}") for c in range(8)],
+    )
+    right = sc.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("hb"),
+        *[F.col(f"c{c}").alias(f"rc{c}") for c in range(8)],
+    )
+    pairs = None
+    for c in range(8):
+        p = left.join(right, F.col(f"lc{c}") == F.col(f"rc{c}")).where(
+            F.col("a") < F.col("b")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.dropDuplicates(["a", "b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def simhash_oracle_sql(docs_sql: str, *, n: int = 4,
+                       max_hamming: int = 6) -> str:
+    sum_cols = ", ".join(
+        f"sum(CASE WHEN ({h32_sql('sh')} >> {i}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    chunk_join = " OR ".join(
+        f"(x.simhash >> {4 * c}) & 15 = (y.simhash >> {4 * c}) & 15"
+        for c in range(8)
+    )
+    return f"""
+    WITH d AS ({docs_sql}),
+    sh AS (
+      SELECT DISTINCT doc_id, substring(text, i, {n}) AS sh
+      FROM d, generate_series(1, 100000) AS g(i)
+      WHERE i <= length(text) - {n - 1}
+    ),
+    sums AS (SELECT doc_id, {sum_cols} FROM sh GROUP BY doc_id),
+    s AS (SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM sums)
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+    FROM s x JOIN s y ON ({chunk_join})
+    WHERE x.doc_id < y.doc_id
+      AND bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}"""
+
+
+def fingerprints(
+    docs: DataFrame, *, text_col: str = "text", k: int = FP_K, w: int = FP_W,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, pos, fp) — winnowing-style fingerprints: the k-gram rolling
+    hash at position p is selected iff it is the minimum over the 2w−1
+    window centred at p (local-minimum selection; same coverage guarantee
+    dial as Schleimer et al.'s winnowing, symmetric for SQL portability)."""
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    grams = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length(t) - (k - 1))).alias("pos"),
+            t.alias("_t"),
+        )
+        .select(
+            id_col, "pos",
+            _h32(F.substring(F.col("_t"), F.col("pos").cast("int"), k)).alias("fp"),
+        )
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), w - 1)
+    )
+    return (
+        grams.withColumn("_wmin", F.min("fp").over(win))
+        .where(F.col("fp") == F.col("_wmin"))
+        .select(id_col, "pos", "fp")
+    )
+
+
+def fingerprints_oracle_sql(docs_sql: str, *, k: int = FP_K,
+                            w: int = FP_W) -> str:
+    return f"""
+    WITH d AS ({docs_sql}),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             {h32_sql(f'substring(text, i, {k})')} AS fp
+      FROM d, generate_series(1, 100000) AS g(i)
+      WHERE i <= length(text) - {k - 1}
+    ),
+    wmin AS (
+      SELECT doc_id, pos, fp,
+             min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN {w - 1} PRECEDING
+                           AND {w - 1} FOLLOWING) AS m
+      FROM grams
+    )
+    SELECT doc_id, pos, fp FROM wmin WHERE fp = m"""

@@ -915,6 +915,68 @@ def q_interp_bary(spark, sf_dir):
     return res.select("id", F.round("est", 6).alias("est"))
 
 
+# ----------------------------------------------- dedup / fingerprints -------
+
+DOCS_SQL = "SELECT doc_id, text FROM documents"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    from crankshaft_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def o_minhash_lsh():
+    from crankshaft_spark.operators.dedup import minhash_oracle_sql
+
+    return minhash_oracle_sql(DOCS_SQL, threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from crankshaft_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=6)
+
+
+def o_simhash_pairs():
+    from crankshaft_spark.operators.dedup import simhash_oracle_sql
+
+    return simhash_oracle_sql(DOCS_SQL, max_hamming=6)
+
+
+def q_fingerprints(spark, sf_dir):
+    from crankshaft_spark.operators.dedup import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0))
+
+
+def o_fingerprints():
+    from crankshaft_spark.operators.dedup import fingerprints_oracle_sql
+
+    return fingerprints_oracle_sql(
+        f"SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0"
+    )
+
+
+def q_embed_neardup(spark, sf_dir):
+    from crankshaft_spark.operators.ann import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, dims=64, threshold=0.25)
+
+
+def o_embed_neardup():
+    from crankshaft_spark.operators.ann import neardup_oracle_sql
+
+    return neardup_oracle_sql("embeddings", dims=64, threshold=0.25)
+
+
 # ------------------------------------------------------------------ ML ------
 # ML fits are not DuckDB-expressible; these get rows-only driver checks
 # (the pytest suite asserts their semantics against reference fixtures).
@@ -988,6 +1050,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tin_map": q_tin_map,
         "dot_density": q_dot_density,
         "interp_bary": q_interp_bary,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "fingerprints": q_fingerprints,
+        "embed_neardup": q_embed_neardup,
         "kmeans_spatial": q_kmeans_spatial,
         "kmeans_nonspatial": q_kmeans_nonspatial,
         "segmentation_gbt": q_segmentation,
@@ -1026,4 +1092,8 @@ def oracle_sql() -> dict[str, str]:
         "queen_edges": o_queen_edges(),
         "overlap_sum": o_overlap_sum(),
         "contour_equal": o_contour(),
+        "minhash_lsh": o_minhash_lsh(),
+        "simhash_pairs": o_simhash_pairs(),
+        "fingerprints": o_fingerprints(),
+        "embed_neardup": o_embed_neardup(),
     }

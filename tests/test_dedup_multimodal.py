@@ -1,0 +1,132 @@
+"""Dedup suite (MinHash/SimHash/fingerprints/embedding near-dup) and
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crankshaft_spark.operators.ann import embedding_neardup_pairs
+from crankshaft_spark.operators.dedup import (
+    fingerprints,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_pairs,
+)
+from crankshaft_spark.operators.multimodal import (
+    decode_metadata,
+    frame_sample,
+    image_resize_features,
+    synth_media,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = [
+        (1, base),
+        (2, base),                                  # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),        # near dup of 1
+        (4, "completely different content about spark dataframes and joins"),
+        (5, "completely different content about spark dataframes and joins!"),
+        (6, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_exact_dup_is_one(spark, docs):
+    pairs = {(r["a"], r["b"]): r["est_jaccard"]
+             for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(4, 5)] >= 0.5
+    assert (1, 6) not in pairs and (4, 6) not in pairs
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    s1 = sorted(map(tuple, minhash_signatures(docs).collect()))
+    s2 = sorted(map(tuple, minhash_signatures(docs.repartition(5)).collect()))
+    assert s1 == s2
+
+
+def test_simhash_near_dup_small_hamming(spark, docs):
+    h = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert h[1] == h[2]
+    assert bin(h[4] ^ h[5]).count("1") <= 6
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=6).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (4, 5) in pairs
+
+
+def test_fingerprints_shared_for_dups(spark, docs):
+    fp = fingerprints(docs, k=8, w=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] == by_doc[2]
+    # near-dup shares most fingerprints
+    inter = len(by_doc[1] & by_doc[3])
+    assert inter >= max(1, len(by_doc[1]) // 2)
+    assert not (by_doc[1] & by_doc[6])
+
+
+def test_embedding_neardup(spark):
+    rng = np.random.RandomState(0)
+    base = rng.randn(64)
+    rows = []
+    for i in range(20):
+        v = rng.randn(64)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, [float(x) for x in base]))
+    rows.append((101, [float(x) for x in (base + rng.randn(64) * 0.05)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["a"], r["b"]): r["cos"]
+             for r in embedding_neardup_pairs(emb, dims=64, threshold=0.9).collect()}
+    assert (100, 101) in pairs and pairs[(100, 101)] > 0.99
+    assert all(a in (100,) and b in (101,) for a, b in pairs)
+
+
+def test_media_decode_and_features(spark):
+    media = synth_media(spark, n=30)
+    meta = decode_metadata(media)
+    rows = meta.collect()
+    assert len(rows) == 30 and all(r["ok"] for r in rows)
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"image", "audio", "video"}
+    feats = image_resize_features(media, out_w=4, out_h=4).collect()
+    assert len(feats) == sum(1 for r in rows if r["kind"] == "image")
+    assert all(len(r["feat"]) == 16 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["feat"])
+    # determinism across parallelism
+    f2 = image_resize_features(synth_media(spark, n=30).repartition(3)).collect()
+    assert sorted((r["media_id"], tuple(r["feat"])) for r in feats) == \
+        sorted((r["media_id"], tuple(r["feat"])) for r in f2)
+
+
+def test_media_malformed_row_is_flagged(spark):
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"NOPE")), (2, None)], "media_id long, media binary"
+    )
+    rows = decode_metadata(bad).collect()
+    assert all(not r["ok"] for r in rows)
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media(spark, n=30)
+    fs = frame_sample(media, every=4)
+    meta = {r["media_id"]: r for r in decode_metadata(media).collect()}
+    got = {}
+    for r in fs.collect():
+        got.setdefault(r["media_id"], []).append(r["frame_no"])
+    for mid, frames in got.items():
+        assert meta[mid]["kind"] == "video"
+        assert frames == list(range(0, meta[mid]["dim0"], 4))
+
+
+def test_real_decoder_raises(spark):
+    media = synth_media(spark, n=2)
+    with pytest.raises(NotImplementedError):
+        decode_metadata(media, decoder="real")
