@@ -981,6 +981,45 @@ def o_embed_neardup():
 # ML fits are not DuckDB-expressible; these get rows-only driver checks
 # (the pytest suite asserts their semantics against reference fixtures).
 
+def _gwr_input(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    return pts.select(
+        "id", "x", "y", F.col("value").alias("dep"),
+        ((F.col("id") * 17) % 100).cast("double").alias("f1"),
+        ((F.col("id") * 29) % 83).cast("double").alias("f2"),
+    )
+
+
+def q_gwr(spark, sf_dir):
+    from crankshaft_spark.operators.gwr import gwr
+
+    res = gwr(_gwr_input(spark, sf_dir), "dep", ["f1", "f2"], bw=30,
+              cell_size=12.0)
+    return res.select(
+        "id",
+        F.round(F.col("coeffs")["intercept"], 5).alias("b0"),
+        F.round(F.col("coeffs")["f1"], 5).alias("b1"),
+        F.round(F.col("t_vals")["f1"], 5).alias("t1"),
+        F.round("predicted", 5).alias("predicted"),
+        F.round("r_squared", 5).alias("r_squared"),
+    )
+
+
+def q_gwr_predict(spark, sf_dir):
+    from crankshaft_spark.operators.gwr import gwr_predict
+
+    inp = _gwr_input(spark, sf_dir).withColumn(
+        "dep", F.when(F.col("id") % 20 == 3, None).otherwise(F.col("dep"))
+    )
+    res = gwr_predict(inp, "dep", ["f1", "f2"], bw=30, cell_size=12.0)
+    return res.select(
+        "id",
+        F.round(F.col("coeffs")["f1"], 5).alias("b1"),
+        F.round("predicted", 5).alias("predicted"),
+    )
+
+
+
 def q_kmeans_spatial(spark, sf_dir):
     from crankshaft_spark.operators.kmeans import kmeans_spatial
 
@@ -1057,6 +1096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_spatial": q_kmeans_spatial,
         "kmeans_nonspatial": q_kmeans_nonspatial,
         "segmentation_gbt": q_segmentation,
+        "gwr": q_gwr,
+        "gwr_predict": q_gwr_predict,
     }
 
 
