@@ -103,28 +103,52 @@ def pip_join(
     idx = spark.createDataFrame(
         index_rows, schema="cell long, __pip_pid int, __pip_interior boolean"
     )
-    poly_map = {pid: np.asarray(r, dtype=np.float64) for pid, r in polygons}
-    bc = spark.sparkContext.broadcast(poly_map)
-
-    @F.pandas_udf(BooleanType())
-    def _inside(pid: pd.Series, plon: pd.Series, plat: pd.Series) -> pd.Series:
-        res = np.zeros(len(pid), dtype=bool)
-        lon_v = plon.to_numpy(dtype=np.float64)
-        lat_v = plat.to_numpy(dtype=np.float64)
-        pid_v = pid.to_numpy()
-        for p in np.unique(pid_v):
-            m = pid_v == p
-            res[m] = _ray_cast(lon_v[m], lat_v[m], bc.value[int(p)])
-        return pd.Series(res)
-
-    cand = points.withColumn(
-        "cell", cell_expr(F.col(lon), F.col(lat), cell_size)
-    ).join(F.broadcast(idx), "cell")
-    keep = F.col("__pip_interior") | _inside(
-        F.col("__pip_pid"), F.col(lon), F.col(lat)
+    # ring edges per polygon as a broadcast-joined array column: the ray
+    # cast becomes one JVM `aggregate` over <=ring-size edge structs — no
+    # Python worker anywhere in the join, single pass over the candidates
+    # (an earlier pandas-UDF refine either dragged every candidate through
+    # Arrow or forced a double scan of the upstream DAG).
+    edge_rows = []
+    for pid, ring_list in polygons:
+        ring = np.asarray(ring_list, dtype=np.float64)
+        nxt = np.roll(ring, -1, axis=0)
+        edge_rows.append((
+            int(pid),
+            [
+                {"x1": float(a[0]), "y1": float(a[1]),
+                 "x2": float(b[0]), "y2": float(b[1])}
+                for a, b in zip(ring, nxt)
+            ],
+        ))
+    edges_df = spark.createDataFrame(
+        edge_rows,
+        schema="__pip_pid int, __pip_edges array<struct<x1:double,y1:double,x2:double,y2:double>>",
     )
+
+    cand = (
+        points.withColumn("cell", cell_expr(F.col(lon), F.col(lat), cell_size))
+        .join(F.broadcast(idx), "cell")
+        .join(F.broadcast(edges_df), "__pip_pid")
+    )
+    plon, plat = F.col(lon), F.col(lat)
+    # crossing parity; inner CASE guards the division exactly like the
+    # DuckDB oracle's join condition (operand order matches _ray_cast and
+    # pip_oracle_sql bit-for-bit: (x2-x1)*(lat-y1)/(y2-y1)+x1)
+    crossings = F.aggregate(
+        F.col("__pip_edges"),
+        F.lit(0),
+        lambda acc, e: acc + F.when(
+            (e["y1"] > plat) != (e["y2"] > plat),
+            F.when(
+                plon < (e["x2"] - e["x1"]) * (plat - e["y1"])
+                / (e["y2"] - e["y1"]) + e["x1"],
+                F.lit(1),
+            ).otherwise(0),
+        ).otherwise(0),
+    )
+    keep = F.col("__pip_interior") | (crossings % 2 == 1)
     return (
         cand.filter(keep)
         .withColumn(out, F.col("__pip_pid"))
-        .drop("__pip_pid", "__pip_interior")
+        .drop("__pip_pid", "__pip_interior", "__pip_edges")
     )

@@ -16,8 +16,19 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 
-def session_conf(builder: SparkSession.Builder, shuffle_partitions: int = 32):
-    """Apply engine defaults to a SparkSession builder."""
+def session_conf(builder: SparkSession.Builder, shuffle_partitions: int = 32,
+                 driver_memory: str | None = None):
+    """Apply engine defaults to a SparkSession builder.
+
+    ``driver_memory`` (env ``SPARK_GRAFT_DRIVER_MEM``, default 32g): in
+    local mode the driver JVM hosts every executor thread, so the heap must
+    scale with the thread count — an undersized heap turns the string-heavy
+    stages into a GC storm that flatlines core scaling (-Xmx is reserved
+    lazily; a large cap on a small test run costs nothing).
+    """
+    import os
+
+    mem = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
     return (
         builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -25,7 +36,7 @@ def session_conf(builder: SparkSession.Builder, shuffle_partitions: int = 32):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
     )
 

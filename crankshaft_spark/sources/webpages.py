@@ -86,12 +86,21 @@ def synth_webpages(
     """
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if multiplier > 1:
+        # Partitioning is driven by the REPLICA axis with the (small) doc
+        # payload broadcast: each of defaultParallelism×2 tasks synthesises
+        # its own replicas, so the table build itself scales with the
+        # cluster instead of inheriting the parquet file's partition count.
         id_span = d.agg(F.max("doc_id")).first()[0] + 1
-        d = d.crossJoin(
-            spark.range(multiplier).select(F.col("id").alias("__rep"))
-        ).withColumn(
+        reps = (
+            spark.range(multiplier)
+            .select(F.col("id").alias("__rep"))
+            .repartition(spark.sparkContext.defaultParallelism * 2)
+        )
+        d = reps.join(F.broadcast(d)).withColumn(
             "doc_id", F.col("doc_id") + F.lit(id_span) * F.col("__rep")
         ).drop("__rep")
+    else:
+        d = d.repartition(spark.sparkContext.defaultParallelism)
     doc_id = F.col("doc_id")
     host = _host_id(doc_id)
     url = F.concat(
