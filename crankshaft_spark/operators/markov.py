@@ -66,10 +66,17 @@ def spatial_markov_trend(
     *,
     ys_col: str = "ys",
     num_classes: int = 7,
+    lag_round: int | None = None,
     ) -> DataFrame:
     """values: (id, ys array<double> of T periods); edges: (id, nbr, w).
 
     Returns (id, trend, trend_up, trend_down, volatility).
+
+    ``lag_round``: optionally round the spatial lag to this many decimals
+    before quantile classification.  Float addition is order-sensitive at
+    the ulp, and when panel values repeat heavily a lag can tie exactly
+    with a quantile break — rounding pins the classification so results
+    are bit-identical at any parallelism / in the DuckDB oracle.
     """
     k = num_classes
     long = values.select(
@@ -83,6 +90,8 @@ def spatial_markov_trend(
         .groupBy("id", "t")
         .agg(F.sum(F.col("w") * F.col("y")).alias("y"))
     )
+    if lag_round is not None:
+        lag_long = lag_long.withColumn("y", F.round("y", lag_round))
 
     cls = _classify(long, k).select("id", "t", "cls")
     lag_cls = _classify(lag_long, k).select(

@@ -541,6 +541,129 @@ def o_hotspot_pipeline():
     return hotspot_oracle_sql()
 
 
+# --------------------------------------------------- bivariate Moran --------
+
+def q_moran_bv(spark, sf_dir):
+    from crankshaft_spark.operators.moran import moran_local_bivariate
+
+    pts = customer_points(spark, sf_dir).select(
+        "id", F.col("value").alias("attr1"),
+        ((F.col("id") * 23) % 500).cast("double").alias("attr2"),
+    )
+    res = moran_local_bivariate(pts, _edges_w(spark, sf_dir))
+    return res.select("id", "quad", F.round("local_i", 6).alias("local_i"))
+
+
+def o_moran_bv():
+    return f"""{_KNN_CTE},
+    v AS (SELECT id, value AS a1, CAST((id * 23) % 500 AS DOUBLE) AS a2
+          FROM pts),
+    s1 AS (SELECT avg(a1) AS m1, count(*) AS n FROM v),
+    s2 AS (SELECT avg(a2) AS m2 FROM v),
+    z1 AS (SELECT id, a1 - m1 AS z FROM v, s1),
+    z2 AS (SELECT id, a2 - m2 AS z FROM v, s2),
+    den AS (SELECT sum(z*z) AS den FROM z1),
+    lag2 AS (
+      SELECT k.id, sum(z2.z / {KNN_K}.0) AS lz
+      FROM knn k JOIN z2 ON k.nbr = z2.id GROUP BY k.id
+    )
+    SELECT z1.id,
+           CASE WHEN z1.z > 0 AND l.lz > 0 THEN 'HH'
+                WHEN z1.z <= 0 AND l.lz > 0 THEN 'LH'
+                WHEN z1.z <= 0 AND l.lz <= 0 THEN 'LL'
+                ELSE 'HL' END AS quad,
+           round((s1.n - 1) * z1.z * l.lz / den.den, 6) AS local_i
+    FROM z1 JOIN lag2 l ON z1.id = l.id, s1, den"""
+
+
+# ----------------------------------------------- full spatial Markov --------
+
+def q_markov_trend(spark, sf_dir):
+    from crankshaft_spark.operators.markov import spatial_markov_trend
+
+    pts = customer_points(spark, sf_dir)
+    values = pts.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(MARKOV_T - 1)),
+            lambda t: ((F.col("id") * 31 + t * 17) % 1000).cast("double") / 10.0,
+        ).alias("ys"),
+    )
+    res = spatial_markov_trend(values, _edges_w(spark, sf_dir),
+                               num_classes=MARKOV_K, lag_round=9)
+    return res.select(
+        "id",
+        F.round("trend", 6).alias("trend"),
+        F.round("trend_up", 6).alias("trend_up"),
+        F.round("trend_down", 6).alias("trend_down"),
+        F.round("volatility", 6).alias("volatility"),
+    )
+
+
+def o_markov_trend():
+    k = MARKOV_K
+    pcts = ", ".join(str((i + 1) / k) for i in range(k))
+    return f"""{_KNN_CTE},
+    long AS (
+      SELECT id, t, CAST((id * 31 + t * 17) % 1000 AS DOUBLE) / 10.0 AS y
+      FROM pts, (SELECT unnest(range({MARKOV_T})) AS t)
+    ),
+    lagl AS (
+      SELECT k.id, l.t, round(sum(l.y / {KNN_K}.0), 9) AS y
+      FROM knn k JOIN long l ON k.nbr = l.id GROUP BY k.id, l.t
+    ),
+    brk AS (SELECT t, quantile_cont(y, [{pcts}]) AS bs FROM long GROUP BY t),
+    lbrk AS (SELECT t, quantile_cont(y, [{pcts}]) AS bs FROM lagl GROUP BY t),
+    cls AS (
+      SELECT id, long.t,
+             least(len(list_filter(bs, b -> b < y)), {k - 1}) AS cls
+      FROM long JOIN brk ON long.t = brk.t
+    ),
+    lcl AS (
+      SELECT id, lagl.t,
+             least(len(list_filter(bs, b -> b < y)), {k - 1}) AS lcls
+      FROM lagl JOIN lbrk ON lagl.t = lbrk.t
+    ),
+    trans AS (
+      SELECT l.lcls, a.cls, b.cls AS cls_next, count(*) AS cnt
+      FROM cls a
+      JOIN cls b ON a.id = b.id AND b.t = a.t + 1
+      JOIN lcl l ON l.id = a.id AND l.t = a.t
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT lcls, cls, sum(cnt) AS tot FROM trans GROUP BY 1, 2),
+    prob AS (
+      SELECT t.lcls, t.cls, t.cls_next, CAST(cnt AS DOUBLE) / tot AS p
+      FROM trans t JOIN tot ON t.lcls = tot.lcls AND t.cls = tot.cls
+    ),
+    fin AS (
+      SELECT c.id, c.cls, l.lcls
+      FROM cls c JOIN lcl l ON c.id = l.id AND l.t = {MARKOV_T - 1}
+      WHERE c.t = {MARKOV_T - 1}
+    ),
+    dist AS (
+      SELECT f.id, f.cls, p.cls_next, p.p
+      FROM fin f LEFT JOIN prob p ON p.lcls = f.lcls AND p.cls = f.cls
+    ),
+    agg AS (
+      SELECT id, cls,
+             sum(CASE WHEN cls_next > cls THEN p ELSE 0 END) AS trend_up,
+             sum(CASE WHEN cls_next < cls THEN p ELSE 0 END) AS trend_down,
+             sum(CASE WHEN cls_next = cls THEN p ELSE 0 END) AS stay,
+             sum(coalesce(p, 0)) AS psum,
+             sum(coalesce(p * p, 0)) AS p2sum
+      FROM dist GROUP BY id, cls
+    )
+    SELECT id,
+           round(CASE WHEN stay > 0 THEN (trend_up - trend_down) / stay END, 6)
+             AS trend,
+           round(trend_up, 6) AS trend_up,
+           round(trend_down, 6) AS trend_down,
+           round(sqrt(p2sum / {k} - (psum / {k}) * (psum / {k})), 6)
+             AS volatility
+    FROM agg"""
+
+
 # ---------------------------------------------------- rate Moran family -----
 # num/den derived closed-form so both engines agree bit-for-bit.
 
@@ -1074,6 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_extract": q_page_extract,
         "pip_assign": q_pip_assign,
         "hotspot_pipeline": q_hotspot_pipeline,
+        "moran_local_bv": q_moran_bv,
+        "markov_trend": q_markov_trend,
         "moran_local_rate": q_moran_local_rate,
         "moran_global_rate": q_moran_global_rate,
         "moran_hotspots": q_moran_hotspots,
@@ -1125,6 +1250,8 @@ def oracle_sql() -> dict[str, str]:
         "page_extract": o_page_extract(),
         "pip_assign": o_pip_assign(),
         "hotspot_pipeline": o_hotspot_pipeline(),
+        "moran_local_bv": o_moran_bv(),
+        "markov_trend": o_markov_trend(),
         "moran_local_rate": o_moran_local_rate(),
         "moran_global_rate": o_moran_global_rate(),
         "moran_hotspots": o_moran_hotspots(),
