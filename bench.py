@@ -27,9 +27,12 @@ from crankshaft_spark.plans.pipeline import hotspot_pipeline  # noqa: E402
 from crankshaft_spark.sources.webpages import synth_webpages  # noqa: E402
 
 HEADLINE = [
-    "knn_edges", "moran_local", "getis_z", "idw_interp", "gravity_h",
-    "grid_density", "dedup_exact", "token_stats", "lang_scores",
-    "ngram_jaccard", "ann_cosine",
+    "knn_edges", "moran_local", "moran_local_rate", "getis_z", "markov_trend",
+    "idw_interp", "interp_bary", "gravity_h", "grid_density", "contour_equal",
+    "overlap_sum", "queen_edges", "pip_assign", "page_extract",
+    "dedup_exact", "token_stats", "lang_scores", "ngram_jaccard",
+    "minhash_lsh", "simhash_pairs", "fingerprints",
+    "ann_cosine", "embed_neardup", "kmeans_spatial", "voronoi", "pia",
 ]
 
 

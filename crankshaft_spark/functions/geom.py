@@ -230,17 +230,26 @@ def circumcenter(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 def voronoi_cells(pts: np.ndarray, bound: np.ndarray) -> list[np.ndarray]:
     """Voronoi cell polygon per input point, clipped to convex ``bound``.
 
-    Cell_i = ∩_j halfplane(closer to i than j) ∩ bound — O(n) halfplane
-    clips per point over bounded groups; equivalent to the reference's
-    Delaunay-dual construction (09_voronoi.sql:6-170) but without the
-    degenerate-topology cases.
+    Cell_i = ∩_j halfplane(closer to i than j) ∩ bound — equivalent to the
+    reference's Delaunay-dual construction (09_voronoi.sql:6-170) without
+    the degenerate-topology cases.  Neighbors are visited in distance
+    order with the standard security-radius cut: once every remaining q has
+    d(p, q) > 2·max-vertex-distance of the current cell, no further point
+    can clip it — typical cells finish after O(#Voronoi-neighbors) clips
+    instead of n.
     """
     cells = []
     for i, p in enumerate(pts):
+        d = np.hypot(pts[:, 0] - p[0], pts[:, 1] - p[1])
+        order = np.argsort(d)
         cell = bound
-        for j, q in enumerate(pts):
-            if i == j or len(cell) == 0:
+        for j in order:
+            if j == i or len(cell) == 0:
                 continue
+            r2 = ((cell[:, 0] - p[0]) ** 2 + (cell[:, 1] - p[1]) ** 2).max()
+            if d[j] * d[j] > 4.0 * r2:
+                break
+            q = pts[j]
             # keep points closer to p than q: (q-p)·x <= (q-p)·(p+q)/2
             a, b = q[0] - p[0], q[1] - p[1]
             c = (a * (p[0] + q[0]) + b * (p[1] + q[1])) / 2.0

@@ -215,6 +215,18 @@ def o_markov_classes():
     FROM long JOIN brk ON long.t = brk.t"""
 
 
+def q_outlier_static(spark, sf_dir):
+    from crankshaft_spark.operators.outliers import outlier_static
+
+    pts = customer_points(spark, sf_dir)
+    return outlier_static(pts.select("id", "value"), threshold=5000.0)
+
+
+def o_outlier_static():
+    return f"""{_PTS_CTE}
+    SELECT id, value > 5000.0 AS is_outlier FROM pts"""
+
+
 def q_outlier_stddev(spark, sf_dir):
     pts = customer_points(spark, sf_dir)
     return outlier_stddev(pts.select("id", "value"), num_deviations=2.0)
@@ -1181,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_global": q_moran_global,
         "getis_z": q_getis_z,
         "markov_classes": q_markov_classes,
+        "outlier_static": q_outlier_static,
         "outlier_stddev": q_outlier_stddev,
         "outlier_percent": q_outlier_percent,
         "bins_equal": q_bins_equal,
@@ -1234,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         "moran_global": o_moran_global(),
         "getis_z": o_getis_z(),
         "markov_classes": o_markov_classes(),
+        "outlier_static": o_outlier_static(),
         "outlier_stddev": o_outlier_stddev(),
         "outlier_percent": o_outlier_percent(),
         "bins_equal": o_bins_equal(),
