@@ -40,6 +40,7 @@ def main(argv: list[str] | None = None) -> int:
     from crankshaft_spark.session import session_conf
     from crankshaft_spark.sources.webpages import synth_webpages
 
+    preexisting = SparkSession.getActiveSession() is not None
     builder = SparkSession.builder.appName("crankshaft_hotspots")
     if args.cpus:
         builder = builder.master(f"local[{args.cpus}]")
@@ -58,7 +59,8 @@ def main(argv: list[str] | None = None) -> int:
     else:
         n = result.count()
     print(json.dumps({"hotspot_rows": n, "stages": runner.metrics}))
-    spark.stop()
+    if not preexisting:  # don't tear down a caller-owned session (tests)
+        spark.stop()
     return 0
 
 

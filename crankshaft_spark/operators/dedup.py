@@ -53,12 +53,16 @@ def minhash_signatures(
     character-n-gram shingle set; mh_j = min over shingles of
     (a_j·h32(sh) + b_j) mod P."""
     sh = shingles(docs, text_col=text_col, n=n, id_col=id_col)
-    x = _h32(F.col("sh"))
+    # materialize the 32-bit hash ONCE per shingle: each aggregate below
+    # only does integer arithmetic on it (embedding _h32 in every agg would
+    # recompute the md5 k times per row)
+    hx = sh.select(id_col, _h32(F.col("sh")).alias("_x"))
+    x = F.col("_x")
     aggs = []
     for j in range(k):
         a, b = _ab(j)
         aggs.append(F.min((x * a + b) % MINHASH_P).alias(f"mh{j}"))
-    return sh.groupBy(id_col).agg(*aggs)
+    return hx.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -161,14 +165,15 @@ def simhash(
     bit i is 1 iff the count of shingles with h32 bit i set exceeds half the
     shingle count (the +1/−1 majority vote)."""
     sh = shingles(docs, text_col=text_col, n=n, id_col=id_col)
-    x = _h32(F.col("sh"))
+    hx = sh.select(id_col, _h32(F.col("sh")).alias("_x"))
+    x = F.col("_x")
     aggs = [
         F.sum(
             F.when(F.shiftright(x, i).bitwiseAND(1) == 1, 1).otherwise(-1)
         ).alias(f"s{i}")
         for i in range(SIMHASH_BITS)
     ]
-    sums = sh.groupBy(id_col).agg(*aggs)
+    sums = hx.groupBy(id_col).agg(*aggs)
     sim = sum(
         (F.when(F.col(f"s{i}") > 0, F.lit(2 ** i)).otherwise(0)
          for i in range(SIMHASH_BITS)),

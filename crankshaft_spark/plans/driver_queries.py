@@ -553,6 +553,34 @@ def o_hotspot_pipeline():
     return hotspot_oracle_sql()
 
 
+# ------------------------------------- permutation inference (rows-only) ----
+# Conditional randomization uses per-row seeded numpy RNG — deterministic at
+# any parallelism but not expressible in SQL; driver records rows-only.
+
+def q_moran_local_sim(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    res = moran_local(pts.select("id", "value"), _edges_w(spark, sf_dir),
+                      permutations=99, seed=1234)
+    return res.select(
+        "id", "quad", F.round("local_i", 6).alias("local_i"),
+        F.round("significance", 6).alias("p_sim"),
+    )
+
+
+def q_getis_sim(spark, sf_dir):
+    from crankshaft_spark.operators.getis import getis_gstar_pysal_sim
+
+    pts = customer_points(spark, sf_dir)
+    res = getis_gstar_pysal_sim(
+        pts.select("id", "value"), _edges_w(spark, sf_dir),
+        permutations=99, seed=1234,
+    )
+    return res.select(
+        "id", F.round("z_sim", 6).alias("z_sim"),
+        F.round("p_sim", 6).alias("p_sim"),
+    )
+
+
 # --------------------------------------------------- bivariate Moran --------
 
 def q_moran_bv(spark, sf_dir):
@@ -1210,6 +1238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_extract": q_page_extract,
         "pip_assign": q_pip_assign,
         "hotspot_pipeline": q_hotspot_pipeline,
+        "moran_local_sim": q_moran_local_sim,
+        "getis_sim": q_getis_sim,
         "moran_local_bv": q_moran_bv,
         "markov_trend": q_markov_trend,
         "moran_local_rate": q_moran_local_rate,
