@@ -49,6 +49,9 @@ def main() -> None:
     # -- flagship: crawl table -> PIP -> cell rollup -> Gi* hotspots --------
     pages = synth_webpages(spark, sf_dir, multiplier=mult)
     n_pages = pages.count()
+    # one untimed warmup run: JIT/codegen/Arrow startup are per-JVM
+    # constants, not throughput (same protocol as tools/scalebench.py)
+    hotspot_pipeline(spark, sf_dir, pages=pages).count()
     t0 = time.time()
     hotspot_pipeline(spark, sf_dir, pages=pages).count()
     pipeline_sec = time.time() - t0

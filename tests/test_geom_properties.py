@@ -1,0 +1,92 @@
+"""Property-based checks (hypothesis) for the pure-numpy geometry kernels.
+
+The reference has no property tests at all (SURVEY.md §5); these pin the
+kernel invariants the distributed operators rely on."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crankshaft_spark.functions.geom import (
+    clip_convex,
+    convex_hull,
+    delaunay,
+    point_in_ring,
+    polygon_area,
+    signed_dist_to_ring,
+    voronoi_cells,
+)
+
+coords = st.floats(min_value=-100, max_value=100, allow_nan=False,
+                   allow_infinity=False)
+
+
+def _pts(data, n_min, n_max):
+    n = data.draw(st.integers(n_min, n_max))
+    pts = np.array(
+        [[data.draw(coords), data.draw(coords)] for _ in range(n)]
+    )
+    # quantize to a sane resolution: sub-1e-6-separated doubles (hypothesis
+    # loves denormals) are below any float-geometry kernel's resolution
+    return np.unique(np.round(pts, 6), axis=0)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_hull_contains_all_points(data):
+    pts = _pts(data, 3, 40)
+    hull = convex_hull(pts)
+    if len(hull) < 3:
+        return
+    # every point is inside or on the hull: signed dist >= -1e-9ish
+    d = signed_dist_to_ring(pts[:, 0], pts[:, 1], hull)
+    inside = point_in_ring(pts[:, 0], pts[:, 1], hull)
+    assert all(inside | (np.abs(d) < 1e-6))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_delaunay_tiles_hull(data):
+    pts = _pts(data, 3, 40)
+    pts = np.unique(pts, axis=0)
+    if len(pts) < 3:
+        return
+    hull = convex_hull(pts)
+    span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1e-12)
+    if len(hull) < 3 or abs(polygon_area(hull)) < 1e-3 * span * span:
+        return  # (near-)collinear: sliver triangles are below the
+        # super-triangle construction's numerical floor — documented limit
+    tris = delaunay(pts)
+    area = sum(abs(polygon_area(pts[t])) for t in tris)
+    assert abs(area - abs(polygon_area(hull))) < 1e-6 * max(1, area)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_clip_convex_area_bounds(data):
+    # random convex clip (hull of random points) against a fixed square
+    pts = _pts(data, 3, 15)
+    clip = convex_hull(pts)
+    if len(clip) < 3:
+        return
+    sq = np.array([[-50, -50], [50, -50], [50, 50], [-50, 50]], float)
+    inter = clip_convex(sq, clip)
+    ai = abs(polygon_area(inter)) if len(inter) >= 3 else 0.0
+    assert ai <= abs(polygon_area(clip)) + 1e-6
+    assert ai <= abs(polygon_area(sq)) + 1e-6
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_voronoi_partitions_bound_property(data):
+    pts = _pts(data, 2, 25)
+    pts = np.unique(pts, axis=0)
+    if len(pts) < 2:
+        return
+    bound = np.array([[-120, -120], [120, -120], [120, 120], [-120, 120]],
+                     float)
+    cells = voronoi_cells(pts, bound)
+    total = sum(abs(polygon_area(c)) for c in cells if len(c) >= 3)
+    assert abs(total - abs(polygon_area(bound))) < 1e-5
