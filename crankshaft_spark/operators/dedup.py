@@ -195,20 +195,28 @@ def simhash_pairs(
         F.shiftright(F.col("simhash"), 4 * c).bitwiseAND(15).alias(f"c{c}")
         for c in range(8)
     ]
-    sc = s.select(id_col, "simhash", *chunks)
+    # total popcount is a cheap necessary condition: hamming(a, b) >=
+    # |popcount(a) - popcount(b)|, so the band join can prune most
+    # candidates JVM-side before the pair dedup (result set unchanged)
+    sc = s.select(id_col, "simhash", F.bit_count("simhash").alias("pc"),
+                  *chunks)
     left = sc.select(
         F.col(id_col).alias("a"), F.col("simhash").alias("ha"),
+        F.col("pc").alias("lpc"),
         *[F.col(f"c{c}").alias(f"lc{c}") for c in range(8)],
     )
     right = sc.select(
         F.col(id_col).alias("b"), F.col("simhash").alias("hb"),
+        F.col("pc").alias("rpc"),
         *[F.col(f"c{c}").alias(f"rc{c}") for c in range(8)],
     )
     pairs = None
     for c in range(8):
-        p = left.join(right, F.col(f"lc{c}") == F.col(f"rc{c}")).where(
-            F.col("a") < F.col("b")
-        )
+        p = left.join(
+            right,
+            (F.col(f"lc{c}") == F.col(f"rc{c}"))
+            & (F.abs(F.col("lpc") - F.col("rpc")) <= max_hamming),
+        ).where(F.col("a") < F.col("b"))
         pairs = p if pairs is None else pairs.unionByName(p)
     return (
         pairs.dropDuplicates(["a", "b"])
