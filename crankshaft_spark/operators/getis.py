@@ -33,15 +33,17 @@ from crankshaft_spark.operators.weights import spatial_lag
 
 def _gs(values: DataFrame, edges: DataFrame, value_col: str) -> DataFrame:
     """(id, deg, gs) with gs = (Σ_nbr y + y_i)/((deg+1)·Σy)."""
-    deg = edges.groupBy("id").agg(F.count("*").alias("deg"))
-    nbr_sum = (
+    # deg + neighbor sum in ONE aggregation over the joined edge table
+    # (neighbors always carry values here — edges are built from the same
+    # NULL-filtered point set, matching the reference's drop semantics)
+    nbr_stats = (
         edges.select("id", "nbr")
         .join(
             values.select(F.col("id").alias("nbr"), F.col(value_col).alias("_y")),
             "nbr",
         )
         .groupBy("id")
-        .agg(F.sum("_y").alias("_nbrsum"))
+        .agg(F.count("*").alias("deg"), F.sum("_y").alias("_nbrsum"))
     )
     tot = values.agg(
         F.sum(value_col).alias("_ysum"),
@@ -50,8 +52,7 @@ def _gs(values: DataFrame, edges: DataFrame, value_col: str) -> DataFrame:
     )
     return (
         values.select("id", F.col(value_col).alias("_y"))
-        .join(deg, "id")
-        .join(nbr_sum, "id")
+        .join(nbr_stats, "id")
         .join(F.broadcast(tot))
         .withColumn(
             "gs",

@@ -173,8 +173,11 @@ def _knn_loop(
         topk = _topk_for(unresolved, rpts, k, ring, cell_size, exclude_self)
         guarantee = float(ring * cell_size) ** 2
         ok = (F.col("knn_cnt") >= k) & (F.col("knn_maxd2") <= F.lit(guarantee))
-        done = topk.where(ok)
-        resolved_parts.append(done.select("id", "nbr", "d2", "rank"))
+        # persist: the convergence check below executes this ring's top-k;
+        # without it the final union would re-run the candidate join a
+        # second time (MEMORY_AND_DISK — spill-safe at scale)
+        done = topk.where(ok).select("id", "nbr", "d2", "rank").persist()
+        resolved_parts.append(done)
         # ids not fully resolved this pass — including points with zero
         # candidates in the ring (absent from topk entirely)
         done_ids = done.select("id").distinct()

@@ -57,14 +57,24 @@ def moran_local(
     orig_val_std, local_i); ``significance`` is null when permutations=0.
     """
     vz = _with_z(values, value_col)
-    zdf = vz.select("id", F.col("_z").alias("value"))
-    lag_y = spatial_lag(edges, values.select("id", F.col(value_col).alias("value")),
-                        out_col="spatial_lag")
-    lag_z = spatial_lag(edges, zdf, out_col="_lagz")
+    # both lags (raw y and centered z) from ONE edge join — halves the
+    # heavy shuffle; per-term float math identical to two separate lags
+    nbr_vals = vz.select(
+        F.col("id").alias("nbr"),
+        F.col(value_col).alias("_ny"),
+        F.col("_z").alias("_nz"),
+    )
+    lags = (
+        edges.join(nbr_vals, "nbr")
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("w") * F.col("_ny")).alias("spatial_lag"),
+            F.sum(F.col("w") * F.col("_nz")).alias("_lagz"),
+        )
+    )
 
     base = (
-        vz.join(lag_y, "id")
-        .join(lag_z, "id")
+        vz.join(lags, "id")
         .withColumn(
             "local_i",
             (F.col("_n") - 1) * F.col("_z") * F.col("_lagz") / F.col("_den"),
