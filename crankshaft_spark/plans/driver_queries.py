@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crankshaft_spark.functions.cells import cell_sql
+from crankshaft_spark.functions.cells import cell_expr, cell_sql
 from crankshaft_spark.operators import (
     equal_interval_bins,
     getis_gstar,
@@ -49,6 +49,7 @@ from crankshaft_spark.sources.derived import (
     CUSTOMER_POINTS_SQL,
     SUPPLIER_POINTS_SQL,
     customer_points,
+    load_table,
     supplier_points,
 )
 
@@ -551,6 +552,70 @@ def o_hotspot_pipeline():
     from crankshaft_spark.plans.pipeline import hotspot_oracle_sql
 
     return hotspot_oracle_sql()
+
+
+# ------------------------------------------- temporal / join coverage -------
+
+def q_events_cell_hourly(spark, sf_dir):
+    """Hourly per-cell event density: the events table geocoded through the
+    derived-point scheme and rolled onto the engine grid (timestamp math +
+    cell key + two-key aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.lit(-120.0) + ((F.col("user_id") * 9973) % 24000).cast("double") / 100.0
+    y = F.lit(-48.0) + ((F.col("user_id") * 7919) % 9600).cast("double") / 100.0
+    return (
+        ev.select(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            cell_expr(x, y, 10.0).alias("cell"),
+            "value",
+        )
+        .groupBy("hour", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("v_sum"),
+        )
+    )
+
+
+def o_events_cell_hourly():
+    cell = cell_sql(
+        "(-120.0 + CAST((user_id * 9973) % 24000 AS DOUBLE) / 100.0)",
+        "(-48.0 + CAST((user_id * 7919) % 9600 AS DOUBLE) / 100.0)",
+        10.0,
+    )
+    return f"""
+    SELECT date_trunc('hour', ts) AS hour, {cell} AS cell,
+           count(*) AS n_events, round(sum(value), 6) AS v_sum
+    FROM events GROUP BY 1, 2"""
+
+
+def q_orders_weighted_center(spark, sf_dir):
+    """Weighted mean center of customers weighted by their total order
+    value — the orders→customer equi-join feeding the CDB_WeightedMean
+    analogue, grouped by nation."""
+    pts = customer_points(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("id")).agg(
+        F.sum("o_totalprice").alias("w")
+    )
+    j = pts.join(spend, "id").select(
+        F.col("nationkey").cast("long").alias("grp"), "x", "y", "w"
+    )
+    res = weighted_mean_center(j, group_cols=["grp"], weight="w")
+    return res.select(
+        "grp", F.round("cx", 6).alias("cx"), F.round("cy", 6).alias("cy")
+    )
+
+
+def o_orders_weighted_center():
+    return f"""{_PTS_CTE},
+    spend AS (SELECT o_custkey AS id, sum(o_totalprice) AS w
+              FROM orders GROUP BY 1)
+    SELECT p.nationkey AS grp,
+           round(sum(p.x * s.w) / sum(s.w), 6) AS cx,
+           round(sum(p.y * s.w) / sum(s.w), 6) AS cy
+    FROM pts p JOIN spend s ON p.id = s.id
+    GROUP BY p.nationkey"""
 
 
 # ------------------------------------- permutation inference (rows-only) ----
@@ -1238,6 +1303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_extract": q_page_extract,
         "pip_assign": q_pip_assign,
         "hotspot_pipeline": q_hotspot_pipeline,
+        "events_cell_hourly": q_events_cell_hourly,
+        "orders_weighted_center": q_orders_weighted_center,
         "moran_local_sim": q_moran_local_sim,
         "getis_sim": q_getis_sim,
         "moran_local_bv": q_moran_bv,
@@ -1294,6 +1361,8 @@ def oracle_sql() -> dict[str, str]:
         "page_extract": o_page_extract(),
         "pip_assign": o_pip_assign(),
         "hotspot_pipeline": o_hotspot_pipeline(),
+        "events_cell_hourly": o_events_cell_hourly(),
+        "orders_weighted_center": o_orders_weighted_center(),
         "moran_local_bv": o_moran_bv(),
         "markov_trend": o_markov_trend(),
         "moran_local_rate": o_moran_local_rate(),
