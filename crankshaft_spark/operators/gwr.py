@@ -165,7 +165,7 @@ def gwr(
     dep_var: str,
     ind_vars: list[str],
     *,
-    bw: int,
+    bw: int | None,
     fixed: bool = False,
     cell_size: float = 50000.0,
 ) -> DataFrame:
@@ -174,10 +174,14 @@ def gwr(
     columns for the per-variable outputs (incl. 'intercept').
 
     Only the adaptive (fixed=False) bisquare kernel of the reference's test
-    path is implemented; ``bw`` is the neighbor count.
+    path is implemented; ``bw`` is the neighbor count; ``bw=None`` selects
+    it by golden-section AICc search (gwr_select_bw), the reference's
+    default (gwr_cs.py:70-73).
     """
     if fixed:
         raise NotImplementedError("fixed-distance kernel: use adaptive (reference test path)")
+    if bw is None:
+        bw = gwr_select_bw(points, dep_var, ind_vars, cell_size=cell_size)
     names = ["intercept", *ind_vars]
     kdim = len(names)
     data = points.na.drop(subset=[dep_var, *ind_vars])
@@ -352,3 +356,87 @@ def gwr_predict(
         ((F.col("tss") - F.col("_rss")) / F.col("tss")).alias("r_squared"),
         F.col("_pred").alias("predicted"),
     )
+
+
+def _fit_stats(data: DataFrame, dep_var: str, ind_vars: list[str],
+               bw: int, cell_size: float) -> tuple[int, float, float]:
+    """(n, tr(S), RSS) for one candidate bandwidth — one distributed pass."""
+    names = ["intercept", *ind_vars]
+    edges = _weighted_edges(data, data, bw, cell_size)
+    feat = _feat_struct(data, ind_vars, dep_var, "")
+    grouped = (
+        edges.join(
+            feat.select(F.col("id").alias("nbr"), F.col("x").alias("xj"),
+                        F.col("y").alias("yj")), "nbr",
+        )
+        .withColumn("is_self", F.col("id") == F.col("nbr"))
+        .join(feat.select("id", F.col("x").alias("xi")), "id")
+        .select("id", "w", "xj", "yj", "is_self", "xi")
+    )
+    row = _fit_groups(grouped, len(names), want_hat=True).agg(
+        F.count("*").alias("n"),
+        F.sum("s_ii").alias("trs"),
+        F.sum(F.col("resid") * F.col("resid")).alias("rss"),
+    ).collect()[0]
+    return int(row["n"]), float(row["trs"]), float(row["rss"])
+
+
+def gwr_select_bw(
+    points: DataFrame,
+    dep_var: str,
+    ind_vars: list[str],
+    *,
+    cell_size: float = 50000.0,
+    tol: float = 1.0e-6,
+    max_iter: int = 200,
+) -> int:
+    """Adaptive-bandwidth selection by golden-section search over AICc —
+    the reference's ``bw=None`` path (Sel_BW.search, sel_bw.py:113-222;
+    golden_section, search.py:7-79; AICc per diagnostics.py:9-24 with the
+    Gaussian OLS log-likelihood  llf = −n/2·(ln RSS + 1 + ln(2π/n))  and
+    k = tr(S)).  Search interval [40 + 2·n_vars, n] with integer rounding
+    (sel_bw.py:255-281, delta = 0.38197).
+
+    Each candidate evaluation is one distributed GWR pass; evaluations are
+    memoized, so the driver loop issues ~O(log) distinct Spark jobs.
+    """
+    import math
+
+    data = points.na.drop(subset=[dep_var, *ind_vars]).cache()
+    n_rows = data.count()
+    n_vars = len(ind_vars) + 1
+
+    cache: dict[int, float] = {}
+
+    def aicc(bw_f: float) -> float:
+        bw = int(round(bw_f))
+        bw = max(n_vars + 2, min(bw, n_rows))
+        if bw not in cache:
+            n, trs, rss = _fit_stats(data, dep_var, ind_vars, bw, cell_size)
+            llf = -n / 2.0 * (math.log(rss) + 1.0 + math.log(2.0 * math.pi / n))
+            cache[bw] = -2.0 * llf + 2.0 * n * (trs + 1.0) / (n - trs - 2.0)
+        return cache[bw]
+
+    delta = 0.38197
+    a, c = float(40 + 2 * n_vars), float(n_rows)
+    b = a + delta * abs(c - a)
+    d = c - delta * abs(c - a)
+    opt_val, diff, iters = b, 1.0e9, 0
+    while abs(diff) > tol and iters < max_iter:
+        iters += 1
+        b, d = round(b), round(d)
+        score_b, score_d = aicc(b), aicc(d)
+        if score_b <= score_d:
+            opt_val = b
+            c = d
+            d = b
+            b = a + delta * abs(c - a)
+        else:
+            opt_val = d
+            a = b
+            b = d
+            d = c - delta * abs(c - a)
+        diff = score_b - score_d
+        if round(b) == round(d):
+            break
+    return int(round(opt_val))

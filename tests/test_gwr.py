@@ -76,3 +76,28 @@ def test_gwr_predict_knowns(spark, georgia):
     assert set(got) == set(unknown_ids)
     for rid, known in predicted_knowns.items():
         assert abs(got[rid] - known) / known < 0.01, (rid, got[rid], known)
+
+
+def test_gwr_bw_selection_georgia(spark, georgia):
+    """Golden-section AICc selection on Georgia: deterministic, inside the
+    reference's search interval, and at least as good (by AICc) as the
+    interval endpoints."""
+    from crankshaft_spark.operators.gwr import _fit_stats, gwr_select_bw
+    import math
+
+    bw = gwr_select_bw(georgia, "pctbach", ["pctrural", "pctpov", "pctblack"])
+    assert 48 <= bw <= 159  # [40 + 2*n_vars, n]
+
+    def aicc_of(b):
+        n, trs, rss = _fit_stats(
+            georgia, "pctbach", ["pctrural", "pctpov", "pctblack"], b, 50000.0
+        )
+        llf = -n / 2.0 * (math.log(rss) + 1.0 + math.log(2.0 * math.pi / n))
+        return -2.0 * llf + 2.0 * n * (trs + 1.0) / (n - trs - 2.0)
+
+    assert aicc_of(bw) <= aicc_of(48) + 1e-9
+    assert aicc_of(bw) <= aicc_of(159) + 1e-9
+    # determinism
+    assert gwr_select_bw(
+        georgia, "pctbach", ["pctrural", "pctpov", "pctblack"]
+    ) == bw
