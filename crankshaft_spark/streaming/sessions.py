@@ -1,0 +1,88 @@
+"""Custom stateful streaming operator: per-user event sessionization.
+
+Demonstrates the ``applyInPandasWithState`` path for operators Structured
+Streaming's built-in windowed aggregations cannot express: sessions are
+gap-delimited (a new session starts after ``gap`` of inactivity), so the
+state is the open session per user, carried across micro-batches and closed
+either by a later event beyond the gap or by the event-time timeout when
+the watermark passes.
+
+State per key is O(1) (one open session tuple), so cluster state scales
+with |active users|, not |events| — the applyInPandasWithState contract a
+10^12-event stream needs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events int, closed_by string"
+)
+STATE_SCHEMA = "start long, last long, n int"
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """events (user_id, ts, ...) stream → closed sessions
+    (user_id, session_start, session_end, n_events, closed_by).
+
+    ``closed_by`` is 'gap' (a later event opened a new session) or
+    'timeout' (watermark passed the open session's end + gap).
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        user = key[0]
+        out = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            out.append((user, start, last, n, "timeout"))
+            state.remove()
+        else:
+            ts_us: list[int] = []
+            for pdf in pdfs:
+                ts_us.extend(
+                    pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+                )
+            ts_us.sort()
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = ts_us[0], ts_us[0], 0
+            for t in ts_us:
+                if n > 0 and t - last > gap_us:
+                    out.append((user, start, last, n, "gap"))
+                    start, n = t, 0
+                last = max(last, t)
+                n += 1
+            state.update((start, last, n))
+            state.setTimeoutTimestamp((last + gap_us) // 1000)
+        ts = pd.to_datetime
+        yield pd.DataFrame(
+            [
+                (u, ts(s, unit="us"), ts(e, unit="us"), c, why)
+                for u, s, e, c, why in out
+            ],
+            columns=["user_id", "session_start", "session_end", "n_events",
+                     "closed_by"],
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

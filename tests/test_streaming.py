@@ -63,3 +63,64 @@ def test_stream_quality_screen_stateless(spark, tmp_path):
     rows = spark.sql("SELECT * FROM screened").collect()
     assert len(rows) > 0
     assert all(r["lang"] in ("en", "es", "de", "fr", "pt") for r in rows)
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: gap-closed sessions match a
+    batch computation of the same rule."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from crankshaft_spark.streaming.sessions import sessionize
+
+    src = str(tmp_path / "events")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts"
+    )
+    ev.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(src)
+    )
+    q = (
+        sessionize(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM sessions "
+        "WHERE closed_by = 'gap'"
+    ).collect()
+
+    # batch reference: sessions = gap-split runs per user; drop each user's
+    # LAST session (still open in state at end of the single micro-batch)
+    w_rows = ev.collect()
+    by_user = {}
+    for r in w_rows:
+        by_user.setdefault(r["user_id"], []).append(r["ts"])
+    expected = set()
+    for uid, tss in by_user.items():
+        tss.sort()
+        sessions = []
+        start = prev = tss[0]
+        n = 0
+        for t in tss:
+            if n > 0 and (t - prev).total_seconds() > 1800:
+                sessions.append((start, prev, n))
+                start, n = t, 0
+            prev = t
+            n += 1
+        # open tail session not emitted as 'gap'
+        for s, e, c in sessions:
+            expected.add((uid, s, e, c))
+    got_set = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got
+    }
+    assert got_set == expected
+    assert len(expected) > 0
