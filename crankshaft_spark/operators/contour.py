@@ -131,6 +131,11 @@ def contour_cells(
         est = interpolate_idw(centers, spts, num_neighbors=num_neighbors,
                               cell_size=cell_size * 4)
 
+    # pin the interpolated value to 6dp before classification: IDW sums are
+    # float-order-sensitive at the ulp, and the break edges derive from the
+    # same values — without the pin a borderline cell can change bins
+    # between engines/parallelism levels (same rationale as markov lag_round)
+    est = est.withColumn("est", F.round("est", 6))
     cells = centers.join(est, "id").where(~F.isnan("est") & F.col("est").isNotNull())
     breaks_df = _CLASSIFIERS[classmethod](cells, value_col="est", breaks=steps)
     return classify_bins(cells, breaks_df, value_col="est")

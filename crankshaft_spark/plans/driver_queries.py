@@ -1053,11 +1053,11 @@ def o_contour():
     ),
     est AS (
       SELECT k.cid,
-             CASE WHEN max(CASE WHEN d2 = 0 THEN p.value END) IS NOT NULL
+             round(CASE WHEN max(CASE WHEN d2 = 0 THEN p.value END) IS NOT NULL
                   THEN max(CASE WHEN d2 = 0 THEN p.value END)
                   ELSE sum(CASE WHEN d2 > 0 THEN p.value / d2 ELSE 0 END)
                        / sum(CASE WHEN d2 > 0 THEN 1.0 / d2 ELSE 0 END)
-             END AS est
+             END, 6) AS est
       FROM knnc k JOIN pts p ON k.sid = p.id
       GROUP BY k.cid
     ),
