@@ -175,3 +175,66 @@ def neardup_oracle_sql(table: str = "embeddings", *, dims: int = 64,
     FROM cosd JOIN nrm na ON na.vec_id = cosd.a
               JOIN nrm nb ON nb.vec_id = cosd.b
     WHERE dp / (na.nn * nb.nn) >= {threshold}"""
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    *,
+    n_lists: int = 16,
+    dims: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1234,
+):
+    """Train an IVF coarse quantizer (k-means over the vectors) and assign
+    every vector to its nearest centroid list → (centroids, assignments).
+
+    ``centroids``: list[list[float]] (n_lists × dims, driver-side — tiny);
+    ``assignments``: DataFrame (vec_id, list_id).  The scale path for ANN:
+    search probes only the closest ``n_probe`` lists instead of the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="_feat").fit(feat)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    assignments = model.transform(feat).select(
+        id_col, F.col("prediction").cast("int").alias("list_id")
+    )
+    return centroids, assignments
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    *,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1234,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` centroid lists nearest
+    the query, exact cosine re-rank inside them — candidates shrink by
+    ~n_probe/n_lists while recall stays high for clustered corpora."""
+    centroids, assignments = ivf_index(
+        embeddings, n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    import math
+
+    def dist2(c):
+        return sum((u - v) ** 2 for u, v in zip(c, probe))
+
+    order = sorted(range(len(centroids)), key=lambda i: dist2(centroids[i]))
+    probe_lists = order[:n_probe]
+    cands = embeddings.join(
+        assignments.where(F.col("list_id").isin(probe_lists)).select(id_col),
+        id_col,
+    )
+    return cosine_topk(cands, probe, k, id_col=id_col, vec_col=vec_col)

@@ -1192,6 +1192,17 @@ def o_fingerprints():
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k (trained coarse quantizer -> rows-only)."""
+    from crankshaft_spark.operators.ann import ann_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = [(((7 * j) % 13) - 6) / 6.0 for j in range(64)]
+    return ann_topk_ivf(emb, probe, k=10, n_lists=8, n_probe=3).select(
+        "vec_id", "rank", F.round("cos", 5).alias("cos")
+    )
+
+
 def q_embed_neardup(spark, sf_dir):
     from crankshaft_spark.operators.ann import embedding_neardup_pairs
 
@@ -1328,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "fingerprints": q_fingerprints,
         "embed_neardup": q_embed_neardup,
+        "ann_ivf": q_ann_ivf,
         "kmeans_spatial": q_kmeans_spatial,
         "kmeans_nonspatial": q_kmeans_nonspatial,
         "segmentation_gbt": q_segmentation,

@@ -130,3 +130,26 @@ def test_real_decoder_raises(spark):
     media = synth_media(spark, n=2)
     with pytest.raises(NotImplementedError):
         decode_metadata(media, decoder="real")
+
+
+def test_ann_ivf_recall_on_clustered_corpus(spark):
+    """IVF probing recovers the exact top-k on a clustered corpus while
+    scanning only a fraction of the lists."""
+    import numpy as np
+
+    from crankshaft_spark.operators.ann import ann_topk_ivf, cosine_topk
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(8, 32) * 5
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append((i, [float(x) for x in (c + rng.randn(32) * 0.3)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probe = [float(x) for x in (centers[3] + rng.randn(32) * 0.1)]
+
+    exact = [r["vec_id"] for r in cosine_topk(emb, probe, 10).collect()]
+    approx = [r["vec_id"] for r in
+              ann_topk_ivf(emb, probe, 10, n_lists=8, n_probe=2).collect()]
+    # all true neighbors live in the probed cluster → full recall here
+    assert set(approx) == set(exact)
