@@ -194,7 +194,6 @@ def ivf_index(
     search probes only the closest ``n_probe`` lists instead of the corpus.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import array_to_vector
 
     feat = embeddings.select(
@@ -226,7 +225,6 @@ def ann_topk_ivf(
     centroids, assignments = ivf_index(
         embeddings, n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed
     )
-    import math
 
     def dist2(c):
         return sum((u - v) ** 2 for u, v in zip(c, probe))

@@ -28,8 +28,6 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from crankshaft_spark.operators.weights import spatial_lag
-
 
 def _gs(values: DataFrame, edges: DataFrame, value_col: str) -> DataFrame:
     """(id, deg, gs) with gs = (Σ_nbr y + y_i)/((deg+1)·Σy)."""

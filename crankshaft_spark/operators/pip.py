@@ -4,21 +4,22 @@ The north-star core: points are assigned a grid cell
 (crankshaft_spark.functions.cells), a small driver-built index maps each cell
 to the polygons it can possibly touch, classified *interior* (cell fully
 inside one polygon — accepted without any geometry test) or *boundary*
-(refined by a vectorized numpy ray-caster inside a pandas UDF).  The index is
-broadcast, so the join is shuffle-free on the point side; only boundary-cell
-points ever cross into Python, in Arrow batches.
+(refined by crossing-parity ray casting).  Both the index and the polygon
+edge arrays are broadcast, and the ray cast itself is a JVM ``aggregate``
+over the edge structs — the join is shuffle-free on the point side and has
+NO Python stage at all (EXPLAIN.md).
 
 Reference analogue: the bbox-prefilter + exact-geometry idiom
 (``$1 && a.the_geom`` then ``ST_Intersection``,
 /root/reference/src/pg/sql/20_overlap_sum.sql:29-35) and ``ST_Within`` use in
 /root/reference/src/pg/sql/13_PIA.sql:127 — re-expressed as an equi-join on
-the cell key (filter) plus Arrow-vectorized ray casting (refine).
+the cell key (filter) plus a codegen'd parity expression (refine).
 
 Scale notes (10^12 rows): the admin/tile layer is O(10^4-10^6) polygons; the
 cell index is O(cells-per-polygon x polygons) rows — small enough to
-broadcast.  Interior cells dominate at fine index resolution, so the Python
-refine stage sees only the O(perimeter/area) fraction of points.  No shuffle
-at all on the big table: scan -> hash-join(broadcast) -> UDF filter.
+broadcast.  Interior cells dominate at fine index resolution, so the parity
+aggregate does real work only on the O(perimeter/area) fraction of points.
+No shuffle at all on the big table: scan -> broadcast hash-join -> filter.
 """
 
 from __future__ import annotations
@@ -26,10 +27,8 @@ from __future__ import annotations
 import math
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
 
 from crankshaft_spark.functions.cells import CELL_M, cell_expr
 
