@@ -45,11 +45,13 @@ def cosine_topk(
         F.col(id_col),
         (_dot_expr(vec, p) / (_norm_expr(vec) * _norm_expr(p))).alias("cos"),
     )
+    # global top-k via orderBy+limit: Catalyst plans TakeOrderedAndProject
+    # (per-partition top-k then merge) — a global row_number window would
+    # drag every row into ONE partition; the rank window below runs on k
+    # rows only
+    topk = scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def srp_bucket(

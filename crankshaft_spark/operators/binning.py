@@ -55,8 +55,23 @@ def equal_interval_bins(df: DataFrame, *, value_col: str = "value",
 
 def quantile_bins(df: DataFrame, *, value_col: str = "value",
                   breaks: int = 5) -> DataFrame:
-    """Exact reference quantile rule via rank selection."""
+    """Exact reference quantile rule via rank selection below the
+    reference's 5M bailout; approx_percentile above it (the same scale
+    policy the reference applies to Jenks, cdb_utils.sql:235-237 — a
+    global rank sort is a single-reducer plan and must not run at 10^12).
+    """
     n = df.where(F.col(value_col).isNotNull()).count()
+    if n > JENKS_EXACT_LIMIT:
+        pcts = F.array(*[F.lit(i / breaks) for i in range(1, breaks)])
+        row = df.agg(
+            F.percentile_approx(value_col, pcts, 100000).alias("bs"),
+            F.max(value_col).alias("mx"),
+        ).collect()[0]
+        edges = [*row["bs"], row["mx"]]
+        return df.sparkSession.createDataFrame(
+            [(i + 1, float(e)) for i, e in enumerate(edges)],
+            "bin int, break_value double",
+        )
     ranked = (
         df.where(F.col(value_col).isNotNull())
         .select(F.col(value_col).alias("v"))
