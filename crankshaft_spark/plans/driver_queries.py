@@ -413,6 +413,37 @@ def o_token_stats():
     FROM documents"""
 
 
+def q_quality_score(spark, sf_dir):
+    from crankshaft_spark.operators.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def o_quality_score():
+    stop_terms = " + ".join(
+        occurrences_sql("lower(text)", w)
+        for ws in LANG_MARKERS.values() for w in ws
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents),
+    m AS (
+      SELECT doc_id,
+             length(lower(text)) AS n_chars,
+             length(lower(text))
+               - length(replace(lower(text), ' ', '')) AS n_spaces,
+             ({stop_terms}) AS stop_hits
+      FROM d
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           round(stop_hits / (n_spaces + 1), 6) AS stopword_ratio,
+           round(CAST(n_spaces AS DOUBLE) / n_chars, 6) AS space_ratio,
+           round(CASE WHEN n_chars < 20 THEN 0.0
+                 ELSE least(1.0, stop_hits / (n_spaces + 1) * 4.0)
+                      * least(1.0, CAST(n_chars AS DOUBLE) / 200.0)
+                 END, 6) AS quality
+    FROM m"""
+
+
 def q_lang_scores(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return lang_scores(docs)
@@ -1308,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gravity_h": q_gravity,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
         "lang_scores": q_lang_scores,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine": q_ann_cosine,
@@ -1367,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
         "gravity_h": o_gravity(),
         "dedup_exact": o_dedup_exact(),
         "token_stats": o_token_stats(),
+        "quality_score": o_quality_score(),
         "lang_scores": o_lang_scores(),
         "ngram_jaccard": o_ngram_jaccard(),
         "ann_cosine": o_ann_cosine(),
