@@ -1,0 +1,105 @@
+"""Direct unit tests: text operators on hand-computed examples, and the
+StageRunner checkpoint/lineage contract."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from crankshaft_spark.operators.text import (
+    dedup_exact,
+    lang_scores,
+    ngram_jaccard_pairs,
+    quality_score,
+    shingles,
+    token_stats,
+)
+from crankshaft_spark.plans.checkpoint import StageRunner
+
+
+def test_token_stats_hand_computed(spark):
+    df = spark.createDataFrame([(1, "ab cd efg")], "doc_id long, text string")
+    r = token_stats(df).collect()[0]
+    assert r["n_tokens"] == 3
+    assert r["n_alpha_chars"] == 7
+    assert abs(r["avg_token_len"] - 7 / 3) < 1e-6
+
+
+def test_quality_score_short_text_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "the cat and the dog sat of the mat " * 8)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in quality_score(df).collect()}
+    assert got[1]["quality"] == 0.0          # < 20 chars
+    assert got[2]["quality"] > 0.3           # stopword-rich, long enough
+
+
+def test_lang_scores_detects_language(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "el gato la casa de la ciudad el perro"),
+            (3, "der hund und die katze und der vogel"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["predicted_lang"] for r in lang_scores(df).collect()}
+    assert got[1] == "en" and got[2] == "es" and got[3] == "de"
+
+
+def test_shingles_distinct_set(spark):
+    df = spark.createDataFrame([(1, "aaaaa")], "doc_id long, text string")
+    rows = shingles(df, n=4).collect()
+    assert [(r["doc_id"], r["sh"]) for r in rows] == [(1, "aaaa")]
+
+
+def test_dedup_exact_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, text string"
+    )
+    got = {r["keep_id"]: r["n_copies"] for r in dedup_exact(df).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_identical_is_one(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world text"), (2, "hello world text")],
+        "doc_id long, text string",
+    )
+    rows = ngram_jaccard_pairs(df, threshold=0.9).collect()
+    assert len(rows) == 1 and rows[0]["jaccard"] == 1.0
+
+
+def test_stage_runner_token_invalidation(spark, tmp_path):
+    base = str(tmp_path / "ck")
+    r1 = StageRunner(spark, base)
+    calls = []
+
+    def make(tag):
+        def fn():
+            calls.append(tag)
+            return spark.range(5).select(F.col("id"), F.lit(tag).alias("tag"))
+        return fn
+
+    out1 = r1.stage("s", make("a"), token="t1")
+    assert out1.count() == 5 and calls == ["a"]
+    manifest = json.load(open(os.path.join(base, "s", "_lineage.json")))
+    assert manifest["total_rows"] == 5
+    assert sum(p["rows"] for p in manifest["partitions"]) == 5
+
+    # same token resumes without recompute
+    r2 = StageRunner(spark, base)
+    out2 = r2.stage("s", make("b"), token="t1")
+    assert calls == ["a"]
+    assert out2.select("tag").distinct().collect()[0][0] == "a"
+    assert r2.metrics["s"]["resumed"] is True
+
+    # changed token invalidates
+    r3 = StageRunner(spark, base)
+    out3 = r3.stage("s", make("c"), token="t2")
+    assert calls == ["a", "c"]
+    assert out3.select("tag").distinct().collect()[0][0] == "c"
+    assert r3.metrics["s"]["resumed"] is False
