@@ -139,3 +139,52 @@ def contour_cells(
     cells = centers.join(est, "id").where(~F.isnan("est") & F.col("est").isNotNull())
     breaks_df = _CLASSIFIERS[classmethod](cells, value_col="est", breaks=steps)
     return classify_bins(cells, breaks_df, value_col="est")
+
+
+def contour_wkt(
+    samples: DataFrame,
+    *,
+    value_col: str = "value",
+    cell_size: float = 1.0,
+    intmethod: str = "idw",
+    classmethod: str = "quantile",
+    steps: int = 5,
+    buffer_frac: float = 0.2,
+    num_neighbors: int = 8,
+) -> DataFrame:
+    """→ (bin, geom_wkt, min_value, max_value, avg_value, n_cells): the
+    CDB_Contour ``the_geom`` analogue — each bin's region as a MULTIPOLYGON
+    of its grid-cell rectangles (undissolved; the cell set is the exact
+    region, a dissolve is cosmetic).  WKT assembly is a string aggregation,
+    deterministic via sort_array."""
+    cells = contour_cells(
+        samples, value_col=value_col, cell_size=cell_size,
+        intmethod=intmethod, classmethod=classmethod, steps=steps,
+        buffer_frac=buffer_frac, num_neighbors=num_neighbors,
+    )
+    half = cell_size / 2.0
+    box = F.format_string(
+        "((%s %s, %s %s, %s %s, %s %s, %s %s))",
+        F.round(F.col("x") - half, 6), F.round(F.col("y") - half, 6),
+        F.round(F.col("x") + half, 6), F.round(F.col("y") - half, 6),
+        F.round(F.col("x") + half, 6), F.round(F.col("y") + half, 6),
+        F.round(F.col("x") - half, 6), F.round(F.col("y") + half, 6),
+        F.round(F.col("x") - half, 6), F.round(F.col("y") - half, 6),
+    )
+    return (
+        cells.where(F.col("bin").isNotNull())
+        .withColumn("_box", box)
+        .groupBy("bin")
+        .agg(
+            F.concat(
+                F.lit("MULTIPOLYGON ("),
+                F.concat_ws(", ", F.sort_array(F.collect_list("_box"))),
+                F.lit(")"),
+            ).alias("geom_wkt"),
+            F.min("est").alias("min_value"),
+            F.max("est").alias("max_value"),
+            F.avg("est").alias("avg_value"),
+            F.count("*").alias("n_cells"),
+        )
+        .orderBy("bin")
+    )

@@ -159,3 +159,20 @@ def test_contour_bins_monotone(spark, intmethod):
     cells = contour_cells(samples, cell_size=2.0, intmethod=intmethod,
                           classmethod="equal", steps=4)
     assert cells.where(F.col("bin").isNull()).count() == 0
+
+
+def test_contour_wkt_regions(spark):
+    from crankshaft_spark.operators.contour import contour_wkt
+
+    rng = np.random.RandomState(2)
+    sp = rng.uniform(0, 20, size=(40, 2))
+    samples = spark.createDataFrame(
+        [(i, float(x), float(y), float(x + y)) for i, (x, y) in enumerate(sp)],
+        "id long, x double, y double, value double",
+    )
+    out = contour_wkt(samples, cell_size=2.0, intmethod="idw",
+                      classmethod="equal", steps=3).collect()
+    assert len(out) >= 2
+    for r in out:
+        assert r["geom_wkt"].startswith("MULTIPOLYGON ((")
+        assert r["geom_wkt"].count("((") == r["n_cells"]
