@@ -29,18 +29,21 @@ def gravity_huff(
     cell_size: float | None = None,
     pop_col: str = "pop",
     weight_col: str = "weight",
+    minval: float = -10e307,
 ) -> DataFrame:
     """sources: (id, x, y, pop); targets: (id, x, y, weight).
 
     Returns (source_id, target_id, dist, h, hpop) for all pairs within
-    ``radius`` (planar units).
+    ``radius`` (planar units).  Targets with weight <= ``minval`` are
+    excluded before the join (the reference's ``WHERE tw > minval``,
+    07_gravity.sql:89; default excludes nothing).
     """
     cs = cell_size or radius
     ring = max(1, math.ceil(radius / cs))
     src = sources.select(
         F.col("id").alias("source_id"), "x", "y", F.col(pop_col).alias("pop")
     ).withColumn("cell", cell_expr(F.col("x"), F.col("y"), cs))
-    tgt = targets.select(
+    tgt = targets.where(F.col(weight_col) > F.lit(minval)).select(
         F.col("id").alias("target_id"),
         F.col("x").alias("tx"),
         F.col("y").alias("ty"),
