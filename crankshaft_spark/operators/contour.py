@@ -115,7 +115,10 @@ def contour_cells(
         cell_size, cell_size,
     )
     centers = grid.select(
-        (F.col("cx") * 100000 + F.col("cy")).alias("id"),
+        # 2^32 stride: grid axes are < 2^31 cells, so ids can't collide
+        # (cx*100000+cy collided once ny exceeded 100000 at fine cells)
+        (F.col("cx").cast("long") * F.lit(4294967296).cast("long")
+         + F.col("cy")).alias("id"),
         "cx", "cy",
         ((F.col("xmin") + F.col("xmax")) / 2).alias("x"),
         ((F.col("ymin") + F.col("ymax")) / 2).alias("y"),

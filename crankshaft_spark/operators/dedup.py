@@ -190,6 +190,12 @@ def simhash_pairs(
     nibble-chunk banding: 8 chunks of 4 bits, so by pigeonhole any pair with
     hamming <= 7 shares at least one identical chunk — full recall for the
     default threshold; chunk width is the recall/cost dial."""
+    if max_hamming > 7:
+        raise ValueError(
+            "max_hamming > 7 would silently lose recall under 8x4-bit "
+            "banding (pigeonhole guarantee holds only to 7); use more/"
+            "narrower bands for larger radii"
+        )
     s = simhash(docs, text_col=text_col, n=n, id_col=id_col)
     chunks = [
         F.shiftright(F.col("simhash"), 4 * c).bitwiseAND(15).alias(f"c{c}")

@@ -60,8 +60,11 @@ def _polylabel(ring: np.ndarray, tolerance: float) -> tuple[float, float, float]
         cx, cy = polygon_centroid(ring)
         return cx, cy, 0.0
     h = size / 2.0
-    xs = np.arange(xmin + h, xmax, 2 * h)
-    ys = np.arange(ymin + h, ymax, 2 * h)
+    # seed while cell-left < max so the last (overhanging) cell covers the
+    # strip at the bbox's max edges — arange stopping at xmax/ymax left up
+    # to h of the polygon uncovered and subdivision never expands coverage
+    xs = np.arange(xmin + h, xmax + h, 2 * h)
+    ys = np.arange(ymin + h, ymax + h, 2 * h)
     if len(xs) == 0:
         xs = np.array([(xmin + xmax) / 2.0])
     if len(ys) == 0:

@@ -83,9 +83,14 @@ def _weighted_edges(cal: DataFrame, data: DataFrame, bw: int,
                     cell_size: float) -> DataFrame:
     """(id, nbr, d, w) — bw-NN edges from calibration points to data points
     with adaptive bisquare weights; h_i = eps·max d over the bw nearest."""
-    edges = knn_join(cal, data, k=bw, cell_size=cell_size).withColumn(
-        "d", F.sqrt("d2")
-    )
+    # domain_span must scale with the projection's cell size: the default
+    # lon/lat span (360) made ring*cell_size trip the brute-force fallback
+    # on the FIRST ring for meter-scale cells, silently broadcasting the
+    # whole calibration set (O(n^2)); max_ring still bounds the expansion
+    edges = knn_join(
+        cal, data, k=bw, cell_size=cell_size,
+        domain_span=float("inf"),
+    ).withColumn("d", F.sqrt("d2"))
     h = edges.groupBy("id").agg((F.max("d") * EPS).alias("_h"))
     return (
         edges.join(h, "id")
@@ -323,6 +328,14 @@ def gwr_predict(
     # below are over the bounded predict/train sets only.
     from pyspark.sql.window import Window
 
+    n_train = train.count()
+    n_unknown = unknown.count()
+    if n_unknown > n_train:
+        raise ValueError(
+            f"gwr_predict: {n_unknown} prediction rows > {n_train} training "
+            "rows — the reference's positional predy indexing is undefined "
+            "here (it would index past the training matrix)"
+        )
     uo = unknown.select("id").withColumn(
         "_o", F.row_number().over(Window.orderBy("id"))
     )

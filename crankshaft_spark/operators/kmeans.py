@@ -132,7 +132,10 @@ def kmeans_nonspatial(
         )
         .collect()
     )
-    kk = len(stats)
+    # size stat arrays by the MODEL's k, not the observed label count —
+    # Spark KMeans can leave clusters empty, making labels non-contiguous;
+    # empty clusters keep cnt=0 and are excluded from the b_i minimum below
+    kk = len(centers)
     mu = np.zeros((kk, len(cols)))
     msq = np.zeros(kk)
     cnt = np.zeros(kk)
@@ -160,6 +163,7 @@ def kmeans_nonspatial(
             xn = (X * X).sum(axis=1)
             # d2[i, c] = mean sqeuclidean distance from x_i to cluster c
             d2 = xn[:, None] - 2.0 * X @ bmu.T + bmsq[None, :]
+            d2[:, bcnt == 0] = np.inf     # empty clusters can't be b_i
             own = d2[np.arange(len(lab)), lab]
             a = np.where(bcnt[lab] > 1, own * bcnt[lab] / np.maximum(bcnt[lab] - 1, 1), 0.0)
             d2[np.arange(len(lab)), lab] = np.inf

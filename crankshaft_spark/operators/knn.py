@@ -175,7 +175,12 @@ def _knn_loop(
         ok = (F.col("knn_cnt") >= k) & (F.col("knn_maxd2") <= F.lit(guarantee))
         # persist: the convergence check below executes this ring's top-k;
         # without it the final union would re-run the candidate join a
-        # second time (MEMORY_AND_DISK — spill-safe at scale)
+        # second time (MEMORY_AND_DISK — spill-safe at scale).  Persisted
+        # blocks are released by LRU eviction, not explicitly: the caller
+        # may still be consuming the returned (lazy) union, so there is no
+        # safe unpersist point inside this function — heavy repeat callers
+        # (e.g. bandwidth search) should spark.catalog.clearCache() between
+        # rounds if storage pressure shows up
         done = topk.where(ok).select("id", "nbr", "d2", "rank").persist()
         resolved_parts.append(done)
         # ids not fully resolved this pass — including points with zero

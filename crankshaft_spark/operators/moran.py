@@ -115,12 +115,21 @@ def _local_permutation_p(
     """Conditional-randomization p_sim for local Moran.
 
     For each row i: hold z_i fixed, draw deg(i)-sized samples (without
-    replacement) from the other z values, recompute I_i, two-sided count —
-    the same scheme PySAL's ``__crand`` uses (per-row RNG seeded from
-    (seed, id) so results are independent of partitioning/parallelism).
-    The z vector is broadcast; per-row work is vectorized numpy.
+    replacement) from the other z values, recompute I_i with row i's ACTUAL
+    weight vector, two-sided count — the same scheme PySAL's ``__crand``
+    uses (per-row RNG seeded from (seed, id) so results are independent of
+    partitioning/parallelism).  The z vector is broadcast; per-row work is
+    vectorized numpy.  The weight vector is applied in nbr-sorted order
+    (sample values are exchangeable, so any fixed deterministic order is
+    valid and parallelism-stable).
     """
-    deg = edges.groupBy("id").agg(F.count("*").alias("_deg"))
+    deg = edges.groupBy("id").agg(
+        F.count("*").alias("_deg"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("nbr", "w"))),
+            lambda st: st["w"],
+        ).alias("_ws"),
+    )
     spark = base.sparkSession
     zrows = values.select("id", F.col(value_col).cast("double")).collect()
     zvals = np.array([r[1] for r in zrows], dtype=float)
@@ -138,8 +147,8 @@ def _local_permutation_p(
             z = bz.value
             pos = bpos.value
             out_p = np.empty(len(pdf))
-            for row_i, (rid, d, li) in enumerate(
-                zip(pdf["id"], pdf["_deg"], pdf["local_i"])
+            for row_i, (rid, d, ws, li) in enumerate(
+                zip(pdf["id"], pdf["_deg"], pdf["_ws"], pdf["local_i"])
             ):
                 rng = np.random.RandomState(
                     (seed * 1000003 + int(rid)) % (2**32)
@@ -149,14 +158,15 @@ def _local_permutation_p(
                 idx = np.argsort(
                     rng.random_sample((permutations, n - 1)), axis=1
                 )[:, : int(d)]
-                sims = (n - 1) * z[i] * (others[idx].mean(axis=1)) / den
+                w_vec = np.asarray(ws, dtype=float)
+                sims = (n - 1) * z[i] * (others[idx] @ w_vec) / den
                 larger = int((sims >= li).sum())
                 if (permutations - larger) < larger:
                     larger = permutations - larger
                 out_p[row_i] = (larger + 1.0) / (permutations + 1.0)
             yield pd.DataFrame({"id": pdf["id"], "significance": out_p})
 
-    withdeg = base.join(deg, "id").select("id", "_deg", "local_i")
+    withdeg = base.join(deg, "id").select("id", "_deg", "_ws", "local_i")
     p = withdeg.mapInPandas(compute, schema=schema)
     return base.join(p, "id")
 

@@ -35,6 +35,14 @@ from crankshaft_spark.functions.cells import CELL_M, cell_expr
 Polygon = tuple[int, list[tuple[float, float]]]
 
 
+def _is_convex(ring: np.ndarray) -> bool:
+    x, y = ring[:, 0], ring[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    x2, y2 = np.roll(x, -2), np.roll(y, -2)
+    cr = (x1 - x) * (y2 - y1) - (y1 - y) * (x2 - x1)
+    return bool((cr >= 0).all() or (cr <= 0).all())
+
+
 def _ray_cast(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """Strict point-in-ring by crossing parity; half-open rule on y.
 
@@ -66,6 +74,11 @@ def build_cell_polygon_index(
     out = []
     for pid, ring_list in polygons:
         ring = np.asarray(ring_list, dtype=np.float64)
+        # the all-corners-inside => whole-cell-inside shortcut is only
+        # sound for CONVEX rings; concave polygons could notch into a cell
+        # whose corners are all in the solid part — those fall back to the
+        # per-point ray cast for every cell
+        convex = _is_convex(ring)
         xs, ys = ring[:, 0], ring[:, 1]
         ix0 = math.floor((xs.min() + 180.0) / cell_size)
         ix1 = math.floor((xs.max() + 180.0) / cell_size)
@@ -80,7 +93,9 @@ def build_cell_polygon_index(
                 corners_lat = np.array([cy0, cy0, cy0 + cell_size,
                                         cy0 + cell_size])
                 inside = _ray_cast(corners_lon, corners_lat, ring)
-                out.append((ix * CELL_M + iy, pid, bool(inside.all())))
+                out.append((
+                    ix * CELL_M + iy, pid, bool(convex and inside.all())
+                ))
     return out
 
 

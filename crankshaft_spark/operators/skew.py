@@ -59,11 +59,20 @@ def two_level_agg(
     )
 
     def recombine(name: str, a: Column) -> Column:
-        expr = str(a._jc)  # noqa: SLF001 — aggregate kind sniff
+        # kind detection on the TOP-LEVEL aggregate only (a substring match
+        # would misclassify e.g. sum(array_min(...))); non-decomposable
+        # aggregates like avg are rejected — re-summing per-salt means
+        # would silently return salts x the true mean
+        expr = str(a._jc)  # noqa: SLF001
         col = F.col(f"_p_{name}")
-        if "min(" in expr:
+        if expr.startswith("avg(") or expr.startswith("mean("):
+            raise ValueError(
+                f"aggregate {name!r} is avg — not decomposable over salts; "
+                "pass sum and count separately and divide"
+            )
+        if expr.startswith("min("):
             return F.min(col).alias(name)
-        if "max(" in expr:
+        if expr.startswith("max("):
             return F.max(col).alias(name)
         return F.sum(col).alias(name)
 
