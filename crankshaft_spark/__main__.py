@@ -52,7 +52,9 @@ def main(argv: list[str] | None = None) -> int:
         else synth_webpages(spark, args.sf_dir, multiplier=args.multiplier)
     )
     runner = StageRunner(spark, args.checkpoint_dir)
-    result = hotspot_pipeline(spark, args.sf_dir, runner=runner, pages=pages)
+    pages_token = args.input or f"mult={args.multiplier}"
+    result = hotspot_pipeline(spark, args.sf_dir, runner=runner, pages=pages,
+                              pages_token=pages_token)
     if args.output:
         result.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()

@@ -344,10 +344,12 @@ def overlap_sum(
                 inter = clip_convex(tring, qring)
                 if len(inter) < 3:
                     continue
+                ia = abs(polygon_area(inter))
                 ta = abs(polygon_area(tring))
-                if ta <= 0:
-                    continue
-                rows.append((int(qid), float(v) * abs(polygon_area(inter)) / ta))
+                if ta <= 0 or ia <= 0:
+                    continue  # edge-touching (zero-area) clips contribute
+                    # nothing — matching the oracle's `ia > 0` filter
+                rows.append((int(qid), float(v) * ia / ta))
             yield pd.DataFrame(rows, columns=["qid", "part"])
 
     return (

@@ -123,10 +123,16 @@ def shingles(docs: DataFrame, *, text_col: str = "text", n: int = 4,
     runs on DuckDB via generate_series for oracle parity.
     """
     t = F.col(text_col)
+    # greatest(...) guard: sequence(1, 0) would generate a DESCENDING
+    # sequence in Spark, minting phantom shingles for texts shorter than n
+    # (the oracle's generate_series is empty there)
     return (
-        docs.select(
+        docs.where(F.length(t) >= n)
+        .select(
             F.col(id_col),
-            F.explode(F.sequence(F.lit(1), F.length(t) - (n - 1))).alias("i"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+            ).alias("i"),
             t.alias("_t"),
         )
         .select(id_col, F.substring(F.col("_t"), F.col("i").cast("int"), n).alias("sh"))

@@ -54,10 +54,20 @@ class StageRunner:
         t0 = time.time()
         fn().write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
+        # per-partition row counts from the parquet FOOTERS (metadata-only)
+        # — the written layout's true lineage, without re-scanning the data
+        # (a groupBy(spark_partition_id) here would double every stage's IO
+        # and record read-split counts, not the written files)
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
         parts = [
-            {"pid": r["pid"], "rows": r["rows"]}
-            for r in out.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count(F.lit(1)).alias("rows")).orderBy("pid").collect()
+            {"pid": i, "file": os.path.basename(f),
+             "rows": pq.ParquetFile(f).metadata.num_rows}
+            for i, f in enumerate(
+                sorted(_glob.glob(os.path.join(path, "part-*")))
+            )
         ]
         manifest = {
             "stage": name,

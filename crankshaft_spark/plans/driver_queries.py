@@ -591,9 +591,10 @@ def q_events_cell_hourly(spark, sf_dir):
     """Hourly per-cell event density: the events table geocoded through the
     derived-point scheme and rolled onto the engine grid (timestamp math +
     cell key + two-key aggregation)."""
+    from crankshaft_spark.sources.derived import _derive_xy
+
     ev = load_table(spark, sf_dir, "events")
-    x = F.lit(-120.0) + ((F.col("user_id") * 9973) % 24000).cast("double") / 100.0
-    y = F.lit(-48.0) + ((F.col("user_id") * 7919) % 9600).cast("double") / 100.0
+    x, y = _derive_xy(F.col("user_id"))
     return (
         ev.select(
             F.date_trunc("hour", F.col("ts")).alias("hour"),

@@ -93,6 +93,7 @@ def hotspot_pipeline(
     sf_dir: str,
     runner: StageRunner | None = None,
     pages: DataFrame | None = None,
+    pages_token: str = "",
 ) -> DataFrame:
     """End-to-end: crawl table -> per-cell Gi* hotspot classification.
 
@@ -102,7 +103,10 @@ def hotspot_pipeline(
     Iceberg scan); default is the sf_dir synthesis.
     """
     r = runner or StageRunner(spark, None)
-    token = f"{sf_dir}:{PIP_CELL}:{AGG_CELL}"
+    # pages_token identifies any `pages` override (input path, multiplier);
+    # without it a checkpointed rerun with different input would silently
+    # resume the stale materialized pages stage
+    token = f"{sf_dir}:{PIP_CELL}:{AGG_CELL}:{pages_token}"
 
     src = pages
     pages = r.stage(

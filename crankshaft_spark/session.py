@@ -36,6 +36,7 @@ def session_conf(builder: SparkSession.Builder, shuffle_partitions: int = 32,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
     )

@@ -57,7 +57,31 @@ def sessionize(
                 start, last, n = state.get
             else:
                 start, last, n = ts_us[0], ts_us[0], 0
-            for t in ts_us:
+            # admitted-late events older than the open session's start:
+            # chain them into their own gap-sessions; the final late chain
+            # merges into the open session when it ends within the gap
+            # (previously start never moved backwards, so late events were
+            # silently folded in with wrong boundaries)
+            lates = [t for t in ts_us if t < start]
+            rest = [t for t in ts_us if t >= start]
+            if lates:
+                l_sessions = []
+                l_start = l_last = lates[0]
+                l_n = 0
+                for t in lates:
+                    if l_n > 0 and t - l_last > gap_us:
+                        l_sessions.append((l_start, l_last, l_n))
+                        l_start, l_n = t, 0
+                    l_last = t
+                    l_n += 1
+                if start - l_last <= gap_us:
+                    start = l_start
+                    n += l_n
+                else:
+                    l_sessions.append((l_start, l_last, l_n))
+                for s0, e0, c0 in l_sessions:
+                    out.append((user, s0, e0, c0, "gap"))
+            for t in rest:
                 if n > 0 and t - last > gap_us:
                     out.append((user, start, last, n, "gap"))
                     start, n = t, 0

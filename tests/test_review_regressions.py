@@ -95,3 +95,69 @@ def test_two_level_agg_rejects_avg(spark):
                                 F.col("id").cast("double").alias("v"))
     with pytest.raises(ValueError, match="avg"):
         two_level_agg(df, ["k"], {"m": F.avg("v")}, salts=4)
+
+
+def test_shingles_short_text_empty(spark):
+    """Texts shorter than n must yield NO shingles (Spark's descending
+    sequence(1, 0) used to mint phantom shingles the oracle lacks)."""
+    from crankshaft_spark.operators.text import ngram_jaccard_pairs, shingles
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abc"), (3, "abcdefgh")], "doc_id long, text string"
+    )
+    sh = shingles(df, n=4).collect()
+    assert {r["doc_id"] for r in sh} == {3}
+    assert ngram_jaccard_pairs(df, n=4, threshold=0.5).count() == 0
+
+
+def test_sessionize_late_event_extends_start(spark, tmp_path):
+    """A late event admitted by the watermark that predates the open
+    session's start must move the boundary back (or form its own session),
+    not be silently folded in."""
+    import pandas as pd
+
+    from crankshaft_spark.streaming.sessions import sessionize
+
+    src = str(tmp_path / "late_events")
+    t0 = pd.Timestamp("2024-01-01 10:00:00").to_pydatetime()
+
+    def mins(m):
+        import datetime
+
+        return t0 + datetime.timedelta(minutes=m)
+
+    batch1 = spark.createDataFrame(
+        [(1, t0), (1, mins(5))], "user_id long, ts timestamp"
+    ).coalesce(1)
+    batch1.write.parquet(src + "/b1")
+    # late event 10 min BEFORE the open session's start, plus a closer event
+    batch2 = spark.createDataFrame(
+        [(1, mins(-10)),
+         (1, mins(90))],  # closes the session by gap
+        "user_id long, ts timestamp",
+    ).coalesce(1)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/b*")
+    q = (
+        sessionize(stream, gap_seconds=1800, watermark="4 hours")
+        .writeStream.format("memory").queryName("late_sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    batch2.write.parquet(src + "/b2")
+    q2 = (
+        sessionize(stream, gap_seconds=1800, watermark="4 hours")
+        .writeStream.format("memory").queryName("late_sessions2")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(60)
+    rows = spark.sql(
+        "SELECT * FROM late_sessions2 WHERE closed_by = 'gap'"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # the session must START at the late 09:50 event and count all 3 events
+    assert r["session_start"] == mins(-10)
+    assert r["n_events"] == 3

@@ -22,6 +22,9 @@ def main():
     from crankshaft_spark import get_session
     from crankshaft_spark.plans import driver_queries
 
+    from pyspark.sql import SparkSession
+
+    preexisting = SparkSession.getActiveSession() is not None
     names = sys.argv[1:] or DEFAULT
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = get_session(master="local[4]", shuffle_partitions=8)
@@ -44,7 +47,8 @@ def main():
             + plan.count("FlatMapGroupsInPandas") + plan.count("BatchEvalPython")
         print(f"{name}: codegen={n_codegen} bhj={n_bhj} smj={n_smj} "
               f"exchange={n_ex} python_stages={n_py}")
-    spark.stop()
+    if not preexisting:
+        spark.stop()
 
 
 if __name__ == "__main__":

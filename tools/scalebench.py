@@ -4,7 +4,7 @@ Runs the flagship hotspot pipeline on IDENTICAL input at local[N] and
 local[4N] (default N=8) in separate processes (a JVM can't change its
 master), verifies the two runs produce row-identical output (the north
 rule's cross-cluster-size determinism requirement), and reports throughput
-at both plus scaling efficiency (T_4N / T_N) / 4.
+at both plus scaling efficiency (throughput_4N / throughput_N) / 4.
 
 Usage:  python tools/scalebench.py [N] [sf_dir] [mult]
 Appends nothing; prints one JSON line — paste/record into BASELINE.md §4.

@@ -23,6 +23,8 @@ def norm_val(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if v == 0:
+            v = 0.0  # DuckDB round() keeps -0.0; Spark's doesn't
         return f"{v:.6f}"
     if v is None:
         return "null"
