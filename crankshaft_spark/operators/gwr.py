@@ -7,8 +7,11 @@ glm/iwls.py ~7.9k LoC).  Semantics re-derived and matched to its fixtures
 (gwr_packed_knowns.json, Georgia dataset, adaptive bisquare bw=90):
 
   * adaptive bandwidth: h_i = eps · (distance to the bw-th nearest
-    neighbor INCLUDING self), eps = 1.0000001 (kernels.py:49-96);
-    kernel w_ij = (1 − (d/h)²)², truncated to 0 at d ≥ h (:117)
+    neighbor INCLUDING self), eps = 1.0000001 (kernels.py:49-96); fixed
+    bandwidth: h = bw, a distance (kernels.py:13-33)
+  * kernels (kernels.py:99-121): bisquare (1 − (d/h)²)² truncated to 0 at
+    d ≥ h; gwr_gaussian exp(−(d/h)²/2) and exponential exp(−d/h), both
+    non-truncated (dense support, like the reference's cdist matrix)
   * local WLS (Gaussian IWLS collapses to one weighted solve):
     C_i = (XᵀWᵢX)⁻¹XᵀWᵢ;  β_i = C_i y  (glm/iwls.py:24-37)
   * hat row S_ij = w_ij · x_iᵀ(XᵀWᵢX)⁻¹x_j;  CCT_i = diag(C_iC_iᵀ)
@@ -79,25 +82,151 @@ def t_ppf(p: float, df: float) -> float:
     return z + g1 / df + g2 / df ** 2 + g3 / df ** 3 + g4 / df ** 4
 
 
-def _weighted_edges(cal: DataFrame, data: DataFrame, bw: int,
-                    cell_size: float) -> DataFrame:
-    """(id, nbr, d, w) — bw-NN edges from calibration points to data points
-    with adaptive bisquare weights; h_i = eps·max d over the bw nearest."""
-    # domain_span must scale with the projection's cell size: the default
-    # lon/lat span (360) made ring*cell_size trip the brute-force fallback
-    # on the FIRST ring for meter-scale cells, silently broadcasting the
-    # whole calibration set (O(n^2)); max_ring still bounds the expansion
-    edges = knn_join(
-        cal, data, k=bw, cell_size=cell_size,
-        domain_span=float("inf"),
-    ).withColumn("d", F.sqrt("d2"))
-    h = edges.groupBy("id").agg((F.max("d") * EPS).alias("_h"))
+#: kernel -> (weight expr of z = d/h, truncated-at-h?).  Matches the
+#: reference's _kernel_funcs (kernels.py:99-121): bisquare truncates at
+#: d >= h (kernels.py:79-81, truncate=True default); gwr_gaussian and
+#: exponential are built with truncate=False — dense support over ALL
+#: data points, exactly as the cdist-based reference computes them.
+KERNELS = {
+    "bisquare": (lambda z: F.pow(1.0 - F.pow(z, 2.0), 2.0), True),
+    "gaussian": (lambda z: F.exp(-0.5 * F.pow(z, 2.0)), False),
+    "exponential": (lambda z: F.exp(-z), False),
+}
+
+#: dense (non-truncated) kernels build an all-pairs support set, like the
+#: reference's n×n cdist matrix; cap the data side so the quadratic stays
+#: deliberate.  At scale use kernel='bisquare' (compact support = the kNN
+#: join) — the reference itself defaults to it (21_gwr.sql:8).
+DENSE_CAP = 20000
+
+
+def _kernel_w(kernel: str, d, h):
+    try:
+        fn, truncated = KERNELS[kernel]
+    except KeyError:
+        raise ValueError(
+            f"unknown GWR kernel {kernel!r}: expected one of {sorted(KERNELS)}"
+        ) from None
+    w = fn(d / h)
+    if truncated:
+        w = F.when(d < h, w).otherwise(0.0)
+    return w
+
+
+def _dense_edges(cal: DataFrame, data: DataFrame) -> DataFrame:
+    """All-pairs (id, nbr, d) — the distributed form of the reference's
+    cdist matrix for non-truncated kernels.  Raises above DENSE_CAP."""
+    if data.limit(DENSE_CAP + 1).count() > DENSE_CAP:
+        raise ValueError(
+            f"gaussian/exponential GWR kernels use dense (all-pairs) support "
+            f"to match the reference's non-truncated cdist semantics; data "
+            f"side exceeds {DENSE_CAP} rows — use kernel='bisquare' "
+            f"(compact kNN support) at scale"
+        )
+    lhs = cal.select("id", "x", "y")
+    rhs = data.select(
+        F.col("id").alias("nbr"), F.col("x").alias("nx"), F.col("y").alias("ny")
+    )
+    return lhs.crossJoin(F.broadcast(rhs)).select(
+        "id", "nbr",
+        F.sqrt(
+            (F.col("x") - F.col("nx")) * (F.col("x") - F.col("nx"))
+            + (F.col("y") - F.col("ny")) * (F.col("y") - F.col("ny"))
+        ).alias("d"),
+    )
+
+
+def _radius_edges(cal: DataFrame, data: DataFrame, radius: float,
+                  cell_size: float) -> DataFrame:
+    """(id, nbr, d) pairs with d < radius — cell-ring candidate join
+    (filter-and-refine), the fixed-bisquare compact support."""
+    import math
+
+    from crankshaft_spark.functions.cells import cell_expr, ring_cells_expr
+
+    ring = max(1, int(math.ceil(radius / cell_size)))
+    if ring > 48:
+        # grid far finer than the bandwidth: candidate fanout (2r+1)^2 would
+        # dominate — fall back to the dense builder + filter (still exact)
+        return _dense_edges(cal, data).where(F.col("d") < radius)
+    lhs = cal.select(
+        "id", "x", "y",
+        F.explode(
+            ring_cells_expr(cell_expr(F.col("x"), F.col("y"), cell_size), ring)
+        ).alias("cell"),
+    )
+    rhs = data.select(
+        F.col("id").alias("nbr"), F.col("x").alias("nx"), F.col("y").alias("ny"),
+        cell_expr(F.col("x"), F.col("y"), cell_size).alias("cell"),
+    )
+    return (
+        lhs.join(rhs, "cell")
+        .select(
+            "id", "nbr",
+            F.sqrt(
+                (F.col("x") - F.col("nx")) * (F.col("x") - F.col("nx"))
+                + (F.col("y") - F.col("ny")) * (F.col("y") - F.col("ny"))
+            ).alias("d"),
+        )
+        .where(F.col("d") < radius)
+    )
+
+
+def _weighted_edges(cal: DataFrame, data: DataFrame, bw: float,
+                    cell_size: float, *, fixed: bool = False,
+                    kernel: str = "bisquare",
+                    persist_registry: list | None = None) -> DataFrame:
+    """(id, nbr, d, w) — kernel-weighted support edges from calibration
+    points to data points.
+
+    adaptive (fixed=False): h_i = eps·(distance to the bw-th nearest data
+    point INCLUDING self), per kernels.py:83-96 (adapt_* pass k=nn-1, then
+    _Kernel uses k+1 sorted columns of the self-inclusive dmat).
+    fixed=True: h = bw, a distance in coordinate units (kernels.py:13-33).
+
+    Support: truncated kernels (bisquare) keep only d < h edges — the kNN /
+    radius join IS the sparse kernel matrix; non-truncated kernels
+    (gaussian, exponential) take all pairs, matching the reference exactly.
+    """
+    _, truncated = KERNELS[kernel] if kernel in KERNELS else (None, None)
+    if truncated is None:
+        raise ValueError(
+            f"unknown GWR kernel {kernel!r}: expected one of {sorted(KERNELS)}"
+        )
+    if fixed:
+        h = F.lit(float(bw))
+        if truncated:
+            edges = _radius_edges(cal, data, float(bw), cell_size)
+        else:
+            edges = _dense_edges(cal, data)
+        return edges.withColumn("w", _kernel_w(kernel, F.col("d"), h)).select(
+            "id", "nbr", "d", "w"
+        )
+    bw = int(bw)
+    if truncated:
+        # domain_span must scale with the projection's cell size: the default
+        # lon/lat span (360) made ring*cell_size trip the brute-force fallback
+        # on the FIRST ring for meter-scale cells, silently broadcasting the
+        # whole calibration set (O(n^2)); max_ring still bounds the expansion
+        edges = knn_join(
+            cal, data, k=bw, cell_size=cell_size,
+            domain_span=float("inf"), persist_registry=persist_registry,
+        ).withColumn("d", F.sqrt("d2"))
+        h = edges.groupBy("id").agg((F.max("d") * EPS).alias("_h"))
+    else:
+        from pyspark.sql.window import Window
+
+        edges = _dense_edges(cal, data)
+        rk = Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("nbr").asc())
+        h = (
+            edges.withColumn("_rk", F.row_number().over(rk))
+            .where(F.col("_rk") <= bw)
+            .groupBy("id")
+            .agg((F.max("d") * EPS).alias("_h"))
+        )
     return (
         edges.join(h, "id")
-        .withColumn(
-            "w",
-            F.pow(1.0 - F.pow(F.col("d") / F.col("_h"), 2.0), 2.0),
-        )
+        .withColumn("w", _kernel_w(kernel, F.col("d"), F.col("_h")))
         .select("id", "nbr", "d", "w")
     )
 
@@ -170,27 +299,30 @@ def gwr(
     dep_var: str,
     ind_vars: list[str],
     *,
-    bw: int | None,
+    bw: float | None,
     fixed: bool = False,
+    kernel: str = "bisquare",
     cell_size: float = 50000.0,
 ) -> DataFrame:
     """CDB_GWR → (id, coeffs, stand_errs, t_vals, filtered_t_vals,
     predicted, residuals, r_squared, bandwidth) with map<var,double>
     columns for the per-variable outputs (incl. 'intercept').
 
-    Only the adaptive (fixed=False) bisquare kernel of the reference's test
-    path is implemented; ``bw`` is the neighbor count; ``bw=None`` selects
-    it by golden-section AICc search (gwr_select_bw), the reference's
-    default (gwr_cs.py:70-73).
+    ``fixed``/``kernel`` follow CDB_GWR's signature (21_gwr.sql:6-9):
+    fixed=False → ``bw`` is an adaptive neighbor count; fixed=True → ``bw``
+    is a distance in coordinate units.  kernel ∈ {bisquare, gaussian,
+    exponential} per kernels.py:13-121.  ``bw=None`` selects the bandwidth
+    by golden-section AICc search (gwr_select_bw), the reference's default
+    (gwr_cs.py:70-73).
     """
-    if fixed:
-        raise NotImplementedError("fixed-distance kernel: use adaptive (reference test path)")
     if bw is None:
-        bw = gwr_select_bw(points, dep_var, ind_vars, cell_size=cell_size)
+        bw = gwr_select_bw(points, dep_var, ind_vars, fixed=fixed,
+                           kernel=kernel, cell_size=cell_size)
     names = ["intercept", *ind_vars]
     kdim = len(names)
     data = points.na.drop(subset=[dep_var, *ind_vars])
-    edges = _weighted_edges(data, data, bw, cell_size).cache()
+    edges = _weighted_edges(data, data, bw, cell_size, fixed=fixed,
+                            kernel=kernel).cache()
 
     feat = _feat_struct(data, ind_vars, dep_var, "")
     grouped = (
@@ -265,7 +397,9 @@ def gwr_predict(
     dep_var: str,
     ind_vars: list[str],
     *,
-    bw: int,
+    bw: float,
+    fixed: bool = False,
+    kernel: str = "bisquare",
     cell_size: float = 50000.0,
 ) -> DataFrame:
     """CDB_GWR_Predict → (id, coeffs, stand_errs, t_vals, r_squared,
@@ -278,7 +412,8 @@ def gwr_predict(
 
     # training fit supplies exog scale + residuals
     # (reference: exog_scale = train_gwr.scale, gwr.py:263-268)
-    edges_t = _weighted_edges(train, train, bw, cell_size)
+    edges_t = _weighted_edges(train, train, bw, cell_size, fixed=fixed,
+                              kernel=kernel)
     feat_t = _feat_struct(train, ind_vars, dep_var, "")
     grouped_t = (
         edges_t.join(
@@ -298,7 +433,8 @@ def gwr_predict(
     sigma2 = sr["rss_tot"] / (sr["n"] - 2.0 * sr["trs"] + sr["trsts"])
 
     # unknowns: bw-NN among TRAINING points (no self)
-    edges_u = _weighted_edges(unknown, train, bw, cell_size)
+    edges_u = _weighted_edges(unknown, train, bw, cell_size, fixed=fixed,
+                              kernel=kernel)
     grouped_u = (
         edges_u.join(
             feat_t.select(F.col("id").alias("nbr"), F.col("x").alias("xj"),
@@ -372,10 +508,17 @@ def gwr_predict(
 
 
 def _fit_stats(data: DataFrame, dep_var: str, ind_vars: list[str],
-               bw: int, cell_size: float) -> tuple[int, float, float]:
-    """(n, tr(S), RSS) for one candidate bandwidth — one distributed pass."""
+               bw: float, cell_size: float, *, fixed: bool = False,
+               kernel: str = "bisquare") -> tuple[int, float, float]:
+    """(n, tr(S), RSS) for one candidate bandwidth — one distributed pass.
+
+    Blocks persisted by the inner kNN ring loop are unpersisted before
+    returning: the bandwidth search calls this O(log) times and must not
+    accumulate cached ring blocks across candidates (storage stays flat)."""
     names = ["intercept", *ind_vars]
-    edges = _weighted_edges(data, data, bw, cell_size)
+    registry: list = []
+    edges = _weighted_edges(data, data, bw, cell_size, fixed=fixed,
+                            kernel=kernel, persist_registry=registry)
     feat = _feat_struct(data, ind_vars, dep_var, "")
     grouped = (
         edges.join(
@@ -391,7 +534,32 @@ def _fit_stats(data: DataFrame, dep_var: str, ind_vars: list[str],
         F.sum("s_ii").alias("trs"),
         F.sum(F.col("resid") * F.col("resid")).alias("rss"),
     ).collect()[0]
+    for df in registry:
+        df.unpersist()
     return int(row["n"]), float(row["trs"]), float(row["rss"])
+
+
+def _point_set_diameter(data: DataFrame) -> float:
+    """Exact max pairwise distance: per-Arrow-batch convex hulls collected
+    to the driver (bounded — union of subset hulls ⊇ hull of the union),
+    final hull + O(h²) max pair in numpy."""
+    from crankshaft_spark.functions.geom import convex_hull
+
+    def part_hull(pdf_iter):
+        for pdf in pdf_iter:
+            pts = pdf[["x", "y"]].to_numpy(dtype=float)
+            h = convex_hull(pts) if len(pts) >= 3 else pts
+            yield pd.DataFrame({"x": h[:, 0], "y": h[:, 1]})
+
+    rows = data.select(
+        F.col("x").cast("double"), F.col("y").cast("double")
+    ).mapInPandas(part_hull, "x double, y double").collect()
+    pts = np.array([[r["x"], r["y"]] for r in rows])
+    if len(pts) < 2:
+        return 0.0
+    h = convex_hull(pts) if len(pts) >= 3 else pts
+    d2 = ((h[:, None, :] - h[None, :, :]) ** 2).sum(-1)
+    return float(np.sqrt(d2.max()))
 
 
 def gwr_select_bw(
@@ -399,45 +567,72 @@ def gwr_select_bw(
     dep_var: str,
     ind_vars: list[str],
     *,
+    fixed: bool = False,
+    kernel: str = "bisquare",
     cell_size: float = 50000.0,
     tol: float = 1.0e-6,
     max_iter: int = 200,
-) -> int:
-    """Adaptive-bandwidth selection by golden-section search over AICc —
-    the reference's ``bw=None`` path (Sel_BW.search, sel_bw.py:113-222;
+) -> float:
+    """Bandwidth selection by golden-section search over AICc — the
+    reference's ``bw=None`` path (Sel_BW.search, sel_bw.py:113-222;
     golden_section, search.py:7-79; AICc per diagnostics.py:9-24 with the
     Gaussian OLS log-likelihood  llf = −n/2·(ln RSS + 1 + ln(2π/n))  and
-    k = tr(S)).  Search interval [40 + 2·n_vars, n] with integer rounding
-    (sel_bw.py:255-281, delta = 0.38197).
+    k = tr(S)).  delta = 0.38197.
+
+    Search interval (sel_bw.py:255-285 _init_section): adaptive →
+    [40 + 2·n_vars, n] with integer rounding; fixed → continuous distances
+    [min_i d_i,nn / 2, diameter / 2] with nn = 40 + 2·n_vars (d_i,nn =
+    distance to the nn-th neighbor including self).
 
     Each candidate evaluation is one distributed GWR pass; evaluations are
-    memoized, so the driver loop issues ~O(log) distinct Spark jobs.
+    memoized, so the driver loop issues ~O(log) distinct Spark jobs, and
+    each pass unpersists its ring-join blocks (storage stays flat).
     """
     import math
 
     data = points.na.drop(subset=[dep_var, *ind_vars]).cache()
     n_rows = data.count()
     n_vars = len(ind_vars) + 1
+    int_score = not fixed
 
-    cache: dict[int, float] = {}
+    cache: dict[float, float] = {}
 
     def aicc(bw_f: float) -> float:
-        bw = int(round(bw_f))
-        bw = max(n_vars + 2, min(bw, n_rows))
+        if int_score:
+            bw = float(max(n_vars + 2, min(int(round(bw_f)), n_rows)))
+        else:
+            bw = float(bw_f)
         if bw not in cache:
-            n, trs, rss = _fit_stats(data, dep_var, ind_vars, bw, cell_size)
+            n, trs, rss = _fit_stats(data, dep_var, ind_vars, bw, cell_size,
+                                     fixed=fixed, kernel=kernel)
             llf = -n / 2.0 * (math.log(rss) + 1.0 + math.log(2.0 * math.pi / n))
             cache[bw] = -2.0 * llf + 2.0 * n * (trs + 1.0) / (n - trs - 2.0)
         return cache[bw]
 
     delta = 0.38197
-    a, c = float(40 + 2 * n_vars), float(n_rows)
+    if int_score:
+        a, c = float(40 + 2 * n_vars), float(n_rows)
+    else:
+        nn = min(40 + 2 * n_vars, n_rows)
+        pts_xy = data.select("id", "x", "y")
+        registry: list = []
+        nn_edges = knn_join(pts_xy, pts_xy, k=nn, cell_size=cell_size,
+                            domain_span=float("inf"),
+                            persist_registry=registry)
+        a = float(
+            nn_edges.groupBy("id").agg(F.max("d2").alias("m"))
+            .agg(F.min(F.sqrt("m"))).collect()[0][0]
+        ) / 2.0
+        for df in registry:
+            df.unpersist()
+        c = _point_set_diameter(data) / 2.0
     b = a + delta * abs(c - a)
     d = c - delta * abs(c - a)
     opt_val, diff, iters = b, 1.0e9, 0
     while abs(diff) > tol and iters < max_iter:
         iters += 1
-        b, d = round(b), round(d)
+        if int_score:
+            b, d = round(b), round(d)
         score_b, score_d = aicc(b), aicc(d)
         if score_b <= score_d:
             opt_val = b
@@ -450,6 +645,6 @@ def gwr_select_bw(
             b = d
             d = c - delta * abs(c - a)
         diff = score_b - score_d
-        if round(b) == round(d):
+        if int_score and round(b) == round(d):
             break
-    return int(round(opt_val))
+    return int(round(opt_val)) if int_score else float(opt_val)

@@ -95,12 +95,14 @@ def knn_edges(
     cell_size: float = 1.0,
     initial_ring: int = 1,
     domain_span: float = 360.0,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Exact kNN edge list ``(id, nbr, d2, rank)`` for a point DataFrame
     against itself (self-pairs excluded), matching the reference's kNN
     neighbor query semantics."""
     pts = _norm_points(df, id_col, x, y, cell_size)
-    return _knn_loop(pts, pts, k, cell_size, initial_ring, domain_span, True)
+    return _knn_loop(pts, pts, k, cell_size, initial_ring, domain_span, True,
+                     persist_registry=persist_registry)
 
 
 def knn_join(
@@ -114,13 +116,15 @@ def knn_join(
     cell_size: float = 1.0,
     initial_ring: int = 1,
     domain_span: float = 360.0,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Bipartite exact kNN: for each left point, its k nearest right points
     → (id, nbr, d2, rank).  Used by IDW interpolation and gravity-style
     candidate generation."""
     lpts = _norm_points(left, id_col, x, y, cell_size)
     rpts = _norm_points(right, id_col, x, y, cell_size)
-    return _knn_loop(lpts, rpts, k, cell_size, initial_ring, domain_span, False)
+    return _knn_loop(lpts, rpts, k, cell_size, initial_ring, domain_span, False,
+                     persist_registry=persist_registry)
 
 
 def _brute_topk(left: DataFrame, rpts: DataFrame, k: int,
@@ -156,8 +160,11 @@ def _knn_loop(
     domain_span: float,
     exclude_self: bool,
     max_ring: int = 8,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     rpts.cache()
+    if persist_registry is not None:
+        persist_registry.append(rpts)
 
     resolved_parts: list[DataFrame] = []
     unresolved = lpts
@@ -175,13 +182,14 @@ def _knn_loop(
         ok = (F.col("knn_cnt") >= k) & (F.col("knn_maxd2") <= F.lit(guarantee))
         # persist: the convergence check below executes this ring's top-k;
         # without it the final union would re-run the candidate join a
-        # second time (MEMORY_AND_DISK — spill-safe at scale).  Persisted
-        # blocks are released by LRU eviction, not explicitly: the caller
+        # second time (MEMORY_AND_DISK — spill-safe at scale).  The caller
         # may still be consuming the returned (lazy) union, so there is no
-        # safe unpersist point inside this function — heavy repeat callers
-        # (e.g. bandwidth search) should spark.catalog.clearCache() between
-        # rounds if storage pressure shows up
+        # safe unpersist point inside this function; heavy repeat callers
+        # (e.g. the GWR bandwidth search) pass ``persist_registry`` and
+        # unpersist the collected blocks once the result is materialized.
         done = topk.where(ok).select("id", "nbr", "d2", "rank").persist()
+        if persist_registry is not None:
+            persist_registry.append(done)
         resolved_parts.append(done)
         # ids not fully resolved this pass — including points with zero
         # candidates in the ring (absent from topk entirely)
