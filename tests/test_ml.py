@@ -107,3 +107,51 @@ def test_segmentation_imputes_nan(spark):
         train, "target", ["m1", "m2"], predict, n_estimators=5
     ).collect()
     assert len(out) == 1 and np.isfinite(out[0]["prediction"])
+
+
+def test_segmentation_auto_features(spark):
+    """feature_cols=None discovers every non-target, non-id column
+    (05_segmentation.sql:61-63)."""
+    train = spark.createDataFrame(
+        [(i, float(i % 7), float(i), float(2 * i)) for i in range(60)],
+        "id long, target double, m1 double, m2 double",
+    )
+    predict = spark.createDataFrame(
+        [(100, 3.0, 6.0)], "id long, m1 double, m2 double"
+    )
+    auto = create_and_predict_segment(
+        train, "target", None, predict, n_estimators=5
+    ).collect()
+    explicit = create_and_predict_segment(
+        train, "target", ["m1", "m2"], predict, n_estimators=5
+    ).collect()
+    assert auto[0]["prediction"] == explicit[0]["prediction"]
+
+
+def test_kmeans_lloyd_matches_numpy_and_parallelism(spark):
+    """Deterministic Lloyd: bit-identical to a direct numpy run of the same
+    spec, and invariant to input partitioning."""
+    from crankshaft_spark.operators.kmeans import kmeans_lloyd
+
+    rows = [(i, float((i * 97) % 113), float((i * 31) % 71)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+
+    got = {r["id"]: r["cluster"]
+           for r in kmeans_lloyd(df, k=6, iters=4).collect()}
+    got_repart = {r["id"]: r["cluster"]
+                  for r in kmeans_lloyd(df.repartition(17), k=6, iters=4).collect()}
+    assert got == got_repart
+
+    # direct numpy replication of the documented spec
+    pts = np.array([(x, y) for _, x, y in rows])
+    centers = pts[:6].copy()  # ids 0..5 are the k lowest
+    for _ in range(4):
+        d2 = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        lab = d2.argmin(axis=1)  # argmin takes lowest index on ties
+        for c in range(6):
+            if (lab == c).any():
+                centers[c] = pts[lab == c].mean(axis=0)
+    d2 = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    lab = d2.argmin(axis=1)
+    for i, (rid, _, _) in enumerate(rows):
+        assert got[rid] == lab[i], rid
