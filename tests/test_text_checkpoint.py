@@ -103,3 +103,44 @@ def test_stage_runner_token_invalidation(spark, tmp_path):
     assert calls == ["a", "c"]
     assert out3.select("tag").distinct().collect()[0][0] == "c"
     assert r3.metrics["s"]["resumed"] is False
+
+
+def test_prefix_filter_candidates_shrink_and_lossless(spark):
+    """A ubiquitous shingle must not generate candidate pairs; the filtered
+    join still finds exactly the brute-force result set."""
+    from itertools import combinations
+
+    from crankshaft_spark.operators.text import (
+        _prefix_candidates, ngram_jaccard_pairs, shingles,
+    )
+
+    # every doc shares the ' the' shingle; only consecutive docs are similar
+    base = "abcdefghijklmnopqrstuvwxyz0123456789"
+    rows = [
+        (i, " the " + base[i % 18: i % 18 + 14] + f" the end {i % 4}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.3
+
+    sh = shingles(docs, n=4)
+    naive_pairs = (
+        sh.selectExpr("doc_id as a", "sh")
+        .join(sh.selectExpr("doc_id as b", "sh"), "sh")
+        .where("a < b").select("a", "b").distinct().count()
+    )
+    pref_pairs = _prefix_candidates(sh, t).count()
+    assert pref_pairs < naive_pairs, (pref_pairs, naive_pairs)
+
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, n=4, threshold=t).collect()}
+
+    # brute force on the driver
+    sets = {i: {txt[j:j + 4] for j in range(len(txt) - 3)} for i, txt in rows}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if j >= t:
+            want[(a, b)] = round(j, 6)
+    assert got == want
