@@ -66,59 +66,138 @@ def interpolate_idw(
     )
 
 
+def _bary_eval(pts, vals, tris, px, py):
+    """Vectorized containing-triangle lookup + barycentric blend.
+    Returns est array with NaN for points outside the TIN hull."""
+    import numpy as np
+
+    a = pts[tris[:, 0]]
+    b = pts[tris[:, 1]]
+    c = pts[tris[:, 2]]
+    det = (b[:, 1] - c[:, 1]) * (a[:, 0] - c[:, 0]) + \
+          (c[:, 0] - b[:, 0]) * (a[:, 1] - c[:, 1])
+    det = np.where(np.abs(det) < 1e-300, 1e-300, det)
+    # barycentric coords of every point in every triangle: (n, m)
+    w1 = ((b[:, 1] - c[:, 1])[None, :] * (px[:, None] - c[:, 0][None, :])
+          + (c[:, 0] - b[:, 0])[None, :] * (py[:, None] - c[:, 1][None, :])) / det[None, :]
+    w2 = ((c[:, 1] - a[:, 1])[None, :] * (px[:, None] - c[:, 0][None, :])
+          + (a[:, 0] - c[:, 0])[None, :] * (py[:, None] - c[:, 1][None, :])) / det[None, :]
+    w3 = 1.0 - w1 - w2
+    eps = -1e-9
+    inside = (w1 >= eps) & (w2 >= eps) & (w3 >= eps)
+    est = np.full(len(px), np.nan)
+    hit = inside.any(axis=1)
+    ti = np.argmax(inside, axis=1)
+    v = (w1[np.arange(len(px)), ti] * vals[tris[ti, 0]]
+         + w2[np.arange(len(px)), ti] * vals[tris[ti, 1]]
+         + w3[np.arange(len(px)), ti] * vals[tris[ti, 2]])
+    est[hit] = v[hit]
+    return est
+
+
 def interpolate_barycentric(
     targets: DataFrame,
     samples: DataFrame,
     *,
     value_col: str = "value",
+    tile_size: float | str | None = None,
 ) -> DataFrame:
     """(id, est) — barycentric interpolation on the Delaunay TIN of the
     samples; targets outside the TIN hull get NULL (the reference's
     containing-triangle lookup, 08_interpolation.sql:71-96).
 
-    ``samples`` must be a bounded set (the reference takes it as a SQL
-    array); it is collected once, triangulated on the driver, and broadcast.
+    ``tile_size=None`` (reference-parity path): ``samples`` is a bounded
+    set (the reference takes it as a SQL array); it is collected once,
+    triangulated on the driver, and broadcast — O(n²) triangulation, only
+    for genuinely bounded sample arrays.
+
+    ``tile_size`` set (scale path): targets are grouped per grid tile and
+    each tile triangulates only the samples of its 3×3 tile neighborhood
+    inside ``applyInPandas`` — the Voronoi/tile pattern.  The one-tile pad
+    makes the local TIN agree with the global one wherever the containing
+    triangle's vertices fall within a tile of the target (everywhere, at
+    sample densities ≫ 1/tile); targets whose padded neighborhood has < 3
+    samples get NULL.  Per-group work is bounded by the tile population, so
+    the O(n²) Bowyer–Watson never sees the full sample set.
     """
     import numpy as np
     import pandas as pd
 
     from crankshaft_spark.functions.geom import delaunay
 
-    rows = samples.select("x", "y", value_col).collect()
-    pts = np.array([[r[0], r[1]] for r in rows], dtype=float)
-    vals = np.array([r[2] for r in rows], dtype=float)
-    tris = delaunay(pts)
-    spark = targets.sparkSession
-    bc = spark.sparkContext.broadcast((pts, vals, tris))
-
     schema = "id long, est double"
 
-    def run(pdfs):
-        bpts, bvals, btris = bc.value
-        a = bpts[btris[:, 0]]
-        b = bpts[btris[:, 1]]
-        c = bpts[btris[:, 2]]
-        det = (b[:, 1] - c[:, 1]) * (a[:, 0] - c[:, 0]) + \
-              (c[:, 0] - b[:, 0]) * (a[:, 1] - c[:, 1])
-        det = np.where(np.abs(det) < 1e-300, 1e-300, det)
-        for pdf in pdfs:
-            px = pdf["x"].to_numpy()
-            py = pdf["y"].to_numpy()
-            # barycentric coords of every point in every triangle: (n, m)
-            w1 = ((b[:, 1] - c[:, 1])[None, :] * (px[:, None] - c[:, 0][None, :])
-                  + (c[:, 0] - b[:, 0])[None, :] * (py[:, None] - c[:, 1][None, :])) / det[None, :]
-            w2 = ((c[:, 1] - a[:, 1])[None, :] * (px[:, None] - c[:, 0][None, :])
-                  + (a[:, 0] - c[:, 0])[None, :] * (py[:, None] - c[:, 1][None, :])) / det[None, :]
-            w3 = 1.0 - w1 - w2
-            eps = -1e-9
-            inside = (w1 >= eps) & (w2 >= eps) & (w3 >= eps)
-            est = np.full(len(px), np.nan)
-            hit = inside.any(axis=1)
-            ti = np.argmax(inside, axis=1)
-            v = (w1[np.arange(len(px)), ti] * bvals[btris[ti, 0]]
-                 + w2[np.arange(len(px)), ti] * bvals[btris[ti, 1]]
-                 + w3[np.arange(len(px)), ti] * bvals[btris[ti, 2]])
-            est[hit] = v[hit]
-            yield pd.DataFrame({"id": pdf["id"], "est": est})
+    if tile_size == "auto":
+        # size tiles so a padded 3x3 neighborhood holds ~TARGET samples:
+        # keeps per-group Bowyer-Watson cost flat as density scales, and
+        # keeps sparse inputs from fragmenting into sample-starved tiles
+        TARGET = 64.0
+        ext = samples.agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y"), F.count("*")
+        ).collect()[0]
+        n = ext[4]
+        area = max((ext[1] - ext[0]) * (ext[3] - ext[2]), 1e-12)
+        if n < 500:
+            tile_size = None          # bounded set: driver-global path
+        else:
+            tile_size = float(np.sqrt(TARGET * area / (9.0 * n)))
 
-    return targets.select("id", "x", "y").mapInPandas(run, schema=schema)
+    if tile_size is None:
+        rows = samples.select("x", "y", value_col).collect()
+        pts = np.array([[r[0], r[1]] for r in rows], dtype=float)
+        vals = np.array([r[2] for r in rows], dtype=float)
+        tris = delaunay(pts)
+        spark = targets.sparkSession
+        bc = spark.sparkContext.broadcast((pts, vals, tris))
+
+        def run(pdfs):
+            bpts, bvals, btris = bc.value
+            for pdf in pdfs:
+                est = _bary_eval(bpts, bvals, btris,
+                                 pdf["x"].to_numpy(), pdf["y"].to_numpy())
+                yield pd.DataFrame({"id": pdf["id"], "est": est})
+
+        return targets.select("id", "x", "y").mapInPandas(run, schema=schema)
+
+    from crankshaft_spark.functions.cells import cell_expr, ring_cells_expr
+
+    tgt = targets.select(
+        F.col("id"), F.col("x").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+        cell_expr(F.col("x"), F.col("y"), tile_size).alias("tcell"),
+        F.lit(0).alias("role"), F.lit(0.0).alias("v"),
+    )
+    smp = samples.select(
+        F.lit(-1).cast("long").alias("id"),
+        F.col("x").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+        F.explode(
+            ring_cells_expr(cell_expr(F.col("x"), F.col("y"), tile_size), 1)
+        ).alias("tcell"),
+        F.lit(1).alias("role"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+
+    def run_tile(key, pdf):
+        t = pdf[pdf["role"] == 0]
+        if len(t) == 0:
+            return pd.DataFrame({"id": [], "est": []}).astype(
+                {"id": "int64", "est": "float64"}
+            )
+        s = pdf[pdf["role"] == 1]
+        if len(s) < 3:
+            return pd.DataFrame({"id": t["id"], "est": np.nan})
+        pts = s[["x", "y"]].to_numpy(dtype=float)
+        vals = s["v"].to_numpy(dtype=float)
+        tris = delaunay(pts)
+        if len(tris) == 0:
+            return pd.DataFrame({"id": t["id"], "est": np.nan})
+        est = _bary_eval(pts, vals, tris,
+                         t["x"].to_numpy(), t["y"].to_numpy())
+        return pd.DataFrame({"id": t["id"], "est": est})
+
+    return (
+        tgt.unionByName(smp)
+        .groupBy("tcell")
+        .applyInPandas(run_tile, schema=schema)
+    )

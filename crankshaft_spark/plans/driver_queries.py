@@ -1171,7 +1171,7 @@ def q_interp_bary(spark, sf_dir):
 
     src = customer_points(spark, sf_dir)
     tgt = supplier_points(spark, sf_dir)
-    res = interpolate_barycentric(tgt, src)
+    res = interpolate_barycentric(tgt, src, tile_size="auto")
     return res.select("id", F.round("est", 6).alias("est"))
 
 

@@ -176,3 +176,33 @@ def test_contour_wkt_regions(spark):
     for r in out:
         assert r["geom_wkt"].startswith("MULTIPOLYGON ((")
         assert r["geom_wkt"].count("((") == r["n_cells"]
+
+
+def test_barycentric_tiled_matches_global(spark):
+    """The tiled (applyInPandas per 3x3 tile neighborhood) path agrees with
+    the driver-global TIN at sample densities >> 1/tile, and reproduces a
+    linear field exactly (any containing triangle of a Delaunay of the
+    samples interpolates a linear field exactly, so local/global TIN
+    disagreement cannot change the estimate)."""
+    rng = np.random.RandomState(11)
+    sp = rng.uniform(0, 40, size=(400, 2))
+    samples = spark.createDataFrame(
+        [(i, float(x), float(y), float(0.5 * x - 2.0 * y + 3.0))
+         for i, (x, y) in enumerate(sp)],
+        "id long, x double, y double, value double",
+    )
+    tp = rng.uniform(2, 38, size=(50, 2))
+    targets = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(tp)],
+        "id long, x double, y double",
+    )
+    glob = {r["id"]: r["est"] for r in
+            interpolate_barycentric(targets, samples).collect()}
+    tiled = {r["id"]: r["est"] for r in
+             interpolate_barycentric(targets, samples, tile_size=8.0).collect()}
+    assert set(glob) == set(tiled)
+    for i in glob:
+        if glob[i] is None or np.isnan(glob[i]):
+            assert tiled[i] is None or np.isnan(tiled[i]), i
+        else:
+            assert abs(tiled[i] - glob[i]) < 1e-9, i
