@@ -116,20 +116,7 @@ def headtails_bins(df: DataFrame, *, value_col: str = "value",
     return spark.createDataFrame(out, "bin int, break_value double")
 
 
-def _gvf_jenks(values, breaks: int):
-    """Driver-side Jenks natural-breaks refinement (numpy, deterministic).
-
-    Seeded from quantile edges, then greedy boundary hill-climb on GVF —
-    same objective as the reference's shuffle loop (cdb_utils.sql:310-402)
-    with a deterministic neighborhood search instead of seeded random
-    shuffles (divergence documented; the reference itself only asserts its
-    Jenks output through rounded regression goldens).
-    """
-    import numpy as np
-
-    v = np.sort(np.asarray(values, dtype=float))
-    n = len(v)
-    # initial boundaries: indices of quantile edges
+def _quantile_start(n: int, breaks: int) -> list[int]:
     bounds = [int(round(n * i / breaks)) for i in range(1, breaks)]
     bounds = sorted(set(min(max(b, 1), n - 1) for b in bounds))
     while len(bounds) < breaks - 1:
@@ -138,6 +125,26 @@ def _gvf_jenks(values, breaks: int):
                 bounds.append(cand)
                 break
         bounds.sort()
+    return bounds
+
+
+def _gvf_jenks(values, breaks: int, *, max_search: int = 50,
+               start: list[int] | None = None):
+    """Driver-side Jenks natural-breaks refinement (numpy, deterministic).
+
+    Seeded from quantile edges (or ``start`` boundary indices), then greedy
+    boundary hill-climb on GVF for at most ``max_search`` sweeps — the same
+    objective as the reference's shuffle loop (cdb_utils.sql:310-402,
+    maximizing SDAM − Σ class SSD ≡ minimizing Σ class SSD) with a
+    deterministic neighborhood search instead of seeded random shuffles
+    (divergence documented; the reference itself only asserts its Jenks
+    output through rounded regression goldens).  Returns (bounds, ssd).
+    """
+    import numpy as np
+
+    v = np.sort(np.asarray(values, dtype=float))
+    n = len(v)
+    bounds = list(start) if start is not None else _quantile_start(n, breaks)
 
     def sdam_segments(bs):
         edges = [0] + list(bs) + [n]
@@ -151,7 +158,7 @@ def _gvf_jenks(values, breaks: int):
     best = sdam_segments(bounds)
     improved = True
     it = 0
-    while improved and it < 50:
+    while improved and it < max_search:
         improved = False
         it += 1
         for bi in range(len(bounds)):
@@ -165,23 +172,51 @@ def _gvf_jenks(values, breaks: int):
                 s = sdam_segments(cand)
                 if s < best - 1e-12:
                     best, bounds, improved = s, cand, True
-    edges = [float(v[b - 1]) for b in bounds] + [float(v[-1])]
-    return edges
+    return bounds, best
 
 
 def jenks_bins(df: DataFrame, *, value_col: str = "value",
-               breaks: int = 5) -> DataFrame:
+               breaks: int = 5, iterations: int = 5,
+               invert: bool = False, seed: int = 4567) -> DataFrame:
+    """CDB_JenksBins(in_array, breaks, iterations, invert)
+    (cdb_utils.sql:199-302).
+
+    ``iterations``: 1 quantile-seeded start + (iterations−1) seeded random
+    restarts, best GVF wins — mirroring the reference's setseed(0.4567)
+    restart loop; the per-start search budget follows its shuffles formula
+    min(max(⌊2.5e6/(n·iterations)⌋, 1), 750).  ``invert``: report each
+    class's LOWER boundary value (in_array[classes[i][1]], side=1) instead
+    of the default upper boundary (side=2, cdb_utils.sql:391-398).
+    Deterministic for a given seed at any parallelism.
+    """
+    import numpy as np
+
     n = df.where(F.col(value_col).isNotNull()).count()
     if n > JENKS_EXACT_LIMIT:
         # reference policy: bail out to quantiles at scale
         return quantile_bins(df, value_col=value_col, breaks=breaks)
-    vals = [
+    vals = sorted(
         r[0]
         for r in df.select(F.col(value_col)).where(
             F.col(value_col).isNotNull()
         ).collect()
-    ]
-    edges = _gvf_jenks(vals, breaks)
+    )
+    iterations = max(1, int(iterations))
+    max_search = int(min(max(2500000.0 // max(n * iterations, 1), 1), 750))
+    best_bounds, best_ssd = _gvf_jenks(vals, breaks, max_search=max_search)
+    rng = np.random.RandomState(seed)
+    for _ in range(iterations - 1):
+        tops: set[int] = set()
+        while len(tops) < breaks - 1:
+            tops.add(int(rng.randint(1, max(n, 2))))
+        b, s = _gvf_jenks(vals, breaks, max_search=max_search,
+                          start=sorted(tops))
+        if s < best_ssd - 1e-12:
+            best_bounds, best_ssd = b, s
+    if invert:
+        edges = [float(vals[0])] + [float(vals[b]) for b in best_bounds]
+    else:
+        edges = [float(vals[b - 1]) for b in best_bounds] + [float(vals[-1])]
     spark = df.sparkSession
     return spark.createDataFrame(
         [(i + 1, e) for i, e in enumerate(edges)], "bin int, break_value double"

@@ -116,3 +116,41 @@ def test_weighted_mean_center(spark):
     assert res[1] == (pytest.approx(7.5), pytest.approx(7.5))
     assert res[2] == (pytest.approx(4.0), pytest.approx(-2.0))
     assert math.isfinite(res[1][0])
+
+
+def test_jenks_invert_and_iterations(vdf):
+    """invert returns each class's LOWER boundary (first = min value); the
+    GVF of the default result never worsens as iterations grow; both knobs
+    are deterministic."""
+    lo = [r["break_value"] for r in
+          jenks_bins(vdf, breaks=3, invert=True).orderBy("bin").collect()]
+    hi = [r["break_value"] for r in
+          jenks_bins(vdf, breaks=3).orderBy("bin").collect()]
+    assert len(lo) == 3 and lo[0] == min(VALS)
+    # lower boundary of class i+1 is the next sorted value after class i's
+    # upper boundary — so each lo must be <= its hi and the zips interleave
+    assert all(a <= b for a, b in zip(lo, hi))
+    sv = sorted(VALS)
+    for b_lo, b_hi in zip(lo[1:], hi[:-1]):
+        assert sv.index(b_lo) == len(sv) - 1 - sv[::-1].index(b_hi) + 1
+
+    def ssd_of(edges):
+        groups, cur = [], []
+        it = iter(sorted(VALS))
+        for v in it:
+            cur.append(v)
+            if v >= edges[len(groups)] and len(groups) < len(edges) - 1:
+                groups.append(cur); cur = []
+        groups.append(cur)
+        return sum(
+            sum((x - sum(g) / len(g)) ** 2 for x in g) for g in groups if g
+        )
+
+    one = [r["break_value"] for r in
+           jenks_bins(vdf, breaks=3, iterations=1).orderBy("bin").collect()]
+    ten = [r["break_value"] for r in
+           jenks_bins(vdf, breaks=3, iterations=10).orderBy("bin").collect()]
+    assert ssd_of(ten) <= ssd_of(one) + 1e-9
+    again = [r["break_value"] for r in
+             jenks_bins(vdf, breaks=3, iterations=10).orderBy("bin").collect()]
+    assert ten == again
