@@ -56,13 +56,21 @@ def point_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarra
 
 def point_seg_dist(px: np.ndarray, py: np.ndarray,
                    ax: float, ay: float, bx: float, by: float) -> np.ndarray:
-    """Distance from points to one segment (vectorized over points)."""
+    """Distance from points to one segment (vectorized over points).
+
+    sqrt(ex*ex + ey*ey) rather than np.hypot: hypot's scaling algorithm
+    differs from SQL sqrt in ulps, and the PIA oracle
+    (operators/geometry.py pia_oracle_sql) mirrors this exact operand
+    order so both engines produce bit-identical distances."""
     dx, dy = bx - ax, by - ay
     den = dx * dx + dy * dy
     if den == 0:
-        return np.hypot(px - ax, py - ay)
+        ex0, ey0 = px - ax, py - ay
+        return np.sqrt(ex0 * ex0 + ey0 * ey0)
     t = np.clip(((px - ax) * dx + (py - ay) * dy) / den, 0.0, 1.0)
-    return np.hypot(px - (ax + t * dx), py - (ay + t * dy))
+    ex = px - (ax + t * dx)
+    ey = py - (ay + t * dy)
+    return np.sqrt(ex * ex + ey * ey)
 
 
 def dist_to_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:

@@ -61,14 +61,13 @@ def _polylabel(ring: np.ndarray, tolerance: float) -> tuple[float, float, float]
         return cx, cy, 0.0
     h = size / 2.0
     # seed while cell-left < max so the last (overhanging) cell covers the
-    # strip at the bbox's max edges — arange stopping at xmax/ymax left up
-    # to h of the polygon uncovered and subdivision never expands coverage
-    xs = np.arange(xmin + h, xmax + h, 2 * h)
-    ys = np.arange(ymin + h, ymax + h, 2 * h)
-    if len(xs) == 0:
-        xs = np.array([(xmin + xmax) / 2.0])
-    if len(ys) == 0:
-        ys = np.array([(ymin + ymax) / 2.0])
+    # strip at the bbox's max edges.  Grid coords are the explicit
+    # closed-form (xmin + h) + k·(2h) — NOT np.arange — so the DuckDB
+    # oracle (pia_oracle_sql) reproduces every cell center bit-for-bit.
+    nx = max(int(np.ceil(((xmax + h) - (xmin + h)) / (2 * h))), 1)
+    ny = max(int(np.ceil(((ymax + h) - (ymin + h)) / (2 * h))), 1)
+    xs = (xmin + h) + np.arange(nx) * (2 * h)
+    ys = (ymin + h) + np.arange(ny) * (2 * h)
     gx, gy = np.meshgrid(xs, ys)
     cells = [(float(x), float(y), h) for x, y in zip(gx.ravel(), gy.ravel())]
 
@@ -115,6 +114,130 @@ def pia(polys: DataFrame, *, tolerance: float = 1e-6) -> DataFrame:
             yield pd.DataFrame(rows, columns=["poly_id", "x", "y", "dist"])
 
     return polys.select("poly_id", "xs", "ys").mapInPandas(run, schema=schema)
+
+
+def pia_oracle_sql(
+    polygons: list[tuple[int, list[tuple[float, float]]]],
+    *,
+    tolerance: float = 1e-3,
+    round_dp: int = 4,
+) -> str:
+    """ANSI-SQL (DuckDB) mirror of ``pia``: the identical level-synchronous
+    polylabel quadtree as a recursive CTE.
+
+    Bit-for-bit parity with ``_polylabel`` + functions.geom: same grid-seed
+    closed form (xmin+h) + k·(2h), same signed distance (sqrt-based
+    point_seg_dist operand order, even-odd ray cast with the 1e-300 dy
+    guard), same pruning bound d + h·√2/2 − best > tol with best carried as
+    greatest(prev, level max) per polygon, and the same winner tie-break —
+    max d, then earliest (level, cell ordinal), centroid seeded at level −1
+    (numpy argmax-first + strict-> update semantics).
+    """
+    def sd(px: str, py: str) -> str:
+        jn = "(CASE WHEN j = g.m THEN 1 ELSE j + 1 END)"
+        dxe = f"(g.xs[{jn}] - g.xs[j])"
+        dye = f"(g.ys[{jn}] - g.ys[j])"
+        den = f"({dxe}*{dxe} + {dye}*{dye})"
+        t = (f"least(greatest((({px} - g.xs[j])*{dxe} + "
+             f"({py} - g.ys[j])*{dye}) / {den}, 0.0), 1.0)")
+        ex = f"({px} - (g.xs[j] + {t}*{dxe}))"
+        ey = f"({py} - (g.ys[j] + {t}*{dye}))"
+        seg = (f"(CASE WHEN {den} = 0.0 THEN "
+               f"sqrt(({px} - g.xs[j])*({px} - g.xs[j]) + "
+               f"({py} - g.ys[j])*({py} - g.ys[j])) "
+               f"ELSE sqrt({ex}*{ex} + {ey}*{ey}) END)")
+        dmin = f"list_min(list_transform(range(1, g.m + 1), j -> {seg}))"
+        dy0 = f"(CASE WHEN {dye} = 0.0 THEN 1e-300 ELSE {dye} END)"
+        xint = (f"(g.xs[j] + ({py} - g.ys[j])*"
+                f"(g.xs[{jn}] - g.xs[j]) / {dy0})")
+        crossing = (f"(CASE WHEN ((g.ys[j] > {py}) <> (g.ys[{jn}] > {py})) "
+                    f"AND ({px} < {xint}) THEN 1 ELSE 0 END)")
+        inside = (f"((list_sum(list_transform(range(1, g.m + 1), "
+                  f"j -> {crossing})) % 2) = 1)")
+        return f"(CASE WHEN {inside} THEN {dmin} ELSE -{dmin} END)"
+
+    prows = []
+    for pid, ring in polygons:
+        xs = "[" + ", ".join(repr(float(p[0])) for p in ring) + "]"
+        ys = "[" + ", ".join(repr(float(p[1])) for p in ring) + "]"
+        prows.append(f"({pid}, {xs}, {ys})")
+
+    jn = "(CASE WHEN j = g.m THEN 1 ELSE j + 1 END)"
+    cross_j = f"(g.xs[j]*g.ys[{jn}] - g.xs[{jn}]*g.ys[j])"
+    a_expr = f"(list_sum(list_transform(range(1, g.m + 1), j -> {cross_j})) / 2.0)"
+    cx = (f"(list_sum(list_transform(range(1, g.m + 1), j -> "
+          f"(g.xs[j] + g.xs[{jn}])*{cross_j})) / (6.0 * {a_expr}))")
+    cy = (f"(list_sum(list_transform(range(1, g.m + 1), j -> "
+          f"(g.ys[j] + g.ys[{jn}])*{cross_j})) / (6.0 * {a_expr}))")
+
+    child_x = "(q.x + ch.sx * (q.h / 2.0))"
+    child_y = "(q.y + ch.sy * (q.h / 2.0))"
+    sd_child = sd(child_x, child_y)
+    tol = repr(float(tolerance))
+
+    return f"""
+    WITH RECURSIVE polys(pid, xs, ys) AS (VALUES {", ".join(prows)}),
+    geo AS (
+      SELECT pid, CAST(xs AS DOUBLE[]) AS xs, CAST(ys AS DOUBLE[]) AS ys,
+             len(xs) AS m,
+             list_min(xs) AS xmin, list_max(xs) AS xmax,
+             list_min(ys) AS ymin, list_max(ys) AS ymax
+      FROM polys
+    ),
+    dims AS (
+      SELECT *,
+        greatest(CAST(ceil(((xmax + h) - (xmin + h)) / (2 * h)) AS BIGINT), 1) AS nx,
+        greatest(CAST(ceil(((ymax + h) - (ymin + h)) / (2 * h)) AS BIGINT), 1) AS ny
+      FROM (SELECT *, least(xmax - xmin, ymax - ymin) / 2.0 AS h FROM geo)
+    ),
+    cent AS (SELECT g.pid, {cx} AS x, {cy} AS y FROM geo g),
+    cent_d AS (
+      SELECT c.pid, c.x, c.y, {sd("c.x", "c.y")} AS d
+      FROM cent c JOIN geo g ON g.pid = c.pid
+    ),
+    seed AS (
+      SELECT d.pid, yk * d.nx + xk AS ord,
+             (d.xmin + d.h) + xk * (2 * d.h) AS x,
+             (d.ymin + d.h) + yk * (2 * d.h) AS y,
+             d.h AS h
+      FROM dims d,
+           LATERAL unnest(range(d.nx)) a(xk),
+           LATERAL unnest(range(d.ny)) b(yk)
+    ),
+    seed_d AS (
+      SELECT s.pid, s.ord, s.x, s.y, s.h, {sd("s.x", "s.y")} AS d
+      FROM seed s JOIN geo g ON g.pid = s.pid
+    ),
+    q AS (
+      SELECT s.pid, 0 AS lvl, s.ord, s.x, s.y, s.h, s.d,
+             greatest(c.d, max(s.d) OVER (PARTITION BY s.pid)) AS best
+      FROM seed_d s JOIN cent_d c ON c.pid = s.pid
+      UNION ALL
+      SELECT q.pid, q.lvl + 1 AS lvl, q.ord * 4 + ch.k AS ord,
+             {child_x} AS x, {child_y} AS y, q.h / 2.0 AS h,
+             {sd_child} AS d,
+             greatest(q.best, max({sd_child}) OVER (PARTITION BY q.pid)) AS best
+      FROM q
+      JOIN geo g ON g.pid = q.pid
+      JOIN (VALUES (0, CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)),
+                   (1, CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)),
+                   (2, CAST(-1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+                   (3, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+           ch(k, sx, sy) ON true
+      WHERE q.d + q.h * sqrt(2.0) / 2.0 - q.best > {tol}
+    ),
+    cand AS (
+      SELECT pid, lvl, ord, x, y, d FROM q
+      UNION ALL
+      SELECT pid, -1 AS lvl, 0 AS ord, x, y, d FROM cent_d
+    )
+    SELECT pid AS poly_id, round(x, {round_dp}) AS x,
+           round(y, {round_dp}) AS y, round(d, {round_dp}) AS dist
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY pid ORDER BY d DESC, lvl ASC, ord ASC
+      ) AS rk FROM cand
+    ) WHERE rk = 1"""
 
 
 # ------------------------------------------------------------- voronoi ------
@@ -242,44 +365,128 @@ def dot_density(
     *,
     points_col: str = "no_points",
     seed: int = 1234,
-    max_iter_per_point: int = 1000,
+    max_iter_per_point: int = 64,
 ) -> DataFrame:
-    """cdb_dot_density per polygon → (poly_id, x, y), ``no_points`` rows.
+    """cdb_dot_density per polygon → (poly_id, x, y), up to ``no_points``
+    rows (fewer only if the attempt budget runs dry, like the reference's
+    max_iter cap, 30_dot_density.sql:13-54).
 
-    Seeded rejection sampling in the bbox with ray-cast acceptance; the
-    per-polygon RNG derives from (seed, poly_id), so results are identical
-    at any parallelism (the reference's random chords, 30_dot_density.sql:
-    27-48, are equally non-uniform per iteration — distribution parity is
-    statistical, count parity exact).
+    Pure column algebra — NO Python stage: attempt j ∈ [0, npts·max_iter)
+    draws a bbox point from the portable hash RNG
+    u = int(md5(seed:poly_id:j:axis)[:8]) / 2³², tests it with the same
+    JVM crossing-parity aggregate as the PIP join (pip.py:151-162), and the
+    first ``npts`` accepted attempts (by attempt index) win.  Per-row
+    derivation from (seed, poly_id, j) makes results bit-identical at any
+    parallelism AND reproducible in ANSI SQL (dot_density_oracle_sql) —
+    the reference's random chords (30_dot_density.sql:27-48) are equally
+    non-uniform per iteration, so distribution parity is statistical while
+    count and containment parity are exact.
     """
-    schema = "poly_id long, x double, y double"
+    from pyspark.sql.window import Window
 
-    def run(pdfs):
-        for pdf in pdfs:
-            out_rows = []
-            for pid, xs, ys, npts in zip(
-                pdf["poly_id"], pdf["xs"], pdf["ys"], pdf[points_col]
-            ):
-                ring = _ring(xs, ys)
-                rng = np.random.RandomState((seed * 1000003 + int(pid)) % (2**32))
-                xmin, ymin = ring.min(axis=0)
-                xmax, ymax = ring.max(axis=0)
-                need = int(npts)
-                tries = 0
-                while need > 0 and tries < max_iter_per_point * int(npts):
-                    m = max(need * 2, 16)
-                    cx = rng.uniform(xmin, xmax, m)
-                    cy = rng.uniform(ymin, ymax, m)
-                    ok = point_in_ring(cx, cy, ring)
-                    for x, y in zip(cx[ok][:need], cy[ok][:need]):
-                        out_rows.append((int(pid), float(x), float(y)))
-                    need -= int(ok.sum())
-                    tries += m
-            yield pd.DataFrame(out_rows, columns=["poly_id", "x", "y"])
-
-    return polys.select("poly_id", "xs", "ys", points_col).mapInPandas(
-        run, schema=schema
+    npts = F.col(points_col).cast("long")
+    att = polys.select(
+        "poly_id", "xs", "ys", npts.alias("_n"),
+        F.explode(
+            F.sequence(F.lit(0), npts * max_iter_per_point - 1)
+        ).alias("i"),
     )
+
+    def u(axis: str):
+        h = F.md5(F.concat_ws(
+            ":", F.lit(str(seed)), F.col("poly_id"), F.col("i"), F.lit(axis)
+        ))
+        return (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+            / F.lit(4294967296.0)
+        )
+
+    xmin, xmax = F.array_min("xs"), F.array_max("xs")
+    ymin, ymax = F.array_min("ys"), F.array_max("ys")
+    att = att.withColumn("x", xmin + u("x") * (xmax - xmin)).withColumn(
+        "y", ymin + u("y") * (ymax - ymin)
+    )
+    m = F.size("xs")
+    px, py = F.col("x"), F.col("y")
+
+    def cross(acc, j):
+        jn = F.when(j == m, F.lit(1)).otherwise(j + 1)
+        x1 = F.element_at(F.col("xs"), j)
+        y1 = F.element_at(F.col("ys"), j)
+        x2 = F.element_at(F.col("xs"), jn)
+        y2 = F.element_at(F.col("ys"), jn)
+        # nested CASE guards the division (ANSI mode) exactly like the
+        # oracle's join condition; operand order matches pip_oracle_sql
+        return acc + F.when(
+            (y1 > py) != (y2 > py),
+            F.when(px < (x2 - x1) * (py - y1) / (y2 - y1) + x1,
+                   F.lit(1)).otherwise(0),
+        ).otherwise(0)
+
+    crossings = F.aggregate(F.sequence(F.lit(1), m), F.lit(0), cross)
+    w = Window.partitionBy("poly_id").orderBy("i")
+    return (
+        att.where(crossings % 2 == 1)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= F.col("_n"))
+        .select("poly_id", "x", "y")
+    )
+
+
+def dot_density_oracle_sql(
+    polygons: list[tuple[int, list[tuple[float, float]]]],
+    npts: dict[int, int],
+    *,
+    seed: int = 1234,
+    max_iter_per_point: int = 64,
+) -> str:
+    """ANSI-SQL (DuckDB) mirror of ``dot_density`` over a pinned polygon
+    list: same hash RNG, same bbox arithmetic, same edge-join parity test,
+    same first-npts-by-attempt-order selection."""
+    prows, erows = [], []
+    for pid, ring in polygons:
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        prows.append(
+            f"({pid}, {min(xs)!r}, {max(xs)!r}, {min(ys)!r}, {max(ys)!r}, "
+            f"{int(npts[pid])})"
+        )
+        for k in range(len(ring)):
+            x1, y1 = ring[k]
+            x2, y2 = ring[(k + 1) % len(ring)]
+            erows.append(f"({pid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    hexu = (
+        "(('0x' || substring(md5('{seed}:' || p.pid || ':' || g.i "
+        "|| ':{ax}'), 1, 8))::BIGINT / 4294967296.0)"
+    )
+    ux = hexu.format(seed=seed, ax="x")
+    uy = hexu.format(seed=seed, ax="y")
+    return f"""
+    WITH polys AS (SELECT * FROM (VALUES {", ".join(prows)})
+                   AS p(pid, xmin, xmax, ymin, ymax, n)),
+    edges AS (SELECT * FROM (VALUES {", ".join(erows)})
+              AS e(pid, ex1, ey1, ex2, ey2)),
+    att AS (
+      SELECT p.pid, g.i, p.n,
+             p.xmin + {ux} * (p.xmax - p.xmin) AS x,
+             p.ymin + {uy} * (p.ymax - p.ymin) AS y
+      FROM polys p, LATERAL unnest(range(p.n * {max_iter_per_point})) AS g(i)
+    ),
+    ins AS (
+      SELECT a.pid, a.i, a.n, any_value(a.x) AS x, any_value(a.y) AS y
+      FROM att a JOIN edges e
+        ON a.pid = e.pid
+       AND ((e.ey1 > a.y) <> (e.ey2 > a.y)
+            AND a.x < (e.ex2 - e.ex1) * (a.y - e.ey1)
+                      / (e.ey2 - e.ey1) + e.ex1)
+      GROUP BY a.pid, a.i, a.n
+      HAVING count(*) % 2 = 1
+    )
+    SELECT pid AS poly_id, x, y FROM (
+      SELECT pid, x, y, n,
+             row_number() OVER (PARTITION BY pid ORDER BY i) AS rk
+      FROM ins
+    ) WHERE rk <= n"""
 
 
 # --------------------------------------------------------- overlap sum ------

@@ -1121,6 +1121,13 @@ def q_pia(spark, sf_dir):
     )
 
 
+def o_pia():
+    from crankshaft_spark.operators.geometry import pia_oracle_sql
+    from crankshaft_spark.sources.admin import admin_polygons
+
+    return pia_oracle_sql(admin_polygons(), tolerance=1e-3, round_dp=4)
+
+
 def q_voronoi(spark, sf_dir):
     from crankshaft_spark.operators.geometry import voronoi
 
@@ -1163,6 +1170,18 @@ def q_dot_density(spark, sf_dir):
     )
     return dot_density(polys, seed=1234).select(
         "poly_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y")
+    )
+
+
+def o_dot_density():
+    from crankshaft_spark.operators.geometry import dot_density_oracle_sql
+    from crankshaft_spark.sources.admin import admin_polygons
+
+    polys = admin_polygons()
+    npts = {pid: pid % 7 + 1 for pid, _ in polys}
+    inner = dot_density_oracle_sql(polys, npts, seed=1234)
+    return (
+        f"SELECT poly_id, round(x, 6) AS x, round(y, 6) AS y FROM ({inner})"
     )
 
 
@@ -1457,6 +1476,8 @@ def oracle_sql() -> dict[str, str]:
         "queen_edges": o_queen_edges(),
         "overlap_sum": o_overlap_sum(),
         "contour_equal": o_contour(),
+        "pia": o_pia(),
+        "dot_density": o_dot_density(),
         "minhash_lsh": o_minhash_lsh(),
         "simhash_pairs": o_simhash_pairs(),
         "fingerprints": o_fingerprints(),
