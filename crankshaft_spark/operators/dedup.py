@@ -197,33 +197,35 @@ def simhash_pairs(
             "narrower bands for larger radii"
         )
     s = simhash(docs, text_col=text_col, n=n, id_col=id_col)
-    chunks = [
-        F.shiftright(F.col("simhash"), 4 * c).bitwiseAND(15).alias(f"c{c}")
-        for c in range(8)
-    ]
-    # total popcount is a cheap necessary condition: hamming(a, b) >=
-    # |popcount(a) - popcount(b)|, so the band join can prune most
-    # candidates JVM-side before the pair dedup (result set unchanged)
-    sc = s.select(id_col, "simhash", F.bit_count("simhash").alias("pc"),
-                  *chunks)
-    left = sc.select(
+    # one exploded (band, key) table + a single composite-key equi shuffle
+    # join, instead of 8 unioned self-joins re-scanning the signature table
+    # 16x (same candidate set; VERDICT r1 perf note).  Total popcount is a
+    # cheap necessary condition: hamming(a, b) >= |popcount(a) -
+    # popcount(b)|, pruning most candidates JVM-side before the pair dedup.
+    banded = s.select(
+        id_col, "simhash", F.bit_count("simhash").alias("pc"),
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), 4 * c).bitwiseAND(15)
+                for c in range(8)
+            ])
+        ).alias("band", "key"),
+    )
+    left = banded.select(
         F.col(id_col).alias("a"), F.col("simhash").alias("ha"),
-        F.col("pc").alias("lpc"),
-        *[F.col(f"c{c}").alias(f"lc{c}") for c in range(8)],
+        F.col("pc").alias("lpc"), "band", "key",
     )
-    right = sc.select(
+    right = banded.select(
         F.col(id_col).alias("b"), F.col("simhash").alias("hb"),
-        F.col("pc").alias("rpc"),
-        *[F.col(f"c{c}").alias(f"rc{c}") for c in range(8)],
+        F.col("pc").alias("rpc"), "band", "key",
     )
-    pairs = None
-    for c in range(8):
-        p = left.join(
-            right,
-            (F.col(f"lc{c}") == F.col(f"rc{c}"))
-            & (F.abs(F.col("lpc") - F.col("rpc")) <= max_hamming),
-        ).where(F.col("a") < F.col("b"))
-        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = (
+        left.join(right, ["band", "key"])
+        .where(
+            (F.col("a") < F.col("b"))
+            & (F.abs(F.col("lpc") - F.col("rpc")) <= max_hamming)
+        )
+    )
     return (
         pairs.dropDuplicates(["a", "b"])
         .withColumn(
