@@ -134,25 +134,27 @@ def minhash_oracle_sql(docs_sql: str, *, n: int = 4, k: int = MINHASH_K,
             f"CAST(mh{band * r + i} AS VARCHAR)" for i in range(r)
         )
         band_exprs.append(f"({parts}) AS band{band}")
-    band_join = " OR ".join(f"x.band{b} = y.band{b}" for b in range(bands))
     match_sum = " + ".join(
         f"CASE WHEN x.mh{j} = y.mh{j} THEN 1 ELSE 0 END" for j in range(k)
+    )
+    # per-band equi-joins unioned + DISTINCT — an OR of band equalities
+    # would plan as a nested-loop join in DuckDB
+    band_arms = " UNION ALL ".join(
+        f"""SELECT x.doc_id AS a, y.doc_id AS b,
+             ({match_sum}) / {float(k)} AS est_jaccard
+           FROM banded x JOIN banded y ON x.band{b} = y.band{b}
+           WHERE x.doc_id < y.doc_id"""
+        for b in range(bands)
     )
     return f"""
     WITH d AS ({docs_sql}),
     sh AS (
       SELECT DISTINCT doc_id, substring(text, i, {n}) AS sh
-      FROM d, generate_series(1, 100000) AS g(i)
-      WHERE i <= length(text) - {n - 1}
+      FROM d, LATERAL unnest(range(1, greatest(length(text) - {n - 2}, 1))) AS g(i)
     ),
     sig AS (SELECT doc_id, {', '.join(mh_cols)} FROM sh GROUP BY doc_id),
     banded AS (SELECT *, {', '.join(band_exprs)} FROM sig),
-    pairs AS (
-      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-             ({match_sum}) / {float(k)} AS est_jaccard
-      FROM banded x JOIN banded y ON ({band_join})
-      WHERE x.doc_id < y.doc_id
-    )
+    pairs AS (SELECT DISTINCT a, b, est_jaccard FROM ({band_arms}))
     SELECT a, b, round(est_jaccard, 6) AS est_jaccard
     FROM pairs WHERE est_jaccard >= {threshold}"""
 
@@ -256,8 +258,7 @@ def simhash_oracle_sql(docs_sql: str, *, n: int = 4,
     WITH d AS ({docs_sql}),
     sh AS (
       SELECT DISTINCT doc_id, substring(text, i, {n}) AS sh
-      FROM d, generate_series(1, 100000) AS g(i)
-      WHERE i <= length(text) - {n - 1}
+      FROM d, LATERAL unnest(range(1, greatest(length(text) - {n - 2}, 1))) AS g(i)
     ),
     sums AS (SELECT doc_id, {sum_cols} FROM sh GROUP BY doc_id),
     s AS (SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM sums)
@@ -309,8 +310,7 @@ def fingerprints_oracle_sql(docs_sql: str, *, k: int = FP_K,
     grams AS (
       SELECT doc_id, i AS pos,
              {h32_sql(f'substring(text, i, {k})')} AS fp
-      FROM d, generate_series(1, 100000) AS g(i)
-      WHERE i <= length(text) - {k - 1}
+      FROM d, LATERAL unnest(range(1, greatest(length(text) - {k - 2}, 1))) AS g(i)
     ),
     wmin AS (
       SELECT doc_id, pos, fp,
