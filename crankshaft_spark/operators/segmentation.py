@@ -100,3 +100,30 @@ def create_and_predict_segment(
         model.transform(va.transform(predict))
         .select("id", "prediction", F.lit(accuracy).alias("accuracy"))
     )
+
+
+def create_and_predict_segment_arrays(
+    spark,
+    target: list[float],
+    features: list[list[float]],
+    target_features: list[list[float]],
+    target_ids: list[int],
+    **params,
+) -> DataFrame:
+    """Array-overload parity shim (05_segmentation.sql:2-37): the reference
+    packs 2-D blocks through CDB_PyAgg flattening; DataFrames carry them
+    natively, so this just lifts the arrays and delegates.  Bounded inputs
+    only — the query form is the scale path."""
+    nf = len(features[0]) if features else 0
+    cols = [f"f{i}" for i in range(nf)]
+    train = spark.createDataFrame(
+        [(i, float(t), *map(float, row))
+         for i, (t, row) in enumerate(zip(target, features))],
+        f"id long, target double, {', '.join(c + ' double' for c in cols)}",
+    )
+    predict = spark.createDataFrame(
+        [(int(pid), *map(float, row))
+         for pid, row in zip(target_ids, target_features)],
+        f"id long, {', '.join(c + ' double' for c in cols)}",
+    )
+    return create_and_predict_segment(train, "target", cols, predict, **params)

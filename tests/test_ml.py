@@ -155,3 +155,18 @@ def test_kmeans_lloyd_matches_numpy_and_parallelism(spark):
     lab = d2.argmin(axis=1)
     for i, (rid, _, _) in enumerate(rows):
         assert got[rid] == lab[i], rid
+
+
+def test_segmentation_array_overload(spark):
+    from crankshaft_spark.operators.segmentation import (
+        create_and_predict_segment_arrays,
+    )
+
+    target = [float(i % 5) for i in range(50)]
+    feats = [[float(i), float(2 * i)] for i in range(50)]
+    out = create_and_predict_segment_arrays(
+        spark, target, feats, [[3.0, 6.0], [10.0, 20.0]], [7, 9],
+        n_estimators=5,
+    ).collect()
+    assert sorted(r["id"] for r in out) == [7, 9]
+    assert all(np.isfinite(r["prediction"]) for r in out)
