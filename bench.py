@@ -57,12 +57,24 @@ def main() -> None:
     pipeline_sec = time.time() - t0
 
     # -- headline operator queries ------------------------------------------
+    # Per-query protocol (round 2+): best of 2 runs, caches cleared between
+    # queries.  Rationale: (a) this VM's vCPUs are contention-noisy —
+    # identical code swings ±3x between consecutive runs (same reason
+    # tools/scalebench.py uses best-of-3); (b) clearCache keeps a late
+    # query from measuring the heap pressure of 20 predecessors' leftover
+    # persisted blocks.  Round-1 numbers were single cold runs — deltas vs
+    # BENCH_r01 therefore mix protocol and code effects; BASELINE.md §4
+    # documents this.
     qs = driver_queries.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     print(json.dumps({
         "metric": "hotspot_pipeline_pages_per_sec",
