@@ -179,6 +179,66 @@ def neardup_oracle_sql(table: str = "embeddings", *, dims: int = 64,
     WHERE dp / (na.nn * nb.nn) >= {threshold}"""
 
 
+def _assign_vec_lists(v: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, list_id) — nearest-centroid assignment as one codegen
+    expression: array_min over (d2, idx) structs, ties to the lower index
+    (the kmeans_lloyd pattern, generalized to array columns)."""
+    arr = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_v"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda u, cc: (u - cc) * (u - cc),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("d2"),
+            F.lit(i).alias("c"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    return v.select("vec_id", F.array_min(arr)["c"].alias("list_id"))
+
+
+def lloyd_vec_centroids(
+    embeddings: DataFrame,
+    *,
+    n_lists: int,
+    iters: int = 3,
+    round_dp: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd coarse quantizer over array-valued vectors:
+    initial centroids are the ``n_lists`` lowest-id vectors; each iteration
+    reassigns (argmin with index tie-break) and recomputes per-dimension
+    means ROUNDED to ``round_dp`` (the float pin — sums of doubles are
+    order-sensitive in ulps, the round makes Spark/DuckDB/parallelism
+    agree); empty lists carry their previous centroid.  Exactly mirrored by
+    ``ivf_oracle_sql``."""
+    v = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).cache()
+    init = v.orderBy("vec_id").limit(n_lists).collect()
+    cents = [[float(x) for x in r["_v"]] for r in init]
+    for _ in range(iters):
+        upd = (
+            _assign_vec_lists(v, cents)
+            .join(v, "vec_id")
+            .select("list_id", F.posexplode("_v").alias("j", "x"))
+            .groupBy("list_id", "j")
+            .agg(F.round(F.avg("x"), round_dp).alias("m"))
+            .collect()
+        )
+        nxt = [list(c) for c in cents]
+        for r in upd:
+            nxt[r["list_id"]][r["j"]] = float(r["m"])
+        cents = nxt
+    return cents
+
+
 def ivf_index(
     embeddings: DataFrame,
     *,
@@ -187,14 +247,34 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 1234,
+    quantizer: str = "kmeans",
+    iters: int = 3,
 ):
-    """Train an IVF coarse quantizer (k-means over the vectors) and assign
-    every vector to its nearest centroid list → (centroids, assignments).
+    """Train an IVF coarse quantizer and assign every vector to its nearest
+    centroid list → (centroids, assignments).
+
+    ``quantizer='kmeans'``: pyspark.ml k-means|| (best quality, seed-
+    dependent).  ``quantizer='lloyd'``: the deterministic pinned-init Lloyd
+    (lloyd_vec_centroids) — bit-reproducible at any parallelism and exactly
+    expressible in SQL, so IVF search results gain a DuckDB oracle.
 
     ``centroids``: list[list[float]] (n_lists × dims, driver-side — tiny);
     ``assignments``: DataFrame (vec_id, list_id).  The scale path for ANN:
     search probes only the closest ``n_probe`` lists instead of the corpus.
     """
+    if quantizer == "lloyd":
+        centroids = lloyd_vec_centroids(
+            embeddings, n_lists=n_lists, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+        v = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        assignments = _assign_vec_lists(v, centroids).withColumnRenamed(
+            "vec_id", id_col
+        )
+        return centroids, assignments
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -220,12 +300,15 @@ def ann_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 1234,
+    quantizer: str = "kmeans",
+    iters: int = 3,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` centroid lists nearest
     the query, exact cosine re-rank inside them — candidates shrink by
     ~n_probe/n_lists while recall stays high for clustered corpora."""
     centroids, assignments = ivf_index(
-        embeddings, n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed
+        embeddings, n_lists=n_lists, id_col=id_col, vec_col=vec_col,
+        seed=seed, quantizer=quantizer, iters=iters,
     )
 
     def dist2(c):
@@ -238,3 +321,88 @@ def ann_topk_ivf(
         id_col,
     )
     return cosine_topk(cands, probe, k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_oracle_sql(
+    table: str,
+    probe_sql: str,
+    *,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    iters: int = 3,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB mirror of ann_topk_ivf(quantizer='lloyd'): unrolled Lloyd on
+    (vec_id, j, x) with the same pinned init / rounded means / argmin
+    tie-break, probe-list selection by (d2 asc, list asc), exact cosine
+    top-k inside the probed lists.  ``probe_sql`` must yield (j, pv) for
+    j = 0..dims-1 with the same closed form as the Spark call."""
+    d2 = "sum((c.x - t.v) * (c.x - t.v))"
+    parts = [f"""
+    WITH comp AS (
+      SELECT vec_id, CAST(j AS INT) AS j,
+             CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE) AS x
+      FROM {table}, LATERAL unnest(range(len(embedding))) AS g(j)
+    ),
+    probe AS ({probe_sql}),
+    init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+             FROM (SELECT DISTINCT vec_id FROM comp
+                   ORDER BY vec_id LIMIT {n_lists})),
+    c0 AS (SELECT i.c, comp.j, comp.x AS v
+           FROM init i JOIN comp ON comp.vec_id = i.vec_id)"""]
+    for it in range(iters):
+        prev, an, cn = f"c{it}", f"a{it + 1}", f"c{it + 1}"
+        parts.append(f""",
+    {an} AS (
+      SELECT vec_id, c FROM (
+        SELECT c.vec_id, t.c, row_number() OVER (
+          PARTITION BY c.vec_id ORDER BY {d2} ASC, t.c ASC
+        ) AS rk
+        FROM comp c JOIN {prev} t ON c.j = t.j
+        GROUP BY c.vec_id, t.c
+      ) WHERE rk = 1
+    ),
+    {cn} AS (
+      SELECT p.c, p.j, coalesce(u.m, p.v) AS v
+      FROM {prev} p LEFT JOIN (
+        SELECT a.c, comp.j, round(avg(comp.x), {round_dp}) AS m
+        FROM {an} a JOIN comp ON comp.vec_id = a.vec_id
+        GROUP BY a.c, comp.j
+      ) u ON u.c = p.c AND u.j = p.j
+    )""")
+    fin = f"c{iters}"
+    parts.append(f""",
+    plists AS (
+      SELECT c FROM (
+        SELECT t.c, row_number() OVER (
+          ORDER BY sum((t.v - p.pv) * (t.v - p.pv)) ASC, t.c ASC
+        ) AS rk
+        FROM {fin} t JOIN probe p ON p.j = t.j
+        GROUP BY t.c
+      ) WHERE rk <= {n_probe}
+    ),
+    members AS (
+      SELECT vec_id FROM (
+        SELECT c.vec_id, t.c, row_number() OVER (
+          PARTITION BY c.vec_id ORDER BY {d2} ASC, t.c ASC
+        ) AS rk
+        FROM comp c JOIN {fin} t ON c.j = t.j
+        GROUP BY c.vec_id, t.c
+      ) WHERE rk = 1 AND c IN (SELECT c FROM plists)
+    ),
+    scored AS (
+      SELECT c.vec_id,
+             sum(c.x * p.pv)
+             / (sqrt(sum(c.x * c.x)) * sqrt(sum(p.pv * p.pv))) AS cos
+      FROM comp c JOIN probe p ON p.j = c.j
+      WHERE c.vec_id IN (SELECT vec_id FROM members)
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT)
+             AS rank,
+           round(cos, 5) AS cos
+    FROM scored
+    QUALIFY rank <= {k}""")
+    return "".join(parts)

@@ -1244,14 +1244,23 @@ def o_fingerprints():
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF approximate top-k (trained coarse quantizer -> rows-only)."""
+    """IVF approximate top-k with the deterministic Lloyd coarse quantizer
+    (oracle-checked; quantizer='kmeans' remains the pyspark.ml path)."""
     from crankshaft_spark.operators.ann import ann_topk_ivf
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probe = [(((7 * j) % 13) - 6) / 6.0 for j in range(64)]
-    return ann_topk_ivf(emb, probe, k=10, n_lists=8, n_probe=3).select(
-        "vec_id", "rank", F.round("cos", 5).alias("cos")
-    )
+    return ann_topk_ivf(
+        emb, probe, k=10, n_lists=8, n_probe=3, quantizer="lloyd"
+    ).select("vec_id", "rank", F.round("cos", 5).alias("cos"))
+
+
+def o_ann_ivf():
+    from crankshaft_spark.operators.ann import ivf_oracle_sql
+
+    probe_sql = ("SELECT CAST(j AS INT) AS j, "
+                 "(((7 * j) % 13) - 6) / 6.0 AS pv FROM range(64) g(j)")
+    return ivf_oracle_sql("embeddings", probe_sql, k=10, n_lists=8, n_probe=3)
 
 
 def q_embed_neardup(spark, sf_dir):
@@ -1482,4 +1491,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": o_simhash_pairs(),
         "fingerprints": o_fingerprints(),
         "embed_neardup": o_embed_neardup(),
+        "ann_ivf": o_ann_ivf(),
     }

@@ -153,3 +153,23 @@ def test_ann_ivf_recall_on_clustered_corpus(spark):
               ann_topk_ivf(emb, probe, 10, n_lists=8, n_probe=2).collect()]
     # all true neighbors live in the probed cluster → full recall here
     assert set(approx) == set(exact)
+
+
+def test_ivf_lloyd_deterministic_across_parallelism(spark):
+    """quantizer='lloyd' gives identical top-k regardless of input
+    partitioning (pinned init + rounded means + index tie-breaks)."""
+    from crankshaft_spark.operators.ann import ann_topk_ivf
+
+    rows = [
+        (i, [float((((i + 1) * (j + 3)) % 17) - 8) / 8.0 for j in range(16)])
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probe = [float(((5 * j) % 11) - 5) / 5.0 for j in range(16)]
+    a = ann_topk_ivf(emb, probe, k=5, n_lists=4, n_probe=2,
+                     quantizer="lloyd").collect()
+    b = ann_topk_ivf(emb.repartition(13), probe, k=5, n_lists=4, n_probe=2,
+                     quantizer="lloyd").collect()
+    assert [(r["vec_id"], r["rank"]) for r in a] == \
+        [(r["vec_id"], r["rank"]) for r in b]
+    assert len(a) == 5
