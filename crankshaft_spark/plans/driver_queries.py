@@ -1276,6 +1276,55 @@ def o_embed_neardup():
     return neardup_oracle_sql("embeddings", dims=64, threshold=0.25)
 
 
+# ------------------------------------------------------- multimodal ---------
+# The fake-media payload bytes are RNG-derived (not SQL-expressible), but
+# every METADATA field is closed-form in media_id — so the oracle verifies
+# the full synthesize -> 16-byte header pack -> Arrow batch -> parse chain
+# end-to-end without touching the payload.
+
+MEDIA_N = 500
+
+
+def q_media_metadata(spark, sf_dir):
+    from crankshaft_spark.operators.multimodal import decode_metadata, synth_media
+
+    return decode_metadata(synth_media(spark, n=MEDIA_N, seed=42))
+
+
+def o_media_metadata():
+    return f"""
+    WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id FROM range({MEDIA_N}) g(i)),
+    m AS (
+      SELECT media_id, media_id % 3 AS kind,
+             CAST(8 + media_id % 24 AS INT) AS dim0,
+             CAST(8 + (media_id * 7) % 24 AS INT) AS dim1
+      FROM ids
+    )
+    SELECT media_id,
+           CASE kind WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                     ELSE 'video' END AS kind,
+           dim0, dim1,
+           CAST(CASE WHEN kind = 0 THEN dim0 * dim1 ELSE dim0 * 4 END AS INT)
+             AS n_payload,
+           true AS ok
+    FROM m"""
+
+
+def q_media_frames(spark, sf_dir):
+    from crankshaft_spark.operators.multimodal import frame_sample, synth_media
+
+    return frame_sample(synth_media(spark, n=MEDIA_N, seed=42), every=4)
+
+
+def o_media_frames():
+    return f"""
+    WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id FROM range({MEDIA_N}) g(i)),
+    vids AS (SELECT media_id, 8 + media_id % 24 AS n_frames
+             FROM ids WHERE media_id % 3 = 2)
+    SELECT media_id, CAST(f AS INT) AS frame_no
+    FROM vids, LATERAL unnest(range(0, n_frames, 4)) g(f)"""
+
+
 # ------------------------------------------------------------------ ML ------
 # ML fits are not DuckDB-expressible; these get rows-only driver checks
 # (the pytest suite asserts their semantics against reference fixtures).
@@ -1398,6 +1447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segmentation_gbt": q_segmentation,
         "gwr": q_gwr,
         "gwr_predict": q_gwr_predict,
+        "media_metadata": q_media_metadata,
+        "media_frames": q_media_frames,
         "markov_classes": q_markov_classes,
         "outlier_static": q_outlier_static,
         "outlier_stddev": q_outlier_stddev,
@@ -1454,6 +1505,8 @@ def oracle_sql() -> dict[str, str]:
         "moran_global": o_moran_global(),
         "getis_z": o_getis_z(),
         "kmeans_assign": o_kmeans_assign(),
+        "media_metadata": o_media_metadata(),
+        "media_frames": o_media_frames(),
         "markov_classes": o_markov_classes(),
         "outlier_static": o_outlier_static(),
         "outlier_stddev": o_outlier_stddev(),
