@@ -183,16 +183,22 @@ def _assign_vec_lists(v: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """(vec_id, list_id) — nearest-centroid assignment as one codegen
     expression: array_min over (d2, idx) structs, ties to the lower index
     (the kmeans_lloyd pattern, generalized to array columns)."""
+    # d2 is a float fold feeding a comparison — pin to 9dp (CLAUDE.md float
+    # rule) so mathematically-tied distances (symmetric data) agree across
+    # engines/fold orders and resolve by the c ASC tie-break identically
     arr = F.array(*[
         F.struct(
-            F.aggregate(
-                F.zip_with(
-                    F.col("_v"),
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda u, cc: (u - cc) * (u - cc),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_v"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda u, cc: (u - cc) * (u - cc),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
                 ),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
+                9,
             ).alias("d2"),
             F.lit(i).alias("c"),
         )
@@ -236,6 +242,7 @@ def lloyd_vec_centroids(
         for r in upd:
             nxt[r["list_id"]][r["j"]] = float(r["m"])
         cents = nxt
+    v.unpersist()
     return cents
 
 
@@ -312,7 +319,8 @@ def ann_topk_ivf(
     )
 
     def dist2(c):
-        return sum((u - v) ** 2 for u, v in zip(c, probe))
+        # same 9dp pin as the assignment/oracle d2 (comparison feed)
+        return round(sum((u - v) ** 2 for u, v in zip(c, probe)), 9)
 
     order = sorted(range(len(centroids)), key=lambda i: dist2(centroids[i]))
     probe_lists = order[:n_probe]
@@ -338,7 +346,7 @@ def ivf_oracle_sql(
     tie-break, probe-list selection by (d2 asc, list asc), exact cosine
     top-k inside the probed lists.  ``probe_sql`` must yield (j, pv) for
     j = 0..dims-1 with the same closed form as the Spark call."""
-    d2 = "sum((c.x - t.v) * (c.x - t.v))"
+    d2 = "round(sum((c.x - t.v) * (c.x - t.v)), 9)"
     parts = [f"""
     WITH comp AS (
       SELECT vec_id, CAST(j AS INT) AS j,
@@ -376,7 +384,7 @@ def ivf_oracle_sql(
     plists AS (
       SELECT c FROM (
         SELECT t.c, row_number() OVER (
-          ORDER BY sum((t.v - p.pv) * (t.v - p.pv)) ASC, t.c ASC
+          ORDER BY round(sum((t.v - p.pv) * (t.v - p.pv)), 9) ASC, t.c ASC
         ) AS rk
         FROM {fin} t JOIN probe p ON p.j = t.j
         GROUP BY t.c

@@ -201,6 +201,15 @@ def jenks_bins(df: DataFrame, *, value_col: str = "value",
             F.col(value_col).isNotNull()
         ).collect()
     )
+    spark = df.sparkSession
+    if n < breaks:
+        # reference: element_count < breaks -> RETURN in_array
+        # (cdb_utils.sql:222-225); also guards the restart loop, which
+        # needs breaks-1 distinct interior boundaries to exist
+        return spark.createDataFrame(
+            [(i + 1, float(v)) for i, v in enumerate(vals)],
+            "bin int, break_value double",
+        )
     iterations = max(1, int(iterations))
     max_search = int(min(max(2500000.0 // max(n * iterations, 1), 1), 750))
     best_bounds, best_ssd = _gvf_jenks(vals, breaks, max_search=max_search)

@@ -156,19 +156,20 @@ def pia_oracle_sql(
                   f"j -> {crossing})) % 2) = 1)")
         return f"(CASE WHEN {inside} THEN {dmin} ELSE -{dmin} END)"
 
-    prows = []
+    prows, crows = [], []
     for pid, ring in polygons:
         xs = "[" + ", ".join(repr(float(p[0])) for p in ring) + "]"
         ys = "[" + ", ".join(repr(float(p[1])) for p in ring) + "]"
         prows.append(f"({pid}, {xs}, {ys})")
-
-    jn = "(CASE WHEN j = g.m THEN 1 ELSE j + 1 END)"
-    cross_j = f"(g.xs[j]*g.ys[{jn}] - g.xs[{jn}]*g.ys[j])"
-    a_expr = f"(list_sum(list_transform(range(1, g.m + 1), j -> {cross_j})) / 2.0)"
-    cx = (f"(list_sum(list_transform(range(1, g.m + 1), j -> "
-          f"(g.xs[j] + g.xs[{jn}])*{cross_j})) / (6.0 * {a_expr}))")
-    cy = (f"(list_sum(list_transform(range(1, g.m + 1), j -> "
-          f"(g.ys[j] + g.ys[{jn}])*{cross_j})) / (6.0 * {a_expr}))")
+        # centroid computed with the SAME numpy code the operator uses —
+        # embedding the literals sidesteps np.sum's pairwise accumulation,
+        # which a SQL left-to-right list_sum could not mirror for rings of
+        # 8+ vertices (exact parity for any ring size, by construction)
+        ccx, ccy = polygon_centroid(
+            np.asarray([(float(p[0]), float(p[1])) for p in ring])
+        )
+        crows.append(f"({pid}, CAST({ccx!r} AS DOUBLE), "
+                     f"CAST({ccy!r} AS DOUBLE))")
 
     child_x = "(q.x + ch.sx * (q.h / 2.0))"
     child_y = "(q.y + ch.sy * (q.h / 2.0))"
@@ -190,7 +191,7 @@ def pia_oracle_sql(
         greatest(CAST(ceil(((ymax + h) - (ymin + h)) / (2 * h)) AS BIGINT), 1) AS ny
       FROM (SELECT *, least(xmax - xmin, ymax - ymin) / 2.0 AS h FROM geo)
     ),
-    cent AS (SELECT g.pid, {cx} AS x, {cy} AS y FROM geo g),
+    cent(pid, x, y) AS (VALUES {", ".join(crows)}),
     cent_d AS (
       SELECT c.pid, c.x, c.y, {sd("c.x", "c.y")} AS d
       FROM cent c JOIN geo g ON g.pid = c.pid
@@ -365,11 +366,14 @@ def dot_density(
     *,
     points_col: str = "no_points",
     seed: int = 1234,
-    max_iter_per_point: int = 64,
+    max_iter_per_point: int = 1000,
 ) -> DataFrame:
     """cdb_dot_density per polygon → (poly_id, x, y), up to ``no_points``
     rows (fewer only if the attempt budget runs dry, like the reference's
-    max_iter cap, 30_dot_density.sql:13-54).
+    max_iter cap, 30_dot_density.sql:13-54; the default budget matches its
+    max_iter_per_point=1000 — thin slivers may need it, typical polygons
+    fill within a few attempts per point and callers benchmarking at scale
+    can lower it).
 
     Pure column algebra — NO Python stage: attempt j ∈ [0, npts·max_iter)
     draws a bbox point from the portable hash RNG
@@ -438,7 +442,7 @@ def dot_density_oracle_sql(
     npts: dict[int, int],
     *,
     seed: int = 1234,
-    max_iter_per_point: int = 64,
+    max_iter_per_point: int = 1000,
 ) -> str:
     """ANSI-SQL (DuckDB) mirror of ``dot_density`` over a pinned polygon
     list: same hash RNG, same bbox arithmetic, same edge-join parity test,

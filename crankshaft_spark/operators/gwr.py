@@ -147,8 +147,10 @@ def _radius_edges(cal: DataFrame, data: DataFrame, radius: float,
     ring = max(1, int(math.ceil(radius / cell_size)))
     if ring > 48:
         # grid far finer than the bandwidth: candidate fanout (2r+1)^2 would
-        # dominate — fall back to the dense builder + filter (still exact)
-        return _dense_edges(cal, data).where(F.col("d") < radius)
+        # dominate — coarsen the join grid so ring stays bounded (the join
+        # is still exact: the d < radius refine is unchanged)
+        cell_size = radius / 32.0
+        ring = 32
     lhs = cal.select(
         "id", "x", "y",
         F.explode(

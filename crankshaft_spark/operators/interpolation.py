@@ -143,7 +143,12 @@ def interpolate_barycentric(
             tile_size = float(np.sqrt(TARGET * area / (9.0 * n)))
 
     if tile_size is None:
-        rows = samples.select("x", "y", value_col).collect()
+        # sort: collect order depends on the input's partitioning, and the
+        # triangulation must not (see the tiled path's pin below)
+        rows = sorted(
+            samples.select("x", "y", value_col).collect(),
+            key=lambda r: (r[0], r[1]),
+        )
         pts = np.array([[r[0], r[1]] for r in rows], dtype=float)
         vals = np.array([r[2] for r in rows], dtype=float)
         tris = delaunay(pts)
@@ -184,7 +189,10 @@ def interpolate_barycentric(
             return pd.DataFrame({"id": [], "est": []}).astype(
                 {"id": "int64", "est": "float64"}
             )
-        s = pdf[pdf["role"] == 1]
+        # shuffle delivery order is partitioning-dependent; Bowyer-Watson
+        # insertion order (and argmax-first triangle pick for cocircular
+        # cases) must not be — pin it by coordinates
+        s = pdf[pdf["role"] == 1].sort_values(["x", "y"], kind="mergesort")
         if len(s) < 3:
             return pd.DataFrame({"id": t["id"], "est": np.nan})
         pts = s[["x", "y"]].to_numpy(dtype=float)

@@ -135,6 +135,7 @@ def kmeans_lloyd(
         for r in upd:
             new[r["cluster"]] = (float(r["cx"]), float(r["cy"]))
         centers = new
+    pts.unpersist()
     return _assign_centers(pts, centers).select("id", "x", "y", "cluster")
 
 

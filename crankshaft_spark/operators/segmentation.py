@@ -114,7 +114,13 @@ def create_and_predict_segment_arrays(
     packs 2-D blocks through CDB_PyAgg flattening; DataFrames carry them
     natively, so this just lifts the arrays and delegates.  Bounded inputs
     only — the query form is the scale path."""
-    nf = len(features[0]) if features else 0
+    if not features or not features[0]:
+        raise ValueError("array-overload segmentation needs >= 1 feature column")
+    if len(target) != len(features):
+        raise ValueError(
+            f"target has {len(target)} rows but features has {len(features)}"
+        )
+    nf = len(features[0])
     cols = [f"f{i}" for i in range(nf)]
     train = spark.createDataFrame(
         [(i, float(t), *map(float, row))

@@ -1168,7 +1168,7 @@ def q_dot_density(spark, sf_dir):
     polys = _admin_polys_df(spark).withColumn(
         "no_points", (F.col("poly_id") % 7 + 1).cast("double")
     )
-    return dot_density(polys, seed=1234).select(
+    return dot_density(polys, seed=1234, max_iter_per_point=64).select(
         "poly_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y")
     )
 
@@ -1179,7 +1179,8 @@ def o_dot_density():
 
     polys = admin_polygons()
     npts = {pid: pid % 7 + 1 for pid, _ in polys}
-    inner = dot_density_oracle_sql(polys, npts, seed=1234)
+    inner = dot_density_oracle_sql(polys, npts, seed=1234,
+                                   max_iter_per_point=64)
     return (
         f"SELECT poly_id, round(x, 6) AS x, round(y, 6) AS y FROM ({inner})"
     )

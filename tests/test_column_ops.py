@@ -154,3 +154,12 @@ def test_jenks_invert_and_iterations(vdf):
     again = [r["break_value"] for r in
              jenks_bins(vdf, breaks=3, iterations=10).orderBy("bin").collect()]
     assert ten == again
+
+
+def test_jenks_fewer_values_than_breaks(spark):
+    """Reference: element_count < breaks returns the array itself
+    (cdb_utils.sql:222-225) — must not spin in the restart loop."""
+    df = spark.createDataFrame([(1.0,), (5.0,), (3.0,)], "value double")
+    res = [(r["bin"], r["break_value"]) for r in
+           jenks_bins(df, breaks=5).orderBy("bin").collect()]
+    assert res == [(1, 1.0), (2, 3.0), (3, 5.0)]
