@@ -223,3 +223,47 @@ def ngram_jaccard_pairs(
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
     return out
+
+
+#: BPE-ish pre-tokenizer classes (GPT-2-style coarse split, minus
+#: byte-level merges): maximal letter runs, digit runs, single marks.
+#: Whitespace spelled as an explicit char set — Java regex \s and RE2 \s
+#: disagree on \x0B, the explicit set is identical in both engines.
+BPE_WORD = "[A-Za-z]+"
+BPE_NUMBER = "[0-9]+"
+BPE_MARK = "[^A-Za-z0-9 \t\n\r]"
+
+
+def bpe_token_stats(docs: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_words, n_numbers, n_marks, n_bpe_tokens) — counts under a
+    BPE-ish pre-tokenization regex (the brief's 'whitespace + BPE-ish
+    regex' token counting; token_stats covers the whitespace half).  The
+    three classes are disjoint, so n_bpe_tokens is their sum.  Pure JVM
+    regexp_count — codegen, no shuffle."""
+    t = F.col(text_col)
+    words = F.regexp_count(t, F.lit(BPE_WORD))
+    numbers = F.regexp_count(t, F.lit(BPE_NUMBER))
+    marks = F.regexp_count(t, F.lit(BPE_MARK))
+    return docs.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        numbers.cast("long").alias("n_numbers"),
+        marks.cast("long").alias("n_marks"),
+        (words + numbers + marks).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def bpe_token_stats_oracle_sql(docs_sql: str) -> str:
+    def cnt(pat: str) -> str:
+        lit = pat.replace("\t", "\\t").replace("\n", "\\n").replace("\r", "\\r")
+        return f"len(regexp_extract_all(text, '{lit}'))"
+
+    return f"""
+    SELECT doc_id,
+           CAST({cnt(BPE_WORD)} AS BIGINT) AS n_words,
+           CAST({cnt(BPE_NUMBER)} AS BIGINT) AS n_numbers,
+           CAST({cnt(BPE_MARK)} AS BIGINT) AS n_marks,
+           CAST({cnt(BPE_WORD)} + {cnt(BPE_NUMBER)} + {cnt(BPE_MARK)}
+                AS BIGINT) AS n_bpe_tokens
+    FROM ({docs_sql})"""

@@ -413,6 +413,18 @@ def o_token_stats():
     FROM documents"""
 
 
+def q_token_bpe(spark, sf_dir):
+    from crankshaft_spark.operators.text import bpe_token_stats
+
+    return bpe_token_stats(_docs(spark, sf_dir))
+
+
+def o_token_bpe():
+    from crankshaft_spark.operators.text import bpe_token_stats_oracle_sql
+
+    return bpe_token_stats_oracle_sql(DOCS_SQL)
+
+
 def q_quality_score(spark, sf_dir):
     from crankshaft_spark.operators.text import quality_score
 
@@ -1462,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gravity_h": q_gravity,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
+        "token_bpe": q_token_bpe,
         "quality_score": q_quality_score,
         "lang_scores": q_lang_scores,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1520,6 +1533,7 @@ def oracle_sql() -> dict[str, str]:
         "gravity_h": o_gravity(),
         "dedup_exact": o_dedup_exact(),
         "token_stats": o_token_stats(),
+        "token_bpe": o_token_bpe(),
         "quality_score": o_quality_score(),
         "lang_scores": o_lang_scores(),
         "ngram_jaccard": o_ngram_jaccard(),

@@ -144,3 +144,20 @@ def test_prefix_filter_candidates_shrink_and_lossless(spark):
         if j >= t:
             want[(a, b)] = round(j, 6)
     assert got == want
+
+
+def test_bpe_token_stats_known_counts(spark):
+    from crankshaft_spark.operators.text import bpe_token_stats
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, world 42!"), (2, "a-b c3d"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_words"], r["n_numbers"], r["n_marks"],
+                         r["n_bpe_tokens"])
+           for r in bpe_token_stats(docs).collect()}
+    # "Hello, world 42!": words Hello,world; numbers 42; marks , !
+    assert got[1] == (2, 1, 2, 5)
+    # "a-b c3d": words a,b,c,d ; numbers 3 ; marks -
+    assert got[2] == (4, 1, 1, 6)
+    assert got[3] == (0, 0, 0, 0)
