@@ -633,6 +633,27 @@ def o_events_cell_hourly():
     FROM events GROUP BY 1, 2"""
 
 
+SESSION_GAP_S = 600
+
+
+def q_sessions_batch(spark, sf_dir):
+    """Gap-sessionization of the events table (batch form of the streaming
+    state machine — same rule, exact integer/timestamp algebra)."""
+    from crankshaft_spark.streaming.sessions import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_batch(ev.select("user_id", "ts"),
+                            gap_seconds=SESSION_GAP_S)
+
+
+def o_sessions_batch():
+    from crankshaft_spark.streaming.sessions import sessionize_batch_oracle_sql
+
+    return sessionize_batch_oracle_sql(
+        "SELECT user_id, ts FROM events", gap_seconds=SESSION_GAP_S
+    )
+
+
 def q_orders_weighted_center(spark, sf_dir):
     """Weighted mean center of customers weighted by their total order
     value — the orders→customer equi-join feeding the CDB_WeightedMean
@@ -1483,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_assign": q_pip_assign,
         "hotspot_pipeline": q_hotspot_pipeline,
         "events_cell_hourly": q_events_cell_hourly,
+        "sessions_batch": q_sessions_batch,
         "orders_weighted_center": q_orders_weighted_center,
         "moran_local_sim": q_moran_local_sim,
         "getis_sim": q_getis_sim,
@@ -1542,6 +1564,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_assign": o_pip_assign(),
         "hotspot_pipeline": o_hotspot_pipeline(),
         "events_cell_hourly": o_events_cell_hourly(),
+        "sessions_batch": o_sessions_batch(),
         "orders_weighted_center": o_orders_weighted_center(),
         "moran_local_bv": o_moran_bv(),
         "markov_trend": o_markov_trend(),

@@ -110,3 +110,67 @@ def sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    *,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch form of the same gap-session rule → (user_id, session_start,
+    session_end, n_events).
+
+    Gaps-and-islands as pure window algebra: an event starts a new session
+    iff it is the user's first or follows its predecessor by more than
+    ``gap_seconds``; the running count of starts is the session index.
+    This is the rule the streaming operator's state machine implements —
+    the pytest asserts the two agree — and, being integer/timestamp
+    algebra, it has an exact DuckDB oracle.  Per-user windows only: work
+    is bounded by one user's events, never a global sort.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # parquet NTZ timestamps: session tz is pinned UTC, so the cast is the
+    # identity on the instant
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(
+        prev.isNull() | (us - prev > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    sid = F.sum(is_new).over(w)
+    return (
+        events.select("user_id", "ts")
+        .withColumn("_sid", sid)
+        .groupBy("user_id", "_sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("int").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+def sessionize_batch_oracle_sql(events_sql: str, *,
+                                gap_seconds: int = 1800) -> str:
+    """DuckDB mirror of sessionize_batch (identical window algebra)."""
+    gap_us = gap_seconds * 1_000_000
+    return f"""
+    WITH e AS (SELECT user_id, ts FROM ({events_sql})),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sids AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS INT) AS n_events
+    FROM sids GROUP BY user_id, sid"""

@@ -124,3 +124,26 @@ def test_sessionize_stateful(spark, tmp_path):
     }
     assert got_set == expected
     assert len(expected) > 0
+
+
+def test_sessionize_batch_known_sessions(spark):
+    from crankshaft_spark.streaming.sessions import sessionize_batch
+
+    rows = [
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:05:00"),
+        (1, "2024-01-01 01:00:00"),              # > 30min gap -> new session
+        (2, "2024-01-01 00:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    got = sorted(
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"])
+        for r in sessionize_batch(ev, gap_seconds=1800).collect()
+    )
+    assert got == [
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:05:00", 2),
+        (1, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1),
+        (2, "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1),
+    ]
