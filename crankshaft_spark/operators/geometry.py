@@ -284,8 +284,10 @@ def voronoi(
         ]
         return pd.DataFrame(rows, columns=[group_col, "id", "cell_wkt", "cell_area"])
 
+    from crankshaft_spark.functions.spread import spread_groups
+
     return (
-        points.select(group_col, "id", "x", "y")
+        spread_groups(points.select(group_col, "id", "x", "y"), group_col)
         .groupBy(group_col)
         .applyInPandas(run, schema=schema)
     )
@@ -325,8 +327,10 @@ def densify(
             group_col: key[0], "x": pts[:, 0], "y": pts[:, 1], "value": vals,
         })
 
+    from crankshaft_spark.functions.spread import spread_groups
+
     return (
-        points.select(group_col, "x", "y", "value")
+        spread_groups(points.select(group_col, "x", "y", "value"), group_col)
         .groupBy(group_col)
         .applyInPandas(run, schema=schema)
     )
@@ -352,8 +356,10 @@ def tin_map(
         ]
         return pd.DataFrame(rows, columns=[group_col, "tri_wkt", "value"])
 
+    from crankshaft_spark.functions.spread import spread_groups
+
     return (
-        points.select(group_col, "x", "y", "value")
+        spread_groups(points.select(group_col, "x", "y", "value"), group_col)
         .groupBy(group_col)
         .applyInPandas(run, schema=schema)
     )

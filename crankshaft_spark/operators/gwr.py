@@ -286,7 +286,11 @@ def _fit_groups(grouped: DataFrame, kdim: int, want_hat: bool):
             "ssq": [ssq], "ybar": [ybar], "tss": [tss],
         })
 
-    return grouped.groupBy("id").applyInPandas(run, schema=schema)
+    from crankshaft_spark.functions.spread import spread_groups
+
+    return spread_groups(grouped, "id").groupBy("id").applyInPandas(
+        run, schema=schema
+    )
 
 
 def _maps(arr_col: str, names: list[str]):

@@ -204,8 +204,10 @@ def interpolate_barycentric(
                          t["x"].to_numpy(), t["y"].to_numpy())
         return pd.DataFrame({"id": t["id"], "est": est})
 
+    from crankshaft_spark.functions.spread import spread_groups
+
     return (
-        tgt.unionByName(smp)
+        spread_groups(tgt.unionByName(smp), "tcell")
         .groupBy("tcell")
         .applyInPandas(run_tile, schema=schema)
     )
