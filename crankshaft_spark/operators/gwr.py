@@ -243,54 +243,99 @@ def _feat_struct(df: DataFrame, ind_vars: list[str], dep_var: str | None,
 
 
 def _fit_groups(grouped: DataFrame, kdim: int, want_hat: bool):
-    """applyInPandas solver: one group per calibration point.
+    """Local WLS per calibration point — sufficient-statistics plan.
 
     Input rows: (id, w, xj array[kdim], yj, is_self, xi array[kdim]).
     Output: (id, beta, cct, predy, resid, s_ii, ssq, ybar, tss).
+
+    The per-point solve needs only moment matrices, so stage 1 is a pure
+    JVM ``groupBy(id)`` of k(k+1) + k + 3 weighted sums (map-side
+    combinable — no Arrow round-trip per neighborhood):
+
+        M  = Σ_j w_j  x_j x_jᵀ       M2 = Σ_j w_j² x_j x_jᵀ
+        v  = Σ_j w_j  x_j y_j        wsum, wy, wyy, (w_i, y_i, x_i)
+
+    Stage 2 is ONE vectorized mapInPandas over the n aggregated rows
+    (batched k×k inverts), using the identities
+
+        β = M⁻¹ v                    cct_a = (M⁻¹ M2 M⁻¹)_aa
+        s_ii = w_i · x_iᵀ M⁻¹ x_i    ssq = Σ_j S_ij² = x_iᵀ M⁻¹ M2 M⁻¹ x_i
+        tss = wyy − 2·ȳ·wy + ȳ²·wsum,  ȳ = wy / wsum
+
+    which reproduce the reference's per-row hat/CCT math (gwr.py:228-233,
+    616-628) exactly up to fp rearrangement — far inside the 1e-4 fixture
+    tolerances.  Replaces a one-group-per-point applyInPandas whose Python
+    call overhead dominated at n ≥ 10⁴ and whose group count grew with
+    the table; this plan's pandas stage is O(n) rows, Arrow-batched.
     """
     schema = (
         "id long, beta array<double>, cct array<double>, predy double, "
         "resid double, s_ii double, ssq double, ybar double, tss double"
     )
+    w, xj, yj = F.col("w"), F.col("xj"), F.col("yj")
+    aggs = []
+    for a in range(kdim):
+        for b in range(a, kdim):
+            aggs.append(F.sum(w * xj[a] * xj[b]).alias(f"m_{a}_{b}"))
+            aggs.append(F.sum(w * w * xj[a] * xj[b]).alias(f"m2_{a}_{b}"))
+        aggs.append(F.sum(w * xj[a] * yj).alias(f"v_{a}"))
+    aggs += [
+        F.sum(w).alias("wsum"),
+        F.sum(w * yj).alias("wy"),
+        F.sum(w * yj * yj).alias("wyy"),
+        F.max(F.when(F.col("is_self"), yj)).alias("yi"),
+        F.max(F.when(F.col("is_self"), w)).alias("wi"),
+        F.first("xi").alias("xi"),   # constant within the group
+    ]
+    stats = grouped.groupBy("id").agg(*aggs)
 
-    def run(key, pdf):
-        Xj = np.stack(pdf["xj"].to_numpy())              # (m, k)
-        yj = pdf["yj"].to_numpy().astype(float)
-        w = pdf["w"].to_numpy().astype(float)
-        XW = Xj * w[:, None]
-        xtx = XW.T @ Xj
-        try:
-            inv = np.linalg.inv(xtx)
-        except np.linalg.LinAlgError:
-            inv = np.linalg.pinv(xtx)
-        C = inv @ XW.T                                    # (k, m)
-        beta = C @ yj
-        self_mask = pdf["is_self"].to_numpy()
-        if self_mask.any():
-            xi = Xj[self_mask][0]
-            yi = float(yj[self_mask][0])
-        else:
-            xi = np.stack(pdf["xi"].to_numpy())[0]
-            yi = float("nan")
-        predy = float(xi @ beta)
-        s_row = xi @ C                                    # S_ij over group
-        s_ii = float(s_row[self_mask][0]) if self_mask.any() else 0.0
-        ssq = float((s_row ** 2).sum())
-        cct = np.einsum("km,km->k", C, C)
-        wsum = w.sum()
-        ybar = float((w * yj).sum() / wsum)
-        tss = float((w * (yj - ybar) ** 2).sum())
-        return pd.DataFrame({
-            "id": [key[0]], "beta": [beta.tolist()], "cct": [cct.tolist()],
-            "predy": [predy], "resid": [yi - predy], "s_ii": [s_ii],
-            "ssq": [ssq], "ybar": [ybar], "tss": [tss],
-        })
+    def solve(pdfs):
+        for pdf in pdfs:
+            n = len(pdf)
+            if n == 0:
+                continue
+            M = np.zeros((n, kdim, kdim))
+            M2 = np.zeros((n, kdim, kdim))
+            v = np.zeros((n, kdim))
+            for a in range(kdim):
+                for b in range(a, kdim):
+                    M[:, a, b] = M[:, b, a] = pdf[f"m_{a}_{b}"].to_numpy()
+                    M2[:, a, b] = M2[:, b, a] = pdf[f"m2_{a}_{b}"].to_numpy()
+                v[:, a] = pdf[f"v_{a}"].to_numpy()
+            try:
+                inv = np.linalg.inv(M)
+            except np.linalg.LinAlgError:
+                inv = np.linalg.pinv(M)
+            beta = np.einsum("nab,nb->na", inv, v)
+            xi = np.stack(pdf["xi"].to_numpy())
+            yi = pdf["yi"].to_numpy(dtype=float)          # NaN when no self
+            wi = pdf["wi"].to_numpy(dtype=float)
+            predy = np.einsum("na,na->n", xi, beta)
+            inv_xi = np.einsum("nab,nb->na", inv, xi)
+            s_ii = np.where(
+                np.isnan(wi), 0.0,
+                np.nan_to_num(wi) * np.einsum("na,na->n", xi, inv_xi),
+            )
+            ssq = np.einsum("na,nab,nb->n", inv_xi, M2, inv_xi)
+            cct = np.einsum("nab,nbc,nac->na", inv, M2, inv)
+            wsum = pdf["wsum"].to_numpy(dtype=float)
+            wy = pdf["wy"].to_numpy(dtype=float)
+            wyy = pdf["wyy"].to_numpy(dtype=float)
+            ybar = wy / wsum
+            tss = wyy - 2.0 * ybar * wy + ybar * ybar * wsum
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "beta": list(map(list, beta)),
+                "cct": list(map(list, cct)),
+                "predy": predy,
+                "resid": yi - predy,
+                "s_ii": s_ii,
+                "ssq": ssq,
+                "ybar": ybar,
+                "tss": tss,
+            })
 
-    from crankshaft_spark.functions.spread import spread_groups
-
-    return spread_groups(grouped, "id").groupBy("id").applyInPandas(
-        run, schema=schema
-    )
+    return stats.mapInPandas(solve, schema=schema)
 
 
 def _maps(arr_col: str, names: list[str]):
