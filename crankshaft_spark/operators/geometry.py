@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from crankshaft_spark.functions.spread import spread_groups
 from crankshaft_spark.functions.geom import (
     clip_convex,
     convex_hull,
@@ -284,8 +285,6 @@ def voronoi(
         ]
         return pd.DataFrame(rows, columns=[group_col, "id", "cell_wkt", "cell_area"])
 
-    from crankshaft_spark.functions.spread import spread_groups
-
     return (
         spread_groups(points.select(group_col, "id", "x", "y"), group_col)
         .groupBy(group_col)
@@ -327,8 +326,6 @@ def densify(
             group_col: key[0], "x": pts[:, 0], "y": pts[:, 1], "value": vals,
         })
 
-    from crankshaft_spark.functions.spread import spread_groups
-
     return (
         spread_groups(points.select(group_col, "x", "y", "value"), group_col)
         .groupBy(group_col)
@@ -355,8 +352,6 @@ def tin_map(
             (key[0], ring_to_wkt(pts[t]), float(vals[t].mean())) for t in tris
         ]
         return pd.DataFrame(rows, columns=[group_col, "tri_wkt", "value"])
-
-    from crankshaft_spark.functions.spread import spread_groups
 
     return (
         spread_groups(points.select(group_col, "x", "y", "value"), group_col)

@@ -25,10 +25,12 @@ glm/iwls.py ~7.9k LoC).  Semantics re-derived and matched to its fixtures
 
 Spark-first decomposition (the reference collects everything into one
 backend): the n×n kernel matrix never materializes — the kNN join (k = bw)
-IS its sparse support.  Per-point solves are k×k (k = #vars) inside one
-``applyInPandas`` over neighborhood groups; tr(S), tr(SᵀS), RSS reduce to
-plain aggregations / edge joins.  Shuffle cost: one kNN join of n·bw edges
-+ two small shuffles — scales linearly in rows at fixed bw.
+IS its sparse support.  Per-point solves reduce to moment matrices
+computed as pure JVM ``groupBy`` sums over the edge frame, then ONE
+vectorized mapInPandas batch-inverts all k×k systems (see _fit_groups);
+tr(S), tr(SᵀS), RSS reduce to plain aggregations / edge joins.  Shuffle
+cost: one kNN join of n·bw edges + two small shuffles — scales linearly
+in rows at fixed bw, with Python overhead independent of the group count.
 """
 
 from __future__ import annotations
@@ -242,7 +244,8 @@ def _feat_struct(df: DataFrame, ind_vars: list[str], dep_var: str | None,
     return df.select(*out)
 
 
-def _fit_groups(grouped: DataFrame, kdim: int, want_hat: bool):
+def _fit_groups(grouped: DataFrame, kdim: int, want_hat: bool,
+                y_center: float = 0.0):
     """Local WLS per calibration point — sufficient-statistics plan.
 
     Input rows: (id, w, xj array[kdim], yj, is_self, xi array[kdim]).
@@ -260,7 +263,10 @@ def _fit_groups(grouped: DataFrame, kdim: int, want_hat: bool):
 
         β = M⁻¹ v                    cct_a = (M⁻¹ M2 M⁻¹)_aa
         s_ii = w_i · x_iᵀ M⁻¹ x_i    ssq = Σ_j S_ij² = x_iᵀ M⁻¹ M2 M⁻¹ x_i
-        tss = wyy − 2·ȳ·wy + ȳ²·wsum,  ȳ = wy / wsum
+        tss = Σw(y−ȳ)² via moments of y′ = y − y_center (a global
+        shift supplied by the caller): tss = wyy′ − wy′²/wsum — the shift
+        removes the catastrophic cancellation a raw wyy − ȳ²wsum form
+        would hit when |mean(y)| ≫ std(y)
 
     which reproduce the reference's per-row hat/CCT math (gwr.py:228-233,
     616-628) exactly up to fp rearrangement — far inside the 1e-4 fixture
@@ -279,10 +285,11 @@ def _fit_groups(grouped: DataFrame, kdim: int, want_hat: bool):
             aggs.append(F.sum(w * xj[a] * xj[b]).alias(f"m_{a}_{b}"))
             aggs.append(F.sum(w * w * xj[a] * xj[b]).alias(f"m2_{a}_{b}"))
         aggs.append(F.sum(w * xj[a] * yj).alias(f"v_{a}"))
+    yc = yj - F.lit(float(y_center))
     aggs += [
         F.sum(w).alias("wsum"),
-        F.sum(w * yj).alias("wy"),
-        F.sum(w * yj * yj).alias("wyy"),
+        F.sum(w * yc).alias("wy"),
+        F.sum(w * yc * yc).alias("wyy"),
         F.max(F.when(F.col("is_self"), yj)).alias("yi"),
         F.max(F.when(F.col("is_self"), w)).alias("wi"),
         F.first("xi").alias("xi"),   # constant within the group
@@ -305,7 +312,15 @@ def _fit_groups(grouped: DataFrame, kdim: int, want_hat: bool):
             try:
                 inv = np.linalg.inv(M)
             except np.linalg.LinAlgError:
-                inv = np.linalg.pinv(M)
+                # isolate the singular neighborhoods: pinv ONLY those rows,
+                # so healthy points keep inv results regardless of which
+                # Arrow batch a rank-deficient point lands in
+                inv = np.empty_like(M)
+                for bi in range(n):
+                    try:
+                        inv[bi] = np.linalg.inv(M[bi])
+                    except np.linalg.LinAlgError:
+                        inv[bi] = np.linalg.pinv(M[bi])
             beta = np.einsum("nab,nb->na", inv, v)
             xi = np.stack(pdf["xi"].to_numpy())
             yi = pdf["yi"].to_numpy(dtype=float)          # NaN when no self
@@ -321,8 +336,8 @@ def _fit_groups(grouped: DataFrame, kdim: int, want_hat: bool):
             wsum = pdf["wsum"].to_numpy(dtype=float)
             wy = pdf["wy"].to_numpy(dtype=float)
             wyy = pdf["wyy"].to_numpy(dtype=float)
-            ybar = wy / wsum
-            tss = wyy - 2.0 * ybar * wy + ybar * ybar * wsum
+            ybar = y_center + wy / wsum
+            tss = wyy - (wy * wy) / wsum
             yield pd.DataFrame({
                 "id": pdf["id"],
                 "beta": list(map(list, beta)),
@@ -336,6 +351,13 @@ def _fit_groups(grouped: DataFrame, kdim: int, want_hat: bool):
             })
 
     return stats.mapInPandas(solve, schema=schema)
+
+
+def _dep_mean(data: DataFrame, dep_var: str) -> float:
+    """Global mean of the dependent variable — the tss-stabilizing shift
+    passed to _fit_groups (one tiny aggregate)."""
+    m = data.agg(F.avg(dep_var)).collect()[0][0]
+    return float(m) if m is not None else 0.0
 
 
 def _maps(arr_col: str, names: list[str]):
@@ -386,7 +408,8 @@ def gwr(
         .join(feat.select("id", F.col("x").alias("xi")), "id")
         .select("id", "w", "xj", "yj", "is_self", "xi")
     )
-    local = _fit_groups(grouped, kdim, want_hat=True).cache()
+    local = _fit_groups(grouped, kdim, want_hat=True,
+                        y_center=_dep_mean(data, dep_var)).cache()
 
     n_row = local.agg(
         F.count("*").alias("n"),
@@ -475,7 +498,9 @@ def gwr_predict(
         .join(feat_t.select("id", F.col("x").alias("xi")), "id")
         .select("id", "w", "xj", "yj", "is_self", "xi")
     )
-    loc_t = _fit_groups(grouped_t, len(names), want_hat=True).cache()
+    y0 = _dep_mean(train, dep_var)
+    loc_t = _fit_groups(grouped_t, len(names), want_hat=True,
+                        y_center=y0).cache()
     sr = loc_t.agg(
         F.count("*").alias("n"), F.sum("s_ii").alias("trs"),
         F.sum("ssq").alias("trsts"),
@@ -496,7 +521,8 @@ def gwr_predict(
             "id", F.col("x").alias("xi")), "id")
         .select("id", "w", "xj", "yj", "is_self", "xi")
     )
-    loc_u = _fit_groups(grouped_u, len(names), want_hat=False)
+    loc_u = _fit_groups(grouped_u, len(names), want_hat=False,
+                        y_center=y0)
 
     rss_u = (
         edges_u.join(
@@ -580,7 +606,8 @@ def _fit_stats(data: DataFrame, dep_var: str, ind_vars: list[str],
         .join(feat.select("id", F.col("x").alias("xi")), "id")
         .select("id", "w", "xj", "yj", "is_self", "xi")
     )
-    row = _fit_groups(grouped, len(names), want_hat=True).agg(
+    row = _fit_groups(grouped, len(names), want_hat=True,
+                      y_center=_dep_mean(data, dep_var)).agg(
         F.count("*").alias("n"),
         F.sum("s_ii").alias("trs"),
         F.sum(F.col("resid") * F.col("resid")).alias("rss"),

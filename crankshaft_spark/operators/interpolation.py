@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from crankshaft_spark.functions.spread import spread_groups
 from crankshaft_spark.operators.knn import knn_join
 
 
@@ -203,8 +204,6 @@ def interpolate_barycentric(
         est = _bary_eval(pts, vals, tris,
                          t["x"].to_numpy(), t["y"].to_numpy())
         return pd.DataFrame({"id": t["id"], "est": est})
-
-    from crankshaft_spark.functions.spread import spread_groups
 
     return (
         spread_groups(tgt.unionByName(smp), "tcell")

@@ -131,6 +131,7 @@ def sessionize_batch(
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    events = events.where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts")
     # parquet NTZ timestamps: session tz is pinned UTC, so the cast is the
     # identity on the instant
@@ -158,7 +159,7 @@ def sessionize_batch_oracle_sql(events_sql: str, *,
     """DuckDB mirror of sessionize_batch (identical window algebra)."""
     gap_us = gap_seconds * 1_000_000
     return f"""
-    WITH e AS (SELECT user_id, ts FROM ({events_sql})),
+    WITH e AS (SELECT user_id, ts FROM ({events_sql}) WHERE ts IS NOT NULL),
     flagged AS (
       SELECT user_id, ts,
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL

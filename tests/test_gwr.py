@@ -184,3 +184,19 @@ def test_gwr_select_bw_keeps_storage_flat(spark, georgia):
         _fit_stats(georgia, "pctbach", ["pctpov"], bw, 50000.0)
     after = len(jsc.getRDDStorageInfo())
     assert after <= before, (before, after)
+
+
+def test_gwr_r_squared_stable_under_large_mean_offset(spark, georgia):
+    """tss must not cancel catastrophically when |mean(y)| >> std(y):
+    shifting the dependent variable by 1e7 leaves localR2 unchanged
+    (coeff slopes and residual structure are shift-invariant)."""
+    from pyspark.sql import functions as F
+
+    ind = ["pctrural", "pctpov", "pctblack"]
+    base = {r["id"]: r["r_squared"]
+            for r in gwr(georgia, "pctbach", ind, bw=90).collect()}
+    shifted_df = georgia.withColumn("pctbach", F.col("pctbach") + 1.0e7)
+    shifted = {r["id"]: r["r_squared"]
+               for r in gwr(shifted_df, "pctbach", ind, bw=90).collect()}
+    for rid in base:
+        assert shifted[rid] == pytest.approx(base[rid], abs=1e-5), rid
