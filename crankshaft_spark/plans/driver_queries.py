@@ -1372,19 +1372,130 @@ def _gwr_input(spark, sf_dir):
     )
 
 
+GWR_BW = 30
+
+
 def q_gwr(spark, sf_dir):
     from crankshaft_spark.operators.gwr import gwr
 
-    res = gwr(_gwr_input(spark, sf_dir), "dep", ["f1", "f2"], bw=30,
+    res = gwr(_gwr_input(spark, sf_dir), "dep", ["f1", "f2"], bw=GWR_BW,
               cell_size=12.0)
+    # 4dp: the oracle recomputes the same WLS algebra with different fp
+    # association (Cramer/adjugate inverse vs LAPACK, SQL sum order vs
+    # numpy) -- agreement is ~1e-10, rounded to 4dp both sides
     return res.select(
         "id",
-        F.round(F.col("coeffs")["intercept"], 5).alias("b0"),
-        F.round(F.col("coeffs")["f1"], 5).alias("b1"),
-        F.round(F.col("t_vals")["f1"], 5).alias("t1"),
-        F.round("predicted", 5).alias("predicted"),
-        F.round("r_squared", 5).alias("r_squared"),
+        F.round(F.col("coeffs")["intercept"], 4).alias("b0"),
+        F.round(F.col("coeffs")["f1"], 4).alias("b1"),
+        F.round(F.col("t_vals")["f1"], 4).alias("t1"),
+        F.round("predicted", 4).alias("predicted"),
+        F.round("r_squared", 4).alias("r_squared"),
     )
+
+
+def o_gwr(round_dp=4, bw=GWR_BW):
+    """Full DuckDB mirror of the GWR catalog entry: brute kNN (self
+    included), adaptive-bisquare weights, moment matrices, 3x3
+    adjugate inverse, hat-trace sigma2, t-value, weighted local R2 --
+    the same sufficient-statistics algebra _fit_groups computes."""
+    m = lambda pre, wexpr: ",\n    ".join(
+        f"sum({wexpr} * e.x{a} * e.x{b}) AS {pre}{a}{b}"
+        for a in range(3) for b in range(a, 3))
+    v = ",\n    ".join(f"sum(e.w * e.x{a} * e.yj) AS v{a}" for a in range(3))
+    return f"""
+WITH gpts AS (
+  SELECT id, x, y, value AS dep,
+         CAST((id * 17) % 100 AS DOUBLE) AS f1,
+         CAST((id * 29) % 83 AS DOUBLE) AS f2
+  FROM ({CUSTOMER_POINTS_SQL})
+),
+y0 AS (SELECT avg(dep) AS y0 FROM gpts),
+knn AS (
+  SELECT id, nbr, d FROM (
+    SELECT a.id, b.id AS nbr,
+           sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS d,
+           row_number() OVER (
+             PARTITION BY a.id
+             ORDER BY (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) ASC,
+                      b.id ASC) AS rk
+    FROM gpts a JOIN gpts b ON true
+  ) WHERE rk <= {bw}
+),
+hh AS (SELECT id, max(d) * 1.0000001 AS h FROM knn GROUP BY id),
+ed AS (
+  SELECT k.id, k.nbr,
+         CASE WHEN k.d < h.h
+              THEN pow(1.0 - pow(k.d / h.h, 2.0), 2.0) ELSE 0.0 END AS w,
+         p.dep AS yj, 1.0 AS x0, p.f1 AS x1, p.f2 AS x2
+  FROM knn k JOIN hh h ON h.id = k.id JOIN gpts p ON p.id = k.nbr
+),
+mom AS (
+  SELECT e.id,
+    {m('m', 'e.w')},
+    {m('n', 'e.w*e.w')},
+    {v},
+    sum(e.w) AS wsum,
+    sum(e.w * (e.yj - y0.y0)) AS wy,
+    sum(e.w * (e.yj - y0.y0) * (e.yj - y0.y0)) AS wyy,
+    max(CASE WHEN e.nbr = e.id THEN e.yj END) AS yi,
+    max(CASE WHEN e.nbr = e.id THEN e.w END) AS wi
+  FROM ed e, y0 GROUP BY e.id
+),
+ii AS (
+  SELECT m.*, f.f1 AS xi1, f.f2 AS xi2,
+    (m11*m22 - m12*m12)/det AS i00,
+    (m02*m12 - m01*m22)/det AS i01,
+    (m01*m12 - m02*m11)/det AS i02,
+    (m00*m22 - m02*m02)/det AS i11,
+    (m01*m02 - m00*m12)/det AS i12,
+    (m00*m11 - m01*m01)/det AS i22
+  FROM (SELECT *,
+          (m00*(m11*m22 - m12*m12) - m01*(m01*m22 - m12*m02)
+           + m02*(m01*m12 - m11*m02)) AS det
+        FROM mom) m
+  JOIN gpts f ON f.id = m.id
+),
+sol AS (
+  SELECT *,
+    i00*v0 + i01*v1 + i02*v2 AS b0,
+    i01*v0 + i11*v1 + i12*v2 AS b1,
+    i02*v0 + i12*v1 + i22*v2 AS b2,
+    i00*1.0 + i01*xi1 + i02*xi2 AS ix0,
+    i01*1.0 + i11*xi1 + i12*xi2 AS ix1,
+    i02*1.0 + i12*xi1 + i22*xi2 AS ix2
+  FROM ii
+),
+per AS (
+  SELECT *,
+    1.0*b0 + xi1*b1 + xi2*b2 AS predicted,
+    yi - (1.0*b0 + xi1*b1 + xi2*b2) AS resid,
+    coalesce(wi, 0.0) * (1.0*ix0 + xi1*ix1 + xi2*ix2) AS s_ii,
+    (ix0*(n00*ix0 + n01*ix1 + n02*ix2)
+     + ix1*(n01*ix0 + n11*ix1 + n12*ix2)
+     + ix2*(n02*ix0 + n12*ix1 + n22*ix2)) AS ssq,
+    (i01*(n00*i01 + n01*i11 + n02*i12)
+     + i11*(n01*i01 + n11*i11 + n12*i12)
+     + i12*(n02*i01 + n12*i11 + n22*i12)) AS cct1,
+    wyy - (wy*wy)/wsum AS tss
+  FROM sol
+),
+gstats AS (
+  SELECT count(*) AS n, sum(s_ii) AS trs, sum(ssq) AS trsts,
+         sum(resid*resid) AS rss
+  FROM per
+),
+sg AS (SELECT rss / (n - 2.0*trs + trsts) AS sigma2 FROM gstats),
+rw AS (
+  SELECT e.id, sum(e.w * r.resid * r.resid) AS rss_i
+  FROM ed e JOIN per r ON r.id = e.nbr GROUP BY e.id
+)
+SELECT p.id,
+  round(p.b0, {round_dp}) AS b0, round(p.b1, {round_dp}) AS b1,
+  round(p.b1 / sqrt(p.cct1 * sg.sigma2), {round_dp}) AS t1,
+  round(p.predicted, {round_dp}) AS predicted,
+  round((p.tss - rw.rss_i) / p.tss, {round_dp}) AS r_squared
+FROM per p JOIN rw ON rw.id = p.id, sg"""
+
 
 
 def q_gwr_predict(spark, sf_dir):
@@ -1540,6 +1651,7 @@ def oracle_sql() -> dict[str, str]:
         "moran_local": o_moran_local(),
         "moran_global": o_moran_global(),
         "getis_z": o_getis_z(),
+        "gwr": o_gwr(),
         "kmeans_assign": o_kmeans_assign(),
         "media_metadata": o_media_metadata(),
         "media_frames": o_media_frames(),
