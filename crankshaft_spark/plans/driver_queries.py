@@ -1504,12 +1504,84 @@ def q_gwr_predict(spark, sf_dir):
     inp = _gwr_input(spark, sf_dir).withColumn(
         "dep", F.when(F.col("id") % 20 == 3, None).otherwise(F.col("dep"))
     )
-    res = gwr_predict(inp, "dep", ["f1", "f2"], bw=30, cell_size=12.0)
+    res = gwr_predict(inp, "dep", ["f1", "f2"], bw=GWR_BW, cell_size=12.0)
     return res.select(
         "id",
-        F.round(F.col("coeffs")["f1"], 5).alias("b1"),
-        F.round("predicted", 5).alias("predicted"),
+        F.round(F.col("coeffs")["f1"], 4).alias("b1"),
+        F.round("predicted", 4).alias("predicted"),
     )
+
+
+def o_gwr_predict(round_dp=4, bw=GWR_BW):
+    """DuckDB mirror of CDB_GWR_Predict's catalog instance: unknowns are
+    id % 20 == 3; calibration kNN runs against the TRAINING points only;
+    ``predicted`` reproduces the reference's positional quirk — the fitted
+    value of the i-th TRAINING row (by id order) under the i-th unknown's
+    local model (gwr.py:209-235, documented in operators/gwr.py)."""
+    return f"""
+WITH gpts AS (
+  SELECT id, x, y, value AS dep,
+         CAST((id * 17) % 100 AS DOUBLE) AS f1,
+         CAST((id * 29) % 83 AS DOUBLE) AS f2
+  FROM ({CUSTOMER_POINTS_SQL})
+),
+train AS (SELECT * FROM gpts WHERE id % 20 <> 3),
+unk AS (SELECT * FROM gpts WHERE id % 20 = 3),
+knn AS (
+  SELECT id, nbr, d FROM (
+    SELECT a.id, b.id AS nbr,
+           sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS d,
+           row_number() OVER (
+             PARTITION BY a.id
+             ORDER BY (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) ASC,
+                      b.id ASC) AS rk
+    FROM unk a JOIN train b ON true
+  ) WHERE rk <= {{bw}}
+),
+hh AS (SELECT id, max(d) * 1.0000001 AS h FROM knn GROUP BY id),
+ed AS (
+  SELECT k.id, k.nbr,
+         CASE WHEN k.d < h.h
+              THEN pow(1.0 - pow(k.d / h.h, 2.0), 2.0) ELSE 0.0 END AS w,
+         p.dep AS yj, 1.0 AS x0, p.f1 AS x1, p.f2 AS x2
+  FROM knn k JOIN hh h ON h.id = k.id JOIN train p ON p.id = k.nbr
+),
+mom AS (
+  SELECT e.id,
+    sum(e.w * e.x0 * e.x0) AS m00, sum(e.w * e.x0 * e.x1) AS m01,
+    sum(e.w * e.x0 * e.x2) AS m02, sum(e.w * e.x1 * e.x1) AS m11,
+    sum(e.w * e.x1 * e.x2) AS m12, sum(e.w * e.x2 * e.x2) AS m22,
+    sum(e.w * e.x0 * e.yj) AS v0, sum(e.w * e.x1 * e.yj) AS v1,
+    sum(e.w * e.x2 * e.yj) AS v2
+  FROM ed e GROUP BY e.id
+),
+sol AS (
+  SELECT id,
+    (i00*v0 + i01*v1 + i02*v2) AS b0,
+    (i01*v0 + i11*v1 + i12*v2) AS b1,
+    (i02*v0 + i12*v1 + i22*v2) AS b2
+  FROM (
+    SELECT *,
+      (m11*m22 - m12*m12)/det AS i00,
+      (m02*m12 - m01*m22)/det AS i01,
+      (m01*m12 - m02*m11)/det AS i02,
+      (m00*m22 - m02*m02)/det AS i11,
+      (m01*m02 - m00*m12)/det AS i12,
+      (m00*m11 - m01*m01)/det AS i22
+    FROM (SELECT *,
+            (m00*(m11*m22 - m12*m12) - m01*(m01*m22 - m12*m02)
+             + m02*(m01*m12 - m11*m02)) AS det
+          FROM mom)
+  )
+),
+uo AS (SELECT id, row_number() OVER (ORDER BY id) AS o FROM unk),
+xo AS (SELECT row_number() OVER (ORDER BY id) AS o, f1, f2
+       FROM train)
+SELECT s.id, round(s.b1, {{round_dp}}) AS b1,
+       round(s.b0 + x.f1*s.b1 + x.f2*s.b2, {{round_dp}}) AS predicted
+FROM sol s JOIN uo ON uo.id = s.id JOIN xo x ON x.o = uo.o""".format(
+        bw=bw, round_dp=round_dp, CUSTOMER_POINTS_SQL="{CUSTOMER_POINTS_SQL}"
+    ).replace("{CUSTOMER_POINTS_SQL}", CUSTOMER_POINTS_SQL)
 
 
 
@@ -1652,6 +1724,7 @@ def oracle_sql() -> dict[str, str]:
         "moran_global": o_moran_global(),
         "getis_z": o_getis_z(),
         "gwr": o_gwr(),
+        "gwr_predict": o_gwr_predict(),
         "kmeans_assign": o_kmeans_assign(),
         "media_metadata": o_media_metadata(),
         "media_frames": o_media_frames(),
