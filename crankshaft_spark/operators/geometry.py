@@ -319,6 +319,10 @@ def densify(
     schema = f"{group_col} long, x double, y double, value double"
 
     def run(key, pdf):
+        # pin Bowyer-Watson insertion order by coordinates: shuffle delivery
+        # order is partitioning-dependent, triangle choice in degenerate
+        # (cocircular) cases must not be
+        pdf = pdf.sort_values(["x", "y"], kind="mergesort")
         pts = np.column_stack([pdf["x"].to_numpy(), pdf["y"].to_numpy()])
         vals = pdf["value"].to_numpy().astype(float)
         pts, vals = _densify_arrays(pts, vals, iterations)
@@ -344,6 +348,7 @@ def tin_map(
     schema = f"{group_col} long, tri_wkt string, value double"
 
     def run(key, pdf):
+        pdf = pdf.sort_values(["x", "y"], kind="mergesort")  # same pin
         pts = np.column_stack([pdf["x"].to_numpy(), pdf["y"].to_numpy()])
         vals = pdf["value"].to_numpy().astype(float)
         pts, vals = _densify_arrays(pts, vals, iterations)
