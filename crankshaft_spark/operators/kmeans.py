@@ -275,3 +275,106 @@ def kmeans_nonspatial(
             })
 
     return labeled.mapInPandas(compute, schema=schema)
+
+
+def kmeans_lloyd_silhouette(
+    points: DataFrame,
+    *,
+    k: int,
+    iters: int = 5,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """(id, cluster, silhouette, inertia) — sqeuclidean silhouette and
+    global inertia over the deterministic Lloyd assignment.
+
+    Same decomposition as kmeans_nonspatial (mean_{j∈C} ||p−p_j||² =
+    |p|² − 2 p·μ_C + msq_C) but as pure column algebra over k literal
+    cluster-stat tuples — no pandas stage.  With integer-valued
+    coordinates every cluster sum is exact, so a/b/silhouette are
+    bit-deterministic and the whole metric is mirrored by
+    ``kmeans_silhouette_oracle_sql``.  Inertia uses the per-cluster
+    identity Σ d²(p, μ_C) = ssq_C − (sx_C² + sy_C²)/n_C summed in cluster
+    order (sklearn convention: silhouette = 0 for singleton clusters).
+    """
+    assigned = kmeans_lloyd(points, k=k, iters=iters, x=x, y=y).cache()
+    st = {
+        int(r["cluster"]): (int(r["n"]), float(r["sx"]), float(r["sy"]),
+                            float(r["ssq"]))
+        for r in assigned.groupBy("cluster").agg(
+            F.count("*").alias("n"), F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y")).alias("ssq"),
+        ).collect()
+    }
+    inertia = 0.0
+    for c in sorted(st):
+        n, sx, sy, ssq = st[c]
+        inertia += ssq - (sx * sx + sy * sy) / n
+
+    px, py = F.col("x"), F.col("y")
+    own = F.col("cluster")
+
+    def dmean(c):
+        n, sx, sy, ssq = st[c]
+        return (
+            (px * px + py * py)
+            - 2.0 * (px * F.lit(sx / n) + py * F.lit(sy / n))
+            + F.lit(ssq / n)
+        )
+
+    a = F.lit(0.0)
+    n_own = F.lit(0)
+    for c in sorted(st):
+        n = st[c][0]
+        a_c = ((dmean(c) * F.lit(float(n))) / F.lit(float(n - 1))
+               if n > 1 else F.lit(0.0))
+        a = F.when(own == c, a_c).otherwise(a)
+        n_own = F.when(own == c, F.lit(n)).otherwise(n_own)
+    INF = float("inf")
+    b = F.array_min(F.array(*[
+        F.when(own == c, F.lit(INF)).otherwise(dmean(c)) for c in sorted(st)
+    ]))
+    denom = F.greatest(a, b)
+    sil = F.when((n_own > 1) & (denom > 0), (b - a) / denom).otherwise(0.0)
+    return assigned.select(
+        "id", "cluster",
+        F.round(sil, 6).alias("silhouette"),
+        F.round(F.lit(inertia), 0).alias("inertia"),
+    )
+
+
+def kmeans_silhouette_oracle_sql(pts_sql: str, *, k: int,
+                                 iters: int = 5) -> str:
+    """DuckDB mirror of kmeans_lloyd_silhouette: Lloyd assignment (shared
+    generator), identical stat/decomposition arithmetic from exact sums."""
+    asg = kmeans_lloyd_oracle_sql(pts_sql, k=k, iters=iters)
+    return f"""
+    WITH asg AS ({asg}),
+    st AS (
+      SELECT cluster, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x*x + y*y) AS ssq
+      FROM asg GROUP BY cluster
+    ),
+    inert AS (SELECT sum(ssq - (sx*sx + sy*sy)/n) AS inertia FROM st),
+    pairs AS (
+      SELECT a.id, a.cluster AS own, s.cluster AS c, s.n,
+             (a.x*a.x + a.y*a.y)
+             - 2.0*(a.x*(s.sx/s.n) + a.y*(s.sy/s.n)) + s.ssq/s.n AS dmean
+      FROM asg a CROSS JOIN st s
+    ),
+    ab AS (
+      SELECT id,
+        max(CASE WHEN c = own THEN
+              CASE WHEN n > 1 THEN (dmean * n) / (n - 1.0) ELSE 0.0 END
+            END) AS a,
+        max(CASE WHEN c = own THEN n END) AS n_own,
+        min(CASE WHEN c <> own THEN dmean END) AS b
+      FROM pairs GROUP BY id
+    )
+    SELECT asg.id, asg.cluster,
+      round(CASE WHEN ab.n_own > 1 AND greatest(ab.a, ab.b) > 0
+                 THEN (ab.b - ab.a) / greatest(ab.a, ab.b) ELSE 0.0 END, 6)
+        AS silhouette,
+      round(inert.inertia, 0) AS inertia
+    FROM asg JOIN ab ON ab.id = asg.id, inert"""

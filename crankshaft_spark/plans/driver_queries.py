@@ -1634,6 +1634,27 @@ def o_kmeans_assign():
     return f"SELECT id, cluster FROM ({inner})"
 
 
+def q_kmeans_silhouette(spark, sf_dir):
+    """sqeuclidean silhouette + inertia over the deterministic Lloyd
+    assignment — the oracle-checked metric surface for CDB_KMeansNonspatial
+    semantics (the pyspark.ml entry stays rows-only)."""
+    from crankshaft_spark.operators.kmeans import kmeans_lloyd_silhouette
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 9973) % 24000).cast("double").alias("x"),
+        ((F.col("c_custkey") * 7919) % 9600).cast("double").alias("y"),
+    )
+    return kmeans_lloyd_silhouette(pts, k=KM_K, iters=KM_ITERS)
+
+
+def o_kmeans_silhouette():
+    from crankshaft_spark.operators.kmeans import kmeans_silhouette_oracle_sql
+
+    return kmeans_silhouette_oracle_sql(_KM_PTS_SQL, k=KM_K, iters=KM_ITERS)
+
+
 def q_segmentation(spark, sf_dir):
     from crankshaft_spark.operators.segmentation import create_and_predict_segment
 
@@ -1659,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_global": q_moran_global,
         "getis_z": q_getis_z,
         "kmeans_assign": q_kmeans_assign,
+        "kmeans_silhouette": q_kmeans_silhouette,
         "kmeans_spatial": q_kmeans_spatial,
         "kmeans_nonspatial": q_kmeans_nonspatial,
         "segmentation_gbt": q_segmentation,
@@ -1726,6 +1748,7 @@ def oracle_sql() -> dict[str, str]:
         "gwr": o_gwr(),
         "gwr_predict": o_gwr_predict(),
         "kmeans_assign": o_kmeans_assign(),
+        "kmeans_silhouette": o_kmeans_silhouette(),
         "media_metadata": o_media_metadata(),
         "media_frames": o_media_frames(),
         "markov_classes": o_markov_classes(),

@@ -170,3 +170,41 @@ def test_segmentation_array_overload(spark):
     ).collect()
     assert sorted(r["id"] for r in out) == [7, 9]
     assert all(np.isfinite(r["prediction"]) for r in out)
+
+
+def test_kmeans_lloyd_silhouette_matches_numpy(spark):
+    """Column-algebra silhouette equals the direct pairwise computation
+    (sqeuclidean, sklearn conventions) over the same Lloyd assignment."""
+    from crankshaft_spark.operators.kmeans import (
+        kmeans_lloyd, kmeans_lloyd_silhouette,
+    )
+
+    rows = [(i, float((i * 37) % 50), float((i * 11) % 40)) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {r["id"]: (r["cluster"], r["silhouette"], r["inertia"])
+           for r in kmeans_lloyd_silhouette(df, k=4, iters=4).collect()}
+
+    lab = {r["id"]: r["cluster"] for r in kmeans_lloyd(df, k=4, iters=4).collect()}
+    pts = {i: np.array([x, y]) for i, x, y in rows}
+    clusters = {}
+    for i, c in lab.items():
+        clusters.setdefault(c, []).append(i)
+    inertia = 0.0
+    for c, members in clusters.items():
+        mu = np.mean([pts[i] for i in members], axis=0)
+        inertia += sum(((pts[i] - mu) ** 2).sum() for i in members)
+    for i, c in lab.items():
+        own = clusters[c]
+        if len(own) > 1:
+            a = np.mean([((pts[i] - pts[j]) ** 2).sum()
+                         for j in own if j != i])
+        else:
+            a = 0.0
+        b = min(
+            np.mean([((pts[i] - pts[j]) ** 2).sum() for j in members])
+            for cc, members in clusters.items() if cc != c
+        )
+        sil = (b - a) / max(a, b) if len(own) > 1 and max(a, b) > 0 else 0.0
+        assert got[i][0] == c
+        assert got[i][1] == pytest.approx(sil, abs=1e-6), i
+        assert got[i][2] == pytest.approx(inertia, abs=1.0)
