@@ -1350,6 +1350,47 @@ def q_media_frames(spark, sf_dir):
     return frame_sample(synth_media(spark, n=MEDIA_N, seed=42), every=4)
 
 
+def q_media_real(spark, sf_dir):
+    """REAL container decode: stdlib PNG (zlib inflate + 5-filter scanline
+    reconstruction + CRC walk) and WAV (RIFF/PCM16) codecs over real-format
+    bytes; payload_sum is the sum of DECODED pixel/sample values, which the
+    oracle recomputes closed-form — so a wrong unfilter or byte-order bug
+    fails the value hash, not just the schema."""
+    from crankshaft_spark.operators.multimodal import decode_metadata, synth_media
+
+    return decode_metadata(
+        synth_media(spark, n=MEDIA_N, seed=42, fmt="real"), decoder="real"
+    )
+
+
+def o_media_real():
+    return f"""
+    WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id FROM range({MEDIA_N}) g(i)),
+    m AS (
+      SELECT media_id, media_id % 3 AS k,
+             8 + media_id % 24 AS d0,
+             8 + (media_id * 7) % 24 AS d1
+      FROM ids
+    )
+    SELECT media_id,
+           CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+           CAST(d0 AS INT) AS dim0,
+           CAST(CASE WHEN k = 1 THEN d1 * 4 ELSE d1 END AS INT) AS dim1,
+           CAST(CASE k WHEN 0 THEN d0 * d1 WHEN 1 THEN 2 * d1 * 4
+                       ELSE d0 * 4 END AS INT) AS n_payload,
+           CAST(CASE k
+             WHEN 1 THEN list_sum(list_transform(range(0, d1 * 4),
+                    i -> (media_id * 13 + i * 11) % 65536 - 32768))
+             WHEN 0 THEN list_sum(list_transform(range(0, d0 * d1),
+                    i -> (media_id * 31 + i * 7) % 256))
+             ELSE list_sum(list_transform(range(0, d0 * 4),
+                    i -> (media_id * 31 + i * 7) % 256))
+           END AS BIGINT) AS payload_sum,
+           true AS ok
+    FROM m"""
+
+
 def o_media_frames():
     return f"""
     WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id FROM range({MEDIA_N}) g(i)),
@@ -1892,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "media_metadata": q_media_metadata,
         "media_frames": q_media_frames,
+        "media_real": q_media_real,
         "markov": q_markov,
         "outliers": q_outliers,
         "bins": q_bins,
@@ -1939,6 +1981,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": o_ann_ivf(),
         "media_metadata": o_media_metadata(),
         "media_frames": o_media_frames(),
+        "media_real": o_media_real(),
         "markov": o_markov(),
         "outliers": o_outliers(),
         "bins": o_bins(),
