@@ -11,10 +11,20 @@ reference fixture (neighbors_getis.json → getis.json):
     each of the (deg_i + 1) members of the closed neighborhood weighs
     1/(deg_i + 1)
   * Gs_i = (Σ_{j∈N(i)} y_j + y_i) / ((deg_i + 1) · Σy)
-  * permutation path (``getis_gstar_pysal_sim``) replicates PySAL's
-    conditional randomization *including its RNG stream* and its pooled
-    z_sim quirk: EG_sim/seG_sim are scalars over ALL rows × permutations
-    (``sim.mean()`` with no axis), so z_sim = (Gs − pooled_mean)/pooled_std
+  * fixture-parity permutation path (``getis_gstar_pysal_sim``) replicates
+    PySAL's conditional randomization *including its RNG stream* and its
+    pooled z_sim quirk: EG_sim/seG_sim are scalars over ALL rows ×
+    permutations (``sim.mean()`` with no axis), so
+    z_sim = (Gs − pooled_mean)/pooled_std.  PySAL's sequential global RNG
+    is inherently serial, so this path collects the bounded fixture table —
+    use it ONLY for fixture parity.
+  * distributed permutation path (``getis_gstar_sim``) — the scale path for
+    simulated inference: same conditional-randomization semantics (SRSWOR
+    of deg_i others, folded p_sim, pooled z_sim) but samples are drawn by a
+    keyed linear hash ranked per (seed, id, permutation), so the plan is a
+    broadcast value vector + one Arrow-batched mapInPandas stage, results
+    are parallelism-independent, and the whole construction is expressible
+    in the DuckDB oracle (``getis_sim_oracle_sql``).
   * analytic path (``getis_gstar``) gives the closed-form moments of the
     same conditional randomization (sampling deg_i values without
     replacement from the other n−1), fully distributed and SQL-expressible —
@@ -115,6 +125,200 @@ def normal_tail(z_abs):
     )
     pdf = F.exp(F.lit(-0.5) * z_abs * z_abs) / F.lit(2.5066282746310002)
     return pdf * poly
+
+
+_HASH_P = 2147483647  # 2^31 - 1: a*g + b stays < 2^62 (exact BIGINT/int64)
+
+
+def _h32(s: str) -> int:
+    """Portable 32-bit hash: first 8 hex digits of md5 — identical to
+    DuckDB ('0x' || substring(md5(s), 1, 8))::BIGINT (CLAUDE.md recipe)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def getis_gstar_sim(
+    values: DataFrame,
+    edges: DataFrame,
+    *,
+    value_col: str = "value",
+    permutations: int = 99,
+    seed: int = 1234,
+) -> DataFrame:
+    """Distributed conditional-randomization Gi* → (id, gs, z_sim, p_sim).
+
+    Scale path for permutation inference (replaces the driver-serial PySAL
+    replica): the value vector is broadcast once; each row's ``permutations``
+    deg(i)-sized samples-without-replacement are drawn by ranking the other
+    rows under a keyed linear hash u_j = (A_ip·g_j + B_ip) mod (2^31−1) and
+    taking the deg(i) smallest — the top-d of a (pairwise-independent)
+    pseudo-random ordering is a uniform d-subset, and the construction is
+    pure integer arithmetic seeded from (seed, id, p), so results are
+    bit-identical at any parallelism AND expressible verbatim in the DuckDB
+    oracle (no numpy RNG stream).  Statistics mirror PySAL G_Local:
+    two-sided folded p_sim, pooled-moment z_sim (EG/seG over all rows ×
+    permutations).  Per-row work is vectorized numpy over an Arrow batch;
+    everything after is column algebra.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = values.sparkSession
+    nbr_stats = (
+        edges.select("id", "nbr")
+        .join(values.select(F.col("id").alias("nbr"),
+                            F.col(value_col).alias("_y")), "nbr")
+        .groupBy("id")
+        .agg(F.count("*").alias("_deg"), F.sum("_y").alias("_nbrsum"))
+    )
+    zrows = (
+        values.select("id", F.col(value_col).cast("double")).sort("id").collect()
+    )
+    ids = [int(r[0]) for r in zrows]
+    y = np.array([r[1] for r in zrows], dtype=float)
+    g = np.array([_h32(f"gsim-g:{i}") % _HASH_P for i in ids], dtype=np.int64)
+    n = len(y)
+    by = spark.sparkContext.broadcast(y)
+    bg = spark.sparkContext.broadcast(g)
+    bpos = spark.sparkContext.broadcast({v: i for i, v in enumerate(ids)})
+
+    schema = ("id long, _y double, _deg long, _nbrsum double, "
+              "_larger long, _ssum double, _s2sum double")
+
+    def run(pdfs):
+        yv, gv, pos = by.value, bg.value, bpos.value
+        for pdf in pdfs:
+            out = []
+            for rid, yi, d, nbrsum in zip(
+                pdf["id"], pdf["_y"], pdf["_deg"], pdf["_nbrsum"]
+            ):
+                rid, d = int(rid), int(d)
+                i = pos[rid]
+                a = np.array(
+                    [1 + _h32(f"gsim-a:{seed}:{rid}:{p}") % (_HASH_P - 1)
+                     for p in range(permutations)], dtype=np.int64)
+                b = np.array(
+                    [_h32(f"gsim-b:{seed}:{rid}:{p}") % _HASH_P
+                     for p in range(permutations)], dtype=np.int64)
+                u = (a[:, None] * gv[None, :] + b[:, None]) % _HASH_P
+                key = u * np.int64(n) + np.arange(n, dtype=np.int64)[None, :]
+                key[:, i] = np.iinfo(np.int64).max  # exclude self
+                top = np.argpartition(key, d - 1, axis=1)[:, :d]
+                s = yv[top].sum(axis=1)
+                larger = int((s >= nbrsum).sum())
+                sv = s + yi
+                out.append((rid, float(yi), d, float(nbrsum), larger,
+                            float(sv.sum()), float((sv * sv).sum())))
+            yield pd.DataFrame(
+                out, columns=["id", "_y", "_deg", "_nbrsum", "_larger",
+                              "_ssum", "_s2sum"])
+
+    base = (
+        values.select("id", F.col(value_col).cast("double").alias("_y"))
+        .join(nbr_stats, "id")
+        .select("id", "_y", "_deg", "_nbrsum")
+    )
+    per = base.mapInPandas(run, schema=schema)
+    tot = values.agg(F.sum(F.col(value_col).cast("double")).alias("_ysum"),
+                     F.count("*").alias("_n"))
+    denom = (F.col("_deg") + 1) * F.col("_ysum")
+    pool = (
+        per.join(F.broadcast(tot))
+        .agg(
+            F.sum(F.col("_ssum") / denom).alias("_egs"),
+            F.sum(F.col("_s2sum") / (denom * denom)).alias("_e2s"),
+            (F.max("_n") * permutations).alias("_np"),
+        )
+        .select(
+            (F.col("_egs") / F.col("_np")).alias("_eg"),
+            (F.col("_e2s") / F.col("_np")).alias("_e2"),
+        )
+    )
+    gs = (F.col("_nbrsum") + F.col("_y")) / denom
+    folded = F.least(F.col("_larger"), F.lit(permutations) - F.col("_larger"))
+    return (
+        per.join(F.broadcast(tot)).join(F.broadcast(pool))
+        .select(
+            "id",
+            gs.alias("gs"),
+            ((gs - F.col("_eg"))
+             / F.sqrt(F.col("_e2") - F.col("_eg") * F.col("_eg"))
+             ).alias("z_sim"),
+            ((folded + 1.0) / (permutations + 1)).alias("p_sim"),
+        )
+    )
+
+
+def getis_sim_oracle_sql(
+    values_sql: str,
+    knn_cte: str,
+    *,
+    permutations: int = 19,
+    seed: int = 1234,
+    k_norm: float = 5.0,
+) -> str:
+    """DuckDB mirror of ``getis_gstar_sim``: same keyed-linear-hash SRSWOR
+    (rank (A·g+B) mod P, take deg smallest, tie-break by id), same folded
+    p_sim and pooled z_sim.  ``values_sql`` must yield (id, y) with
+    INTEGER-VALUED y so every sum is order-exact in both engines.
+    ``knn_cte`` is a WITH prologue providing pts and knn(id, nbr)."""
+    P = _HASH_P
+    return f"""{knn_cte},
+    yv AS ({values_sql}),
+    tot AS (SELECT sum(y) AS ysum, count(*) AS n FROM yv),
+    deg AS (
+      SELECT k.id, count(*) AS d, sum(yn.y) AS nbrsum
+      FROM knn k JOIN yv yn ON k.nbr = yn.id GROUP BY k.id
+    ),
+    gh AS (SELECT id, y,
+                  ('0x' || substring(md5('gsim-g:' || id), 1, 8))::BIGINT
+                    % {P} AS gj
+           FROM yv),
+    ab AS (
+      SELECT i.id, pp.p,
+             1 + ('0x' || substring(md5(concat_ws(':', 'gsim-a', {seed},
+                     i.id, pp.p)), 1, 8))::BIGINT % {P - 1} AS a,
+             ('0x' || substring(md5(concat_ws(':', 'gsim-b', {seed},
+                     i.id, pp.p)), 1, 8))::BIGINT % {P} AS b
+      FROM yv i, (SELECT unnest(range({permutations})) AS p) pp
+    ),
+    samp AS (
+      SELECT ab.id, ab.p, o.y,
+             row_number() OVER (
+               PARTITION BY ab.id, ab.p
+               ORDER BY (ab.a * o.gj + ab.b) % {P} ASC, o.id ASC) AS rk
+      FROM ab JOIN gh o ON o.id <> ab.id
+    ),
+    sims AS (
+      SELECT sa.id, sa.p, sum(sa.y) AS s
+      FROM samp sa JOIN deg d ON d.id = sa.id
+      WHERE sa.rk <= d.d GROUP BY sa.id, sa.p
+    ),
+    per AS (
+      SELECT s.id,
+             sum(CASE WHEN s.s >= d.nbrsum THEN 1 ELSE 0 END) AS larger,
+             sum(s.s + yy.y) AS ssum,
+             sum((s.s + yy.y) * (s.s + yy.y)) AS s2sum,
+             any_value(d.d) AS d, any_value(d.nbrsum) AS nbrsum,
+             any_value(yy.y) AS y
+      FROM sims s JOIN deg d ON d.id = s.id JOIN yv yy ON yy.id = s.id
+      GROUP BY s.id
+    ),
+    pool AS (
+      SELECT sum(ssum / ((d + 1) * t.ysum)) / (any_value(t.n) * {permutations})
+               AS eg,
+             sum(s2sum / (((d + 1) * t.ysum) * ((d + 1) * t.ysum)))
+               / (any_value(t.n) * {permutations}) AS e2
+      FROM per, tot t
+    )
+    SELECT per.id,
+           round((per.nbrsum + per.y) / ((per.d + 1) * t.ysum), 6) AS gs,
+           round(((per.nbrsum + per.y) / ((per.d + 1) * t.ysum) - pool.eg)
+                 / sqrt(pool.e2 - pool.eg * pool.eg), 6) AS z_sim,
+           round((least(per.larger, {permutations} - per.larger) + 1.0)
+                 / ({permutations} + 1), 6) AS p_sim
+    FROM per, pool, tot t"""
 
 
 def getis_gstar_pysal_sim(

@@ -697,17 +697,33 @@ def q_moran_local_sim(spark, sf_dir):
     )
 
 
-def q_getis_sim(spark, sf_dir):
-    from crankshaft_spark.operators.getis import getis_gstar_pysal_sim
+GETIS_SIM_PERMS = 19  # keeps the oracle's n·perms·(n−1) ranking bounded
 
-    pts = customer_points(spark, sf_dir)
-    res = getis_gstar_pysal_sim(
-        pts.select("id", "value"), _edges_w(spark, sf_dir),
-        permutations=99, seed=1234,
+
+def q_getis_sim(spark, sf_dir):
+    """Distributed conditional-randomization Gi* (keyed-linear-hash SRSWOR,
+    value-hash oracle).  y is integer-valued closed-form so every sum is
+    order-exact in both engines; the PySAL-replica path stays fixture-only."""
+    from crankshaft_spark.operators.getis import getis_gstar_sim
+
+    pts = customer_points(spark, sf_dir).select(
+        "id", ((F.col("id") * 37) % 1000).cast("double").alias("value")
     )
+    res = getis_gstar_sim(pts, _edges_w(spark, sf_dir),
+                          permutations=GETIS_SIM_PERMS, seed=1234)
     return res.select(
-        "id", F.round("z_sim", 6).alias("z_sim"),
+        "id", F.round("gs", 6).alias("gs"),
+        F.round("z_sim", 6).alias("z_sim"),
         F.round("p_sim", 6).alias("p_sim"),
+    )
+
+
+def o_getis_sim():
+    from crankshaft_spark.operators.getis import getis_sim_oracle_sql
+
+    return getis_sim_oracle_sql(
+        "SELECT id, CAST((id * 37) % 1000 AS DOUBLE) AS y FROM pts",
+        _KNN_CTE, permutations=GETIS_SIM_PERMS, seed=1234,
     )
 
 
@@ -1998,6 +2014,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_pipeline": o_hotspot_pipeline(),
         "events_cell_hourly": o_events_cell_hourly(),
         "sessions_batch": o_sessions_batch(),
+        "getis_sim": o_getis_sim(),
         "moran_local_bv": o_moran_bv(),
         "moran_local_rate": o_moran_local_rate(),
         "queen_edges": o_queen_edges(),

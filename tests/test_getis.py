@@ -73,3 +73,33 @@ def test_getis_analytic_consistency(getis_input, getis_neighbors_fixture,
     ]
     ana_sorted = sorted(res, key=lambda i: -res[i]["z_score"])
     assert set(sim_sorted[:3]) <= set(ana_sorted[:5])
+
+
+def test_getis_distributed_sim(getis_input, getis_neighbors_fixture,
+                               getis_fixture):
+    """Distributed keyed-hash conditional randomization: bit-identical at
+    any parallelism (per-row seeds from row identity, not partition), and
+    statistically consistent with the PySAL permutation fixture."""
+    from crankshaft_spark.operators.getis import getis_gstar_sim
+
+    values, edges = getis_input
+    r1 = getis_gstar_sim(values, edges, permutations=199, seed=7).collect()
+    r2 = getis_gstar_sim(
+        values.repartition(7), edges.repartition(5), permutations=199, seed=7
+    ).collect()
+    # gs/z_sim are ratios of distributed float sums — order-sensitive at the
+    # ulp level, so compare at the catalog's 6dp rounding pin; p_sim and the
+    # sample draws themselves are exact integers (hash-ranked), so any
+    # partitioning-dependence bug would show as whole-count p_sim jumps
+    key = lambda rows: sorted(
+        (r["id"], round(r["gs"], 6), round(r["z_sim"], 6), r["p_sim"])
+        for r in rows)
+    assert key(r1) == key(r2)
+
+    got = {r["id"]: r for r in r1}
+    assert all(0.0 < r["p_sim"] <= 1.0 for r in got.values())
+    # z_sim ranking agrees with the PySAL-replica fixture ranking at the top
+    fix_sorted = [row["id"] for row, (z, _, _) in sorted(
+        zip(getis_neighbors_fixture, getis_fixture), key=lambda t: -t[1][0])]
+    ours_sorted = sorted(got, key=lambda i: -got[i]["z_sim"])
+    assert set(fix_sorted[:3]) <= set(ours_sorted[:5])
