@@ -41,6 +41,30 @@ def polygon_centroid(ring: np.ndarray) -> tuple[float, float]:
     return float(cx), float(cy)
 
 
+def polygon_centroid_seq(ring: np.ndarray) -> tuple[float, float]:
+    """Area-weighted centroid with STRICTLY SEQUENTIAL accumulation.
+
+    Same math as polygon_centroid, but the shoelace sums run left-to-right
+    so a SQL list_sum over the identical per-vertex terms reproduces the
+    float result — used where the centroid feeds further float-exact
+    mirroring (voronoi's expanded-hull bound)."""
+    n = len(ring)
+    acc_a = 0.0
+    acc_x = 0.0
+    acc_y = 0.0
+    for k in range(n):
+        x0, y0 = float(ring[k, 0]), float(ring[k, 1])
+        x1, y1 = float(ring[(k + 1) % n, 0]), float(ring[(k + 1) % n, 1])
+        cr = x0 * y1 - x1 * y0
+        acc_a += cr
+        acc_x += (x0 + x1) * cr
+        acc_y += (y0 + y1) * cr
+    a = acc_a / 2.0
+    if abs(a) < 1e-300:
+        return float(ring[:, 0].mean()), float(ring[:, 1].mean())
+    return acc_x / (6.0 * a), acc_y / (6.0 * a)
+
+
 def point_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """Vectorized even-odd ray cast: are points inside the ring?"""
     x1, y1 = ring[:, 0], ring[:, 1]
@@ -279,7 +303,9 @@ def voronoi_cells(pts: np.ndarray, bound: np.ndarray) -> list[np.ndarray]:
     cells = []
     for i, p in enumerate(pts):
         d = np.hypot(pts[:, 0] - p[0], pts[:, 1] - p[1])
-        order = np.argsort(d)
+        # stable: ties in d resolve by input position, so the clip sequence
+        # (and hence the float vertex arithmetic) is reproducible
+        order = np.argsort(d, kind="stable")
         cell = bound
         for j in order:
             if j == i or len(cell) == 0:

@@ -261,6 +261,9 @@ def voronoi(
     schema = f"{group_col} long, id long, cell_wkt string, cell_area double"
 
     def run(key, pdf):
+        # pin processing order by coordinates (shuffle delivery order is
+        # partitioning-dependent; neighbor-distance ties must not be)
+        pdf = pdf.sort_values(["x", "y", "id"], kind="mergesort")
         pts = np.column_stack([pdf["x"].to_numpy(), pdf["y"].to_numpy()])
         ids = pdf["id"].to_numpy()
         if len(pts) == 1:
@@ -271,7 +274,9 @@ def voronoi(
         hull = convex_hull(pts)
         if len(hull) < 3:
             return pd.DataFrame(columns=[group_col, "id", "cell_wkt", "cell_area"])
-        cx, cy = polygon_centroid(hull)
+        from crankshaft_spark.functions.geom import polygon_centroid_seq
+
+        cx, cy = polygon_centroid_seq(hull)
         bound = np.column_stack([
             cx + (hull[:, 0] - cx) * (1.0 + buffer_frac),
             cy + (hull[:, 1] - cy) * (1.0 + buffer_frac),
@@ -290,6 +295,174 @@ def voronoi(
         .groupBy(group_col)
         .applyInPandas(run, schema=schema)
     )
+
+
+def voronoi_oracle_sql(points_sql: str, *, buffer_frac: float = 0.5) -> str:
+    """DuckDB mirror of ``voronoi`` → (grp, id, cell_area) at 6dp.
+
+    Three sequential constructions, each as a recursive CTE with LIST
+    state, mirroring the operator's float arithmetic op-for-op:
+
+    * hull: Andrew monotone chain over the distinct (x, y) set — one
+      recursion step per push OR pop (≤ 2m steps), the pop test being the
+      exact np.cross expression over raw input coords;
+    * bound: hull expanded about its sequential-shoelace centroid
+      (polygon_centroid_seq ↔ list_sum over identical per-vertex terms);
+    * cells: per point, Sutherland–Hodgman half-plane clips against the
+      other points in (d², pos) order — one recursion step per clip, the
+      step itself a pure list expression (flatten/list_transform), with
+      the operator's security-radius early stop (d² > 4·max-vertex-d²).
+
+    Only the break test deviates from numpy bit-for-bit (np.hypot² vs
+    x²+y², ≤1 ulp): a flip requires an exactly-tangent bisector, which
+    changes the vertex list only by zero-area slivers — invisible in the
+    6dp-rounded area.  ``points_sql`` must yield (grp, id, x, y).
+    """
+    sp = "struct_pack(x := {x}, y := {y})"
+    # monotone-chain pop test: np.cross(st[-1]-st[-2], q-st[-2]) <= 0
+    def pop_test(qx: str, qy: str) -> str:
+        o1x, o1y = "st[len(st)].x", "st[len(st)].y"
+        o2x, o2y = "st[len(st)-1].x", "st[len(st)-1].y"
+        return (f"CASE WHEN len(st) >= 2 THEN "
+                f"((({o1x}) - ({o2x})) * (({qy}) - ({o2y})) - "
+                f"(({o1y}) - ({o2y})) * (({qx}) - ({o2x}))) <= 0.0 "
+                f"ELSE false END")
+
+    def chain(name: str, rn: str) -> str:
+        return f"""{name} AS (
+      SELECT grp, CAST(0 AS BIGINT) AS k,
+             CAST([] AS STRUCT(x DOUBLE, y DOUBLE)[]) AS st
+      FROM (SELECT DISTINCT grp FROM vr_u WHERE m >= 3)
+      UNION ALL
+      SELECT grp, CASE WHEN pop THEN k ELSE k + 1 END AS k,
+             CASE WHEN pop THEN st[1:len(st) - 1]
+                  ELSE list_append(st, {sp.format(x='qx', y='qy')}) END AS st
+      FROM (
+        SELECT l.grp, l.k, l.st, u.x AS qx, u.y AS qy,
+               ({pop_test('u.x', 'u.y')}) AS pop
+        FROM {name} l JOIN vr_u u ON u.grp = l.grp AND {rn} = l.k + 1
+      )
+    )"""
+
+    # Sutherland–Hodgman step as a list expression over the state column.
+    # val(v) = (-a)·v.x + (-b)·v.y + c, exact clip_halfplane arithmetic.
+    def val(idx: str) -> str:
+        return f"((-aa) * cell[{idx}].x + (-bb) * cell[{idx}].y + cc)"
+
+    k1 = "((k % len(cell)) + 1)"
+    vk, vk1 = val("k"), val(k1)
+    t = f"({vk} / ({vk} - {vk1}))"
+    cross_pt = sp.format(
+        x=f"cell[k].x + {t} * (cell[{k1}].x - cell[k].x)",
+        y=f"cell[k].y + {t} * (cell[{k1}].y - cell[k].y)",
+    )
+    clip_expr = f"""flatten(list_transform(range(1, len(cell) + 1), k ->
+          list_concat(
+            CASE WHEN {vk} >= 0.0 THEN [cell[k]] ELSE [] END,
+            CASE WHEN ({vk} >= 0.0) <> ({vk1} >= 0.0)
+                 THEN [{cross_pt}] ELSE [] END)))"""
+
+    shoelace_terms = (
+        "list_transform(range(1, len(cell) + 1), k -> "
+        "cell[k].x * cell[((k % len(cell)) + 1)].y)",
+        "list_transform(range(1, len(cell) + 1), k -> "
+        "cell[k].y * cell[((k % len(cell)) + 1)].x)",
+    )
+    area = (f"abs(0.5 * (list_sum({shoelace_terms[0]})"
+            f" - list_sum({shoelace_terms[1]})))")
+    # sequential-shoelace centroid over the hull list (polygon_centroid_seq)
+    hl1 = "((k % len(hull)) + 1)"
+    cr = (f"(hull[k].x * hull[{hl1}].y - hull[{hl1}].x * hull[k].y)")
+    ca = f"list_sum(list_transform(range(1, len(hull) + 1), k -> {cr}))"
+    cxs = (f"list_sum(list_transform(range(1, len(hull) + 1), k -> "
+           f"(hull[k].x + hull[{hl1}].x) * {cr}))")
+    cys = (f"list_sum(list_transform(range(1, len(hull) + 1), k -> "
+           f"(hull[k].y + hull[{hl1}].y) * {cr}))")
+    ex = 1.0 + buffer_frac
+
+    return f"""WITH RECURSIVE vr_in AS ({points_sql}),
+    vr_pts AS (
+      SELECT grp, id, x, y,
+             CAST(row_number() OVER (PARTITION BY grp ORDER BY x, y, id)
+                  AS BIGINT) AS pos,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM vr_in
+    ),
+    vr_u AS (
+      SELECT grp, x, y,
+             CAST(row_number() OVER (PARTITION BY grp ORDER BY x, y)
+                  AS BIGINT) AS rn,
+             count(*) OVER (PARTITION BY grp) AS m
+      FROM (SELECT DISTINCT v.grp, v.x, v.y FROM vr_in v
+            JOIN (SELECT grp FROM vr_in GROUP BY grp HAVING count(*) > 1) g2
+              ON g2.grp = v.grp)
+    ),
+    {chain("vr_lo", "u.rn")},
+    {chain("vr_hi", "(u.m + 1 - u.rn)")},
+    vr_hull AS (
+      SELECT lo.grp,
+             list_concat(lo.st[1:len(lo.st) - 1],
+                         hi.st[1:len(hi.st) - 1]) AS hull
+      FROM (SELECT l.* FROM vr_lo l JOIN vr_u u
+              ON u.grp = l.grp AND u.rn = 1 AND l.k = u.m) lo
+      JOIN (SELECT h.* FROM vr_hi h JOIN vr_u u
+              ON u.grp = h.grp AND u.rn = 1 AND h.k = u.m) hi
+        ON hi.grp = lo.grp
+      WHERE len(lo.st[1:len(lo.st) - 1]) + len(hi.st[1:len(hi.st) - 1]) >= 3
+    ),
+    vr_bound AS (
+      SELECT grp,
+             list_transform(hull, v -> struct_pack(
+               x := cx + (v.x - cx) * {ex!r},
+               y := cy + (v.y - cy) * {ex!r})) AS bound
+      FROM (
+        SELECT grp, hull,
+               ({cxs}) / (6.0 * (({ca}) / 2.0)) AS cx,
+               ({cys}) / (6.0 * (({ca}) / 2.0)) AS cy
+        FROM vr_hull
+      )
+    ),
+    vr_nbr AS (
+      SELECT a.grp, a.pos AS i, b.x AS qx, b.y AS qy,
+             (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS d2,
+             CAST(row_number() OVER (
+               PARTITION BY a.grp, a.pos
+               ORDER BY (b.x - a.x) * (b.x - a.x)
+                        + (b.y - a.y) * (b.y - a.y) ASC, b.pos ASC)
+               AS BIGINT) AS r
+      FROM vr_pts a JOIN vr_pts b ON b.grp = a.grp AND b.pos <> a.pos
+    ),
+    vr_cell AS (
+      SELECT p.grp, p.pos AS i, CAST(0 AS BIGINT) AS r, b.bound AS cell
+      FROM vr_pts p JOIN vr_bound b ON b.grp = p.grp
+      UNION ALL
+      SELECT grp, i, r + 1 AS r, {clip_expr} AS cell
+      FROM (
+        SELECT c.grp, c.i, c.r, c.cell, nb.d2,
+               (nb.qx - pp.x) AS aa, (nb.qy - pp.y) AS bb,
+               ((nb.qx - pp.x) * (pp.x + nb.qx)
+                + (nb.qy - pp.y) * (pp.y + nb.qy)) / 2.0 AS cc,
+               list_max(list_transform(c.cell, v ->
+                 (v.x - pp.x) * (v.x - pp.x)
+                 + (v.y - pp.y) * (v.y - pp.y))) AS r2
+        FROM vr_cell c
+        JOIN vr_nbr nb ON nb.grp = c.grp AND nb.i = c.i AND nb.r = c.r + 1
+        JOIN vr_pts pp ON pp.grp = c.grp AND pp.pos = c.i
+      ) WHERE NOT coalesce(d2 > 4.0 * r2, false)
+    ),
+    vr_fin AS (
+      SELECT grp, i, cell FROM (
+        SELECT grp, i, cell,
+               row_number() OVER (PARTITION BY grp, i ORDER BY r DESC) AS rk
+        FROM vr_cell
+      ) WHERE rk = 1
+    )
+    SELECT p.grp, p.id,
+           round(CASE WHEN len(f.cell) >= 3 THEN {area} ELSE 0.0 END, 6)
+             AS cell_area
+    FROM vr_fin f JOIN vr_pts p ON p.grp = f.grp AND p.pos = f.i
+    UNION ALL
+    SELECT grp, id, 0.0 AS cell_area FROM vr_pts WHERE n = 1"""
 
 
 # ------------------------------------------------- densify / TIN map --------
@@ -319,10 +492,11 @@ def densify(
     schema = f"{group_col} long, x double, y double, value double"
 
     def run(key, pdf):
-        # pin Bowyer-Watson insertion order by coordinates: shuffle delivery
-        # order is partitioning-dependent, triangle choice in degenerate
+        # pin Bowyer-Watson insertion order by coordinates (+value so exact
+        # duplicate coordinates stay deterministic): shuffle delivery order
+        # is partitioning-dependent, triangle choice in degenerate
         # (cocircular) cases must not be
-        pdf = pdf.sort_values(["x", "y"], kind="mergesort")
+        pdf = pdf.sort_values(["x", "y", "value"], kind="mergesort")
         pts = np.column_stack([pdf["x"].to_numpy(), pdf["y"].to_numpy()])
         vals = pdf["value"].to_numpy().astype(float)
         pts, vals = _densify_arrays(pts, vals, iterations)
@@ -348,7 +522,7 @@ def tin_map(
     schema = f"{group_col} long, tri_wkt string, value double"
 
     def run(key, pdf):
-        pdf = pdf.sort_values(["x", "y"], kind="mergesort")  # same pin
+        pdf = pdf.sort_values(["x", "y", "value"], kind="mergesort")  # same pin
         pts = np.column_stack([pdf["x"].to_numpy(), pdf["y"].to_numpy()])
         vals = pdf["value"].to_numpy().astype(float)
         pts, vals = _densify_arrays(pts, vals, iterations)
@@ -363,6 +537,138 @@ def tin_map(
         .groupBy(group_col)
         .applyInPandas(run, schema=schema)
     )
+
+
+def _delaunay_oracle_ctes(points_sql: str) -> str:
+    """DuckDB CTE chain mirroring functions.geom.delaunay (Bowyer-Watson)
+    over grouped points, bit-for-bit.
+
+    ``points_sql`` must yield (grp, x, y, value).  Insertion order is the
+    operator's pin (ORDER BY x, y, value); each recursion step inserts one
+    point: the bad set is the exact orientation-normalized in-circumcircle
+    determinant (same operand order as delaunay()'s ``det``; the numpy
+    prefilter is inflated so the exact test decides membership both
+    places), cavity boundary edges are the count==1 undirected edges among
+    bad triangles (window count, no GROUP BY in the recursive term), and
+    new triangles are (min(e), max(e), inserted_idx) exactly like the
+    numpy construction.  Exposes dl_pts(grp, idx, x, y, value) and
+    dl_final(grp, v0, v1, v2) — the super-triangle rows (idx ≥ n) are
+    already filtered out of dl_final.
+    """
+    orient = ("((vb.x - va.x) * (vc.y - va.y) - "
+              "(vb.y - va.y) * (vc.x - va.x))")
+    rax, ray = "(va.x - p.x)", "(va.y - p.y)"
+    rbx, rby = "(vb.x - p.x)", "(vb.y - p.y)"
+    rcx, rcy = "(vc.x - p.x)", "(vc.y - p.y)"
+    a2 = f"({rax} * {rax} + {ray} * {ray})"
+    b2 = f"({rbx} * {rbx} + {rby} * {rby})"
+    c2 = f"({rcx} * {rcx} + {rcy} * {rcy})"
+    det = (f"({rax} * ({rby} * {c2} - {rcy} * {b2}) "
+           f"- {ray} * ({rbx} * {c2} - {rcx} * {b2}) "
+           f"+ {a2} * ({rbx} * {rcy} - {rcx} * {rby}))")
+    return f"""dl_in AS ({points_sql}),
+    dl_pts AS (
+      SELECT grp, x, y, value,
+             CAST(row_number() OVER (PARTITION BY grp ORDER BY x, y, value)
+                  - 1 AS BIGINT) AS idx
+      FROM dl_in
+    ),
+    dl_sup AS (
+      SELECT grp, count(*) AS n,
+             (min(x) + max(x)) / 2.0 AS mid0,
+             (min(y) + max(y)) / 2.0 AS mid1,
+             greatest(greatest(max(x) - min(x), max(y) - min(y)), 1e-12)
+               AS span
+      FROM dl_pts GROUP BY grp
+    ),
+    dl_ap AS (
+      SELECT grp, idx, x, y FROM dl_pts
+      UNION ALL
+      SELECT grp, n + k,
+             CASE k WHEN 0 THEN mid0 - 3000.0 * span
+                    WHEN 1 THEN mid0 + 3000.0 * span ELSE mid0 END,
+             CASE k WHEN 2 THEN mid1 + 3000.0 * span
+                    ELSE mid1 - 1500.0 * span END
+      FROM dl_sup, (SELECT unnest(range(3)) AS k)
+    ),
+    dl_tri AS (
+      SELECT grp, CAST(0 AS BIGINT) AS step, n AS v0, n + 1 AS v1, n + 2 AS v2
+      FROM dl_sup
+      UNION ALL
+      SELECT grp, step + 1 AS step,
+             CASE WHEN k = 3 THEN v0 ELSE eu END AS v0,
+             CASE WHEN k = 3 THEN v1 ELSE ev END AS v1,
+             CASE WHEN k = 3 THEN v2 ELSE step END AS v2
+      FROM (
+        SELECT grp, step, v0, v1, v2, k, eu, ev,
+               count(*) OVER (
+                 PARTITION BY grp, CASE WHEN k = 3 THEN -1 ELSE 0 END, eu, ev
+               ) AS cnt
+        FROM (
+          SELECT tb.grp, tb.step, tb.v0, tb.v1, tb.v2, e.k,
+                 CASE e.k WHEN 0 THEN least(tb.v0, tb.v1)
+                          WHEN 1 THEN least(tb.v1, tb.v2)
+                          WHEN 2 THEN least(tb.v2, tb.v0)
+                          ELSE tb.v0 END AS eu,
+                 CASE e.k WHEN 0 THEN greatest(tb.v0, tb.v1)
+                          WHEN 1 THEN greatest(tb.v1, tb.v2)
+                          WHEN 2 THEN greatest(tb.v2, tb.v0)
+                          ELSE tb.v1 END AS ev
+          FROM (
+            SELECT t.grp, t.step, t.v0, t.v1, t.v2,
+                   ((CASE WHEN {orient} >= 0.0 THEN {det}
+                          ELSE -{det} END) > 0.0) AS bad
+            FROM dl_tri t
+            JOIN dl_sup s ON s.grp = t.grp AND t.step < s.n
+            JOIN dl_ap p  ON p.grp = t.grp AND p.idx = t.step
+            JOIN dl_ap va ON va.grp = t.grp AND va.idx = t.v0
+            JOIN dl_ap vb ON vb.grp = t.grp AND vb.idx = t.v1
+            JOIN dl_ap vc ON vc.grp = t.grp AND vc.idx = t.v2
+          ) tb
+          JOIN (VALUES (0), (1), (2), (3)) e(k)
+            ON (tb.bad AND e.k < 3) OR ((NOT tb.bad) AND e.k = 3)
+        )
+      ) WHERE k = 3 OR cnt = 1
+    ),
+    dl_final AS (
+      SELECT t.grp, t.v0, t.v1, t.v2
+      FROM dl_tri t JOIN dl_sup s ON s.grp = t.grp AND t.step = s.n
+      WHERE t.v0 < s.n AND t.v1 < s.n AND t.v2 < s.n
+    )"""
+
+
+def densify_oracle_sql(points_sql: str) -> str:
+    """DuckDB mirror of ``densify(iterations=1)``: original points plus one
+    round of triangle centroids (mean of vertex coords/values, same
+    left-associated /3 sum as numpy's axis mean)."""
+    return f"""WITH RECURSIVE {_delaunay_oracle_ctes(points_sql)}
+    SELECT grp, round(x, 6) AS x, round(y, 6) AS y,
+           round(value, 6) AS value
+    FROM dl_pts
+    UNION ALL
+    SELECT f.grp,
+           round((a.x + b.x + c.x) / 3.0, 6) AS x,
+           round((a.y + b.y + c.y) / 3.0, 6) AS y,
+           round((a.value + b.value + c.value) / 3.0, 6) AS value
+    FROM dl_final f
+    JOIN dl_pts a ON a.grp = f.grp AND a.idx = f.v0
+    JOIN dl_pts b ON b.grp = f.grp AND b.idx = f.v1
+    JOIN dl_pts c ON c.grp = f.grp AND c.idx = f.v2"""
+
+
+def tin_oracle_sql(points_sql: str) -> str:
+    """DuckDB mirror of ``tin_map(iterations=0)``: one triangulation, WKT
+    rendered with printf %.6f (same correctly-rounded formatting as
+    ring_to_wkt's f-string) and the vertex-mean value."""
+    return f"""WITH RECURSIVE {_delaunay_oracle_ctes(points_sql)}
+    SELECT f.grp,
+           printf('POLYGON ((%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f))',
+                  a.x, a.y, b.x, b.y, c.x, c.y, a.x, a.y) AS tri_wkt,
+           round((a.value + b.value + c.value) / 3.0, 6) AS value
+    FROM dl_final f
+    JOIN dl_pts a ON a.grp = f.grp AND a.idx = f.v0
+    JOIN dl_pts b ON b.grp = f.grp AND b.idx = f.v1
+    JOIN dl_pts c ON c.grp = f.grp AND c.idx = f.v2"""
 
 
 # --------------------------------------------------------- dot density ------

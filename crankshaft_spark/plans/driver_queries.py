@@ -1178,6 +1178,9 @@ def o_pia():
 
 
 def q_voronoi(spark, sf_dir):
+    """Value-hash oracle: monotone-chain hull, expanded-hull bound, and the
+    per-point half-plane clip sequence are mirrored op-for-op as DuckDB
+    recursive CTEs with list state (voronoi_oracle_sql)."""
     from crankshaft_spark.operators.geometry import voronoi
 
     pts = customer_points(spark, sf_dir).select(
@@ -1188,7 +1191,28 @@ def q_voronoi(spark, sf_dir):
     )
 
 
+def o_voronoi():
+    from crankshaft_spark.operators.geometry import voronoi_oracle_sql
+
+    return voronoi_oracle_sql("""
+        SELECT CAST(c_nationkey AS BIGINT) AS grp, c_custkey AS id,
+               -120.0 + CAST((c_custkey * 9973) % 24000 AS DOUBLE) / 100.0 AS x,
+               -48.0  + CAST((c_custkey * 7919) % 9600  AS DOUBLE) / 100.0 AS y
+        FROM customer""")
+
+
+DENSIFY_PTS_SQL = """
+    SELECT CAST(c_nationkey AS BIGINT) AS grp,
+           -120.0 + CAST((c_custkey * 9973) % 24000 AS DOUBLE) / 100.0 AS x,
+           -48.0  + CAST((c_custkey * 7919) % 9600  AS DOUBLE) / 100.0 AS y,
+           c_acctbal AS value
+    FROM customer WHERE c_custkey % 5 = 1"""
+
+
 def q_densify(spark, sf_dir):
+    """Value-hash oracle: the Bowyer-Watson insertion loop is mirrored as a
+    DuckDB recursive CTE (densify_oracle_sql), one recursion step per
+    inserted point in the pinned (x, y, value) order."""
     from crankshaft_spark.operators.geometry import densify
 
     pts = customer_points(spark, sf_dir).where(F.col("id") % 5 == 1).select(
@@ -1200,6 +1224,12 @@ def q_densify(spark, sf_dir):
     )
 
 
+def o_densify():
+    from crankshaft_spark.operators.geometry import densify_oracle_sql
+
+    return densify_oracle_sql(DENSIFY_PTS_SQL)
+
+
 def q_tin_map(spark, sf_dir):
     from crankshaft_spark.operators.geometry import tin_map
 
@@ -1209,6 +1239,12 @@ def q_tin_map(spark, sf_dir):
     return tin_map(pts, iterations=0).select(
         "grp", "tri_wkt", F.round("value", 6).alias("value")
     )
+
+
+def o_tin_map():
+    from crankshaft_spark.operators.geometry import tin_oracle_sql
+
+    return tin_oracle_sql(DENSIFY_PTS_SQL)
 
 
 def q_dot_density(spark, sf_dir):
@@ -1989,6 +2025,9 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": o_kmeans_assign(),
         "kmeans_silhouette": o_kmeans_silhouette(),
         "pia": o_pia(),
+        "voronoi": o_voronoi(),
+        "densify": o_densify(),
+        "tin_map": o_tin_map(),
         "dot_density": o_dot_density(),
         "minhash_lsh": o_minhash_lsh(),
         "simhash_pairs": o_simhash_pairs(),
