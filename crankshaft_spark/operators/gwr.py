@@ -96,10 +96,29 @@ KERNELS = {
 }
 
 #: dense (non-truncated) kernels build an all-pairs support set, like the
-#: reference's n×n cdist matrix; cap the data side so the quadratic stays
-#: deliberate.  At scale use kernel='bisquare' (compact support = the kNN
-#: join) — the reference itself defaults to it (21_gwr.sql:8).
+#: reference's n×n cdist matrix; below this cap we keep the exact dense
+#: join for reference parity.  ABOVE the cap the support is radius-
+#: truncated at the TRUNC_TOL weight contour instead (see CUTOFF_Z) — the
+#: scale path.  The reference itself defaults to bisquare (21_gwr.sql:8),
+#: whose compact support needs no truncation.
 DENSE_CAP = 20000
+
+#: truncation tolerance for non-truncated kernels at scale: edges whose
+#: kernel weight would be below TRUNC_TOL (relative to the self weight 1)
+#: are dropped.  Each dropped neighbor perturbs every weighted moment by
+#: < TRUNC_TOL of one observation's contribution, so coefficients match
+#: the dense computation to ~1e-4 relative (asserted in tests/test_gwr.py).
+TRUNC_TOL = 1e-4
+
+#: z = d/h cutoff where each kernel's weight falls to TRUNC_TOL:
+#: gaussian exp(-z²/2) = tol at z = √(−2·ln tol) ≈ 4.29;
+#: exponential exp(−z) = tol at z = −ln tol ≈ 9.21  (kernels.py:99-121).
+import math as _math
+
+CUTOFF_Z = {
+    "gaussian": _math.sqrt(-2.0 * _math.log(TRUNC_TOL)),
+    "exponential": -_math.log(TRUNC_TOL),
+}
 
 
 def _kernel_w(kernel: str, d, h):
@@ -117,14 +136,7 @@ def _kernel_w(kernel: str, d, h):
 
 def _dense_edges(cal: DataFrame, data: DataFrame) -> DataFrame:
     """All-pairs (id, nbr, d) — the distributed form of the reference's
-    cdist matrix for non-truncated kernels.  Raises above DENSE_CAP."""
-    if data.limit(DENSE_CAP + 1).count() > DENSE_CAP:
-        raise ValueError(
-            f"gaussian/exponential GWR kernels use dense (all-pairs) support "
-            f"to match the reference's non-truncated cdist semantics; data "
-            f"side exceeds {DENSE_CAP} rows — use kernel='bisquare' "
-            f"(compact kNN support) at scale"
-        )
+    cdist matrix for non-truncated kernels (used below DENSE_CAP only)."""
     lhs = cal.select("id", "x", "y")
     rhs = data.select(
         F.col("id").alias("nbr"), F.col("x").alias("nx"), F.col("y").alias("ny")
@@ -176,6 +188,51 @@ def _radius_edges(cal: DataFrame, data: DataFrame, radius: float,
     )
 
 
+def _var_radius_edges(cal_h: DataFrame, data: DataFrame, zcut: float,
+                      cell_size: float) -> DataFrame:
+    """(id, nbr, d, _h) pairs with d < zcut·h_i — PER-POINT radius join for
+    adaptive non-truncated kernels at scale.
+
+    Each calibration point explodes only the cell ring its own radius
+    needs (ring_i = ceil(zcut·h_i / cell_size), so ring_i·cell_size ≥
+    zcut·h_i guarantees no in-radius point is missed); dense regions have
+    small h_i and tiny fanout, sparse regions large rings — the fanout
+    tracks the data, not the global worst case."""
+    from crankshaft_spark.functions.cells import CELL_M, cell_expr
+
+    cell = cell_expr(F.col("x"), F.col("y"), cell_size)
+    ring = F.greatest(
+        F.lit(1),
+        F.ceil(F.lit(zcut) * F.col("_h") / F.lit(cell_size)),
+    ).cast("long")
+    cells = F.flatten(
+        F.transform(
+            F.sequence(-ring, ring),
+            lambda dx: F.transform(
+                F.sequence(-ring, ring),
+                lambda dy: cell + dx * F.lit(CELL_M) + dy,
+            ),
+        )
+    )
+    lhs = cal_h.select("id", "x", "y", "_h", F.explode(cells).alias("cell"))
+    rhs = data.select(
+        F.col("id").alias("nbr"), F.col("x").alias("nx"),
+        F.col("y").alias("ny"),
+        cell_expr(F.col("x"), F.col("y"), cell_size).alias("cell"),
+    )
+    return (
+        lhs.join(rhs, "cell")
+        .select(
+            "id", "nbr", "_h",
+            F.sqrt(
+                (F.col("x") - F.col("nx")) * (F.col("x") - F.col("nx"))
+                + (F.col("y") - F.col("ny")) * (F.col("y") - F.col("ny"))
+            ).alias("d"),
+        )
+        .where(F.col("d") < F.lit(zcut) * F.col("_h"))
+    )
+
+
 def _weighted_edges(cal: DataFrame, data: DataFrame, bw: float,
                     cell_size: float, *, fixed: bool = False,
                     kernel: str = "bisquare",
@@ -197,12 +254,20 @@ def _weighted_edges(cal: DataFrame, data: DataFrame, bw: float,
         raise ValueError(
             f"unknown GWR kernel {kernel!r}: expected one of {sorted(KERNELS)}"
         )
+    dense_ok = None
+    if not truncated:
+        dense_ok = data.limit(DENSE_CAP + 1).count() <= DENSE_CAP
     if fixed:
         h = F.lit(float(bw))
         if truncated:
             edges = _radius_edges(cal, data, float(bw), cell_size)
-        else:
+        elif dense_ok:
             edges = _dense_edges(cal, data)
+        else:
+            # scale path: truncate the infinite-support kernel at the
+            # TRUNC_TOL weight contour — a fixed-radius cell join
+            edges = _radius_edges(cal, data, CUTOFF_Z[kernel] * float(bw),
+                                  cell_size)
         return edges.withColumn("w", _kernel_w(kernel, F.col("d"), h)).select(
             "id", "nbr", "d", "w"
         )
@@ -217,7 +282,7 @@ def _weighted_edges(cal: DataFrame, data: DataFrame, bw: float,
             domain_span=float("inf"), persist_registry=persist_registry,
         ).withColumn("d", F.sqrt("d2"))
         h = edges.groupBy("id").agg((F.max("d") * EPS).alias("_h"))
-    else:
+    elif dense_ok:
         from pyspark.sql.window import Window
 
         edges = _dense_edges(cal, data)
@@ -228,6 +293,18 @@ def _weighted_edges(cal: DataFrame, data: DataFrame, bw: float,
             .groupBy("id")
             .agg((F.max("d") * EPS).alias("_h"))
         )
+    else:
+        # adaptive non-truncated at scale: exact h_i from the bounded kNN
+        # join, then a PER-POINT radius join truncated at the TRUNC_TOL
+        # weight contour (d < zcut·h_i)
+        knn = knn_join(
+            cal, data, k=bw, cell_size=cell_size,
+            domain_span=float("inf"), persist_registry=persist_registry,
+        )
+        h = knn.groupBy("id").agg((F.max(F.sqrt("d2")) * EPS).alias("_h"))
+        edges = _var_radius_edges(
+            cal.join(h, "id"), data, CUTOFF_Z[kernel], cell_size
+        ).select("id", "nbr", "d")
     return (
         edges.join(h, "id")
         .withColumn("w", _kernel_w(kernel, F.col("d"), F.col("_h")))

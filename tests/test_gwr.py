@@ -200,3 +200,37 @@ def test_gwr_r_squared_stable_under_large_mean_offset(spark, georgia):
                for r in gwr(shifted_df, "pctbach", ind, bw=90).collect()}
     for rid in base:
         assert shifted[rid] == pytest.approx(base[rid], abs=1e-5), rid
+
+
+@pytest.mark.parametrize("fixed,kernel,bw", [
+    (True, "gaussian", 120000.0),
+    (True, "exponential", 120000.0),
+    (False, "gaussian", 60),
+    (False, "exponential", 60),
+])
+def test_gwr_truncated_kernels_match_dense(spark, georgia, monkeypatch,
+                                           fixed, kernel, bw):
+    """Above DENSE_CAP, infinite-support kernels switch to the radius-
+    truncated scale path (fixed radius zcut*bw, or per-point zcut*h_i via
+    the variable-ring join).  Forcing the cap to 1 exercises that path on
+    the Georgia fixture; coefficients must match the exact dense plan to
+    ~TRUNC_TOL relative (each dropped edge carries weight < 1e-4)."""
+    from crankshaft_spark.operators import gwr as gwrmod
+
+    ind = ["pctrural", "pctpov", "pctblack"]
+    dense = {r["id"]: r for r in gwr(
+        georgia, "pctbach", ind, bw=bw, fixed=fixed, kernel=kernel
+    ).collect()}
+    monkeypatch.setattr(gwrmod, "DENSE_CAP", 1)
+    trunc = {r["id"]: r for r in gwr(
+        georgia, "pctbach", ind, bw=bw, fixed=fixed, kernel=kernel
+    ).collect()}
+    assert set(dense) == set(trunc)
+    for rid, d in dense.items():
+        t = trunc[rid]
+        for v in ("intercept", *ind):
+            scale = max(1.0, abs(d["coeffs"][v]))
+            assert abs(t["coeffs"][v] - d["coeffs"][v]) / scale < 5e-4, (
+                rid, v)
+        assert t["predicted"] == pytest.approx(d["predicted"],
+                                               rel=5e-4, abs=1e-6)
