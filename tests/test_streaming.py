@@ -126,6 +126,100 @@ def test_sessionize_stateful(spark, tmp_path):
     assert len(expected) > 0
 
 
+def test_sessionize_stream_equals_batch_form(spark, tmp_path):
+    """Replay one event log through the stateful streaming path in FOUR
+    micro-batches (maxFilesPerTrigger=1) with out-of-order arrivals — the
+    last two events of every time-chunk are delivered one batch late — and
+    assert session-for-session equality with ``sessionize_batch`` on the
+    same rows.  A far-future flush event pushes the watermark past every
+    open session so tails close by timeout; gap- and timeout-closed
+    sessions together must equal the batch gaps-and-islands output."""
+    import datetime as dt
+    import os
+
+    from crankshaft_spark.streaming.sessions import sessionize, sessionize_batch
+
+    gap_s = 600
+    base = dt.datetime(2024, 1, 1)
+    events = []
+    for u in range(1, 7):
+        t = base + dt.timedelta(minutes=u * 7)
+        for _s in range(3):
+            for _i in range(4):
+                events.append((u, t))
+                t += dt.timedelta(minutes=3)  # intra-session: 3 min < gap
+            t += dt.timedelta(minutes=25)     # inter-session: 25 min > gap
+    events.sort(key=lambda e: (e[1], e[0]))
+
+    # four time-ordered chunks, then push each chunk's last two events into
+    # the NEXT chunk's file — each event late by exactly one micro-batch
+    # (≤ ~40 min, inside the 4h watermark; moves computed on the pristine
+    # chunks so no event cascades multiple batches, which would arrive
+    # after its session gap-closed — a legitimate streaming divergence the
+    # equality contract excludes)
+    chunks = [events[i * 18:(i + 1) * 18] for i in range(4)]
+    moved = [c[-2:] for c in chunks[:3]]
+    chunks = (
+        [chunks[0][:-2]]
+        + [chunks[i][:-2] + moved[i - 1] for i in (1, 2)]
+        + [chunks[3] + moved[2]]
+    )
+    flush_ts = max(t for _, t in events) + dt.timedelta(hours=6)
+    chunks.append([(999, flush_ts)])
+
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    for i, chunk in enumerate(chunks):
+        # the file source lists flat files, not nested write dirs: write to
+        # a scratch dir, then move the single part file into src
+        scratch = str(tmp_path / f"scratch{i}")
+        spark.createDataFrame(
+            chunk, "user_id long, ts timestamp"
+        ).coalesce(1).write.parquet(scratch)
+        part = next(
+            f for f in os.listdir(scratch)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = f"{src}/batch{i}.parquet"
+        os.rename(os.path.join(scratch, part), dst)
+        # file-source ordering is by modification time: pin it increasing
+        os.utime(dst, (1e9 + i, 1e9 + i))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize(stream, gap_seconds=gap_s, watermark="4 hours")
+        .writeStream.format("memory")
+        .queryName("sessions_replay")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT * FROM sessions_replay WHERE user_id != 999"
+    ).collect()
+
+    ev = spark.createDataFrame(events, "user_id long, ts timestamp")
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_batch(ev, gap_seconds=gap_s).collect()
+    }
+    got_set = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got
+    }
+    assert got_set == expected
+    # both closure paths exercised: mid-stream gaps and watermark timeouts
+    closed_by = {r["closed_by"] for r in got}
+    assert closed_by == {"gap", "timeout"}
+    # every user's last session must have closed via the watermark flush
+    assert sum(1 for r in got if r["closed_by"] == "timeout") == 6
+
+
 def test_sessionize_batch_known_sessions(spark):
     from crankshaft_spark.streaming.sessions import sessionize_batch
 
