@@ -3,7 +3,12 @@
 Prints ONE JSON line:
   {"metric": "hotspot_pipeline_pages_per_sec", "value": <pages/sec>,
    "unit": "pages/sec", "pipeline_sec": ..., "pages": ...,
-   "queries": {<name>: sec, ...}, "sf": <sf>, "cpus": N}
+   "builds": {"knn_weights": sec}, "queries": {<name>: sec, ...},
+   "sf": <sf>, "cpus": N}
+
+"builds" times the shared kNN weight-table build once; edge-consuming
+queries (moran_local/_rate, getis_z, markov) are timed against the cached
+table, so their numbers are operator-only and comparable across rounds.
 
 Env:
   SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
@@ -66,15 +71,43 @@ def main() -> None:
     # BENCH_r01 therefore mix protocol and code effects; BASELINE.md §4
     # documents this.
     qs = driver_queries.queries()
+
+    # Shared-input build timed ONCE (round 3+): moran_local/_rate, getis_z
+    # and markov all consume the same row-standardized kNN weight table.
+    # r1→r2 per-query deltas were unreadable because each query re-paid
+    # that build (or rode a predecessor's cache).  Now: time the build
+    # separately, then time edge consumers against the cached table via
+    # driver_queries.set_edges_override.
+    EDGE_CONSUMERS = {"moran_local", "moran_local_rate", "getis_z", "markov"}
+    build_best = float("inf")
+    edges = None
+    for _ in range(2):
+        if edges is not None:
+            edges.unpersist()
+        edges = driver_queries._edges_w(spark, sf_dir).persist()
+        t0 = time.time()
+        edges.count()
+        build_best = min(build_best, time.time() - t0)
+    builds = {"knn_weights": round(build_best, 3)}
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        cached = name in EDGE_CONSUMERS
+        driver_queries.set_edges_override(edges if cached else None)
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             best = min(best, time.time() - t0)
-            spark.catalog.clearCache()
+            if cached:
+                # clearCache drops the weight table too — re-pin it
+                # (untimed) so the next run still reads the cached copy
+                spark.catalog.clearCache()
+                edges.persist().count()
+            else:
+                spark.catalog.clearCache()
         timings[name] = round(best, 3)
+    driver_queries.set_edges_override(None)
 
     print(json.dumps({
         "metric": "hotspot_pipeline_pages_per_sec",
@@ -82,6 +115,7 @@ def main() -> None:
         "unit": "pages/sec",
         "pipeline_sec": round(pipeline_sec, 3),
         "pages": n_pages,
+        "builds": builds,
         "queries": timings,
         "sf": sf,
         "cpus": cpus,

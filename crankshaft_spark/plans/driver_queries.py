@@ -76,7 +76,23 @@ def _knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_edges(pts, k=KNN_K, cell_size=KNN_CELL)
 
 
+#: bench-only hook (bench.py): the moran/getis/markov queries all share the
+#: same kNN weight build; per-query wall times that re-pay it every query
+#: are unreadable round-over-round (BENCH protocol note, VERDICT r2).  The
+#: bench pre-builds + caches the weight table once, times that build
+#: separately, and points this override at the cached copy.  Never set in
+#: driver/selfcheck runs — the override ignores (spark, sf_dir).
+_EDGES_OVERRIDE: DataFrame | None = None
+
+
+def set_edges_override(df: DataFrame | None) -> None:
+    global _EDGES_OVERRIDE
+    _EDGES_OVERRIDE = df
+
+
 def _edges_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if _EDGES_OVERRIDE is not None:
+        return _EDGES_OVERRIDE
     return row_standardize(_knn(spark, sf_dir).select("id", "nbr"))
 
 

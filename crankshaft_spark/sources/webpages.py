@@ -45,6 +45,20 @@ def _host_id(doc_id: Column) -> Column:
     return h1 % (1 + (doc_id * 40503) % 64)
 
 
+def _host_id_zipf(doc_id: Column) -> Column:
+    """Geometric (Zipf-tail) host assignment for skew stress benchmarks.
+
+    u = (mix(doc_id)+1)/2^32 uniform in (0,1]; host = min(63, ⌊−log2 u⌋)
+    gives host 0 ≈50% of all pages, host 1 ≈25%, … — one host (and so one
+    ±2° geocode disc → a handful of agg cells) owns half the crawl.  This
+    is the adversarial shape the north rule's "salted-key skew handling"
+    clause names; tools/scalebench.py --skew zipf measures efficiency on
+    it.  Still closed-form from doc_id: rows identical at any parallelism.
+    """
+    u = (((doc_id * 2654435761) % 4294967296) + 1).cast("double") / 4294967296.0
+    return F.least(F.lit(63), F.floor(-F.log2(u))).cast("long")
+
+
 def _html_col(url: Column, title: Column, esc_text: Column) -> Column:
     return F.concat(
         F.lit('<!DOCTYPE html><html><head><meta charset="utf-8"><title>'),
@@ -74,7 +88,8 @@ def unescape_html(c: Column) -> Column:
 
 
 def synth_webpages(
-    spark: SparkSession, sf_dir: str, multiplier: int = 1
+    spark: SparkSession, sf_dir: str, multiplier: int = 1,
+    skew: str = "mild",
 ) -> DataFrame:
     """The Iceberg-table stand-in: one web page per document row.
 
@@ -83,6 +98,10 @@ def synth_webpages(
     page ids (id' = doc_id + max_id' * k) for scale benchmarking — every
     derived column (url, geocode, timestamp) still follows the closed-form
     id math, so two runs at any parallelism produce identical rows.
+
+    ``skew``: ``"mild"`` (default, oracle-matched Zipf-ish head, ~7% on the
+    top host) or ``"zipf"`` (geometric — top host owns ~50% of pages; skew
+    stress path for scalebench, not oracle-checked).
     """
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if multiplier > 1:
@@ -101,8 +120,10 @@ def synth_webpages(
         ).drop("__rep")
     else:
         d = d.repartition(spark.sparkContext.defaultParallelism)
+    if skew not in ("mild", "zipf"):
+        raise ValueError(f"unknown skew profile {skew!r}")
     doc_id = F.col("doc_id")
-    host = _host_id(doc_id)
+    host = _host_id_zipf(doc_id) if skew == "zipf" else _host_id(doc_id)
     url = F.concat(
         F.lit("https://host"), host.cast("string"),
         F.lit(".example.org/page/"), doc_id.cast("string"),

@@ -6,7 +6,10 @@ master), verifies the two runs produce row-identical output (the north
 rule's cross-cluster-size determinism requirement), and reports throughput
 at both plus scaling efficiency (throughput_4N / throughput_N) / 4.
 
-Usage:  python tools/scalebench.py [N] [sf_dir] [mult]
+Usage:  python tools/scalebench.py [N] [sf_dir] [mult] [skew]
+``skew`` = mild (default) or zipf (geometric hosts — top host ~50% of
+pages; proves the salted/two-level cellagg holds efficiency under the
+north rule's Zipf-hot-cell shape).
 Appends nothing; prints one JSON line — paste/record into BASELINE.md §4.
 """
 
@@ -25,10 +28,11 @@ from crankshaft_spark.plans.pipeline import hotspot_pipeline
 from crankshaft_spark.sources.webpages import synth_webpages
 
 cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; mult = int(sys.argv[3])
+skew = sys.argv[4]
 spark = get_session(master=f"local[{cpus}]", app_name=f"scale{cpus}",
                     shuffle_partitions=max(cpus, 16))
 spark.sparkContext.setLogLevel("ERROR")
-pages = synth_webpages(spark, sf_dir, multiplier=mult)
+pages = synth_webpages(spark, sf_dir, multiplier=mult, skew=skew)
 n = pages.count()
 # steady-state measurement: one untimed full-size run (JIT/codegen/AQE
 # warmup — a per-JVM constant, not throughput), then best-of-3 timed
@@ -48,9 +52,9 @@ spark.stop()
 """
 
 
-def run(cpus: int, sf_dir: str, mult: int) -> dict:
+def run(cpus: int, sf_dir: str, mult: int, skew: str) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cpus), sf_dir, str(mult)],
+        [sys.executable, "-c", WORKER, str(cpus), sf_dir, str(mult), skew],
         capture_output=True, text=True, check=True,
         env={**os.environ, "PYTHONHASHSEED": "0"},
     )
@@ -62,8 +66,9 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     mult = int(sys.argv[3]) if len(sys.argv) > 3 else 100
-    small = run(n, sf_dir, mult)
-    big = run(4 * n, sf_dir, mult)
+    skew = sys.argv[4] if len(sys.argv) > 4 else "mild"
+    small = run(n, sf_dir, mult, skew)
+    big = run(4 * n, sf_dir, mult, skew)
     eff = (big["pages_per_sec"] / small["pages_per_sec"]) / 4.0
     print(json.dumps({
         "metric": "hotspot_pipeline_scaling",
@@ -75,7 +80,7 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "rows_identical": small["result_hash"] == big["result_hash"]
         and small["rows"] == big["rows"],
-        "sf_dir": sf_dir, "mult": mult,
+        "sf_dir": sf_dir, "mult": mult, "skew": skew,
     }))
 
 
