@@ -203,9 +203,11 @@ def test_gwr_r_squared_stable_under_large_mean_offset(spark, georgia):
 
 
 @pytest.mark.parametrize("fixed,kernel,bw", [
+    # one combo per truncation code path: fixed -> _radius_edges,
+    # adaptive -> _var_radius_edges; the kernel choice only swaps the
+    # weight formula and CUTOFF_Z constant, so 2 combos cover the matrix
+    # (each GWR fit is ~2 min — keep the suite fast)
     (True, "gaussian", 120000.0),
-    (True, "exponential", 120000.0),
-    (False, "gaussian", 60),
     (False, "exponential", 60),
 ])
 def test_gwr_truncated_kernels_match_dense(spark, georgia, monkeypatch,
