@@ -59,17 +59,32 @@ def with_cell(
     return df.withColumn(out, cell_expr(F.col(lon), F.col(lat), size))
 
 
-def ring_cells_expr(cell: Column, ring: int) -> Column:
+def ring_cells_expr(cell: Column, ring) -> Column:
     """Array of all cell ids within Chebyshev distance ``ring`` of ``cell``.
 
-    cell + dx*2^32 + dy enumerated via a constant offset array — pure Spark
-    SQL (sequence + explode-ready), no Python.  Guarantee used by the kNN
-    join: any point outside the ring block is at planar distance
+    cell + dx*2^32 + dy — pure Spark SQL, no Python.  Guarantee used by the
+    kNN join: any point outside the ring block is at planar distance
     > ring*size from every point in the center cell.
+
+    ``ring`` may be a Python int (constant offset array, the codegen-
+    friendly form) or a Column for per-row rings (nested sequence/
+    transform — same offset math, one implementation of the cell-ring
+    contract).
     """
-    offsets = [
-        dx * CELL_M + dy
-        for dx in range(-ring, ring + 1)
-        for dy in range(-ring, ring + 1)
-    ]
-    return F.array(*[cell + F.lit(o) for o in offsets])
+    if isinstance(ring, int):
+        offsets = [
+            dx * CELL_M + dy
+            for dx in range(-ring, ring + 1)
+            for dy in range(-ring, ring + 1)
+        ]
+        return F.array(*[cell + F.lit(o) for o in offsets])
+    r = ring.cast("long")
+    return F.flatten(
+        F.transform(
+            F.sequence(-r, r),
+            lambda dx: F.transform(
+                F.sequence(-r, r),
+                lambda dy: cell + dx * F.lit(CELL_M) + dy,
+            ),
+        )
+    )

@@ -41,6 +41,25 @@ def polygon_centroid(ring: np.ndarray) -> tuple[float, float]:
     return float(cx), float(cy)
 
 
+def polygon_area_seq(ring: np.ndarray) -> float:
+    """Signed shoelace area with STRICTLY SEQUENTIAL accumulation.
+
+    Same math as polygon_area, but the two shoelace sums accumulate
+    left-to-right as separate accumulators — bit-identical to the voronoi
+    oracle's ``0.5*(list_sum(x_k*y_{k+1}) - list_sum(y_k*x_{k+1}))``
+    (DuckDB list_sum is sequential; np.dot's BLAS pairwise order is not).
+    """
+    n = len(ring)
+    s1 = 0.0
+    s2 = 0.0
+    for k in range(n):
+        x0, y0 = float(ring[k, 0]), float(ring[k, 1])
+        x1, y1 = float(ring[(k + 1) % n, 0]), float(ring[(k + 1) % n, 1])
+        s1 += x0 * y1
+        s2 += y0 * x1
+    return 0.5 * (s1 - s2)
+
+
 def polygon_centroid_seq(ring: np.ndarray) -> tuple[float, float]:
     """Area-weighted centroid with STRICTLY SEQUENTIAL accumulation.
 
@@ -217,44 +236,29 @@ def delaunay(pts: np.ndarray) -> np.ndarray:
     allpts = np.vstack([pts, superpts])
     tris = np.array([[n, n + 1, n + 2]], dtype=int)
 
-    def _circum(tr: np.ndarray):
-        a, b, c = allpts[tr[:, 0]], allpts[tr[:, 1]], allpts[tr[:, 2]]
-        d = 2.0 * (a[:, 0] * (b[:, 1] - c[:, 1]) + b[:, 0] * (c[:, 1] - a[:, 1])
-                   + c[:, 0] * (a[:, 1] - b[:, 1]))
-        d = np.where(np.abs(d) < 1e-300, 1e-300, d)
-        aa = (a * a).sum(axis=1)
-        bb = (b * b).sum(axis=1)
-        cc = (c * c).sum(axis=1)
-        ux = (aa * (b[:, 1] - c[:, 1]) + bb * (c[:, 1] - a[:, 1])
-              + cc * (a[:, 1] - b[:, 1])) / d
-        uy = (aa * (c[:, 0] - b[:, 0]) + bb * (a[:, 0] - c[:, 0])
-              + cc * (b[:, 0] - a[:, 0])) / d
-        r2 = (a[:, 0] - ux) ** 2 + (a[:, 1] - uy) ** 2
-        return ux, uy, r2
-
-    ccx, ccy, cr2 = _circum(tris)
     for i in range(n):
         p = allpts[i]
-        # cheap circumcircle prefilter (slightly inflated), then the exact
-        # orientation-normalized determinant only on the few candidates —
-        # identical bad-set to the pure det test, ~10x less arithmetic
-        d2 = (ccx - p[0]) ** 2 + (ccy - p[1]) ** 2
-        cand = np.flatnonzero(d2 < cr2 * (1.0 + 1e-9) + 1e-12)
-        if len(cand):
-            t = tris[cand]
-            a, b, c = allpts[t[:, 0]], allpts[t[:, 1]], allpts[t[:, 2]]
-            orient = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) \
-                - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
-            ax, ay = a[:, 0] - p[0], a[:, 1] - p[1]
-            bx, by = b[:, 0] - p[0], b[:, 1] - p[1]
-            cx, cy = c[:, 0] - p[0], c[:, 1] - p[1]
-            a2 = ax * ax + ay * ay
-            b2 = bx * bx + by * by
-            c2 = cx * cx + cy * cy
-            det = (ax * (by * c2 - cy * b2)
-                   - ay * (bx * c2 - cx * b2)
-                   + a2 * (bx * cy - cx * by))
-            cand = cand[np.where(orient >= 0, det, -det) > 0]
+        # exact orientation-normalized in-circumcircle determinant over ALL
+        # current triangles, vectorized.  No circumcenter prefilter: the
+        # DuckDB oracle applies this det to every triangle, and a float
+        # circumcenter of a near-degenerate triangle carries unbounded
+        # relative error, so any prefilter tolerance can disagree with the
+        # det on thin triangles — same O(#tris) per insertion either way,
+        # just a larger constant.
+        t = tris
+        a, b, c = allpts[t[:, 0]], allpts[t[:, 1]], allpts[t[:, 2]]
+        orient = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) \
+            - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+        ax, ay = a[:, 0] - p[0], a[:, 1] - p[1]
+        bx, by = b[:, 0] - p[0], b[:, 1] - p[1]
+        cx, cy = c[:, 0] - p[0], c[:, 1] - p[1]
+        a2 = ax * ax + ay * ay
+        b2 = bx * bx + by * by
+        c2 = cx * cx + cy * cy
+        det = (ax * (by * c2 - cy * b2)
+               - ay * (bx * c2 - cx * b2)
+               + a2 * (bx * cy - cx * by))
+        cand = np.flatnonzero(np.where(orient >= 0, det, -det) > 0)
         bad = tris[cand]
         edges: dict[tuple[int, int], int] = {}
         for t in bad:
@@ -265,15 +269,9 @@ def delaunay(pts: np.ndarray) -> np.ndarray:
         keep = np.ones(len(tris), dtype=bool)
         keep[cand] = False
         if new:
-            newt = np.array(new, dtype=int)
-            nx, ny, nr2 = _circum(newt)
-            tris = np.vstack([tris[keep], newt])
-            ccx = np.concatenate([ccx[keep], nx])
-            ccy = np.concatenate([ccy[keep], ny])
-            cr2 = np.concatenate([cr2[keep], nr2])
+            tris = np.vstack([tris[keep], np.array(new, dtype=int)])
         else:
             tris = tris[keep]
-            ccx, ccy, cr2 = ccx[keep], ccy[keep], cr2[keep]
     out = tris[(tris < n).all(axis=1)]
     return out if len(out) else np.empty((0, 3), dtype=int)
 

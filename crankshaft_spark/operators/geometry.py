@@ -283,9 +283,15 @@ def voronoi(
         ])
         from crankshaft_spark.functions.geom import voronoi_cells
 
+        from crankshaft_spark.functions.geom import polygon_area_seq
+
         cells = voronoi_cells(pts, bound)
+        # sequential shoelace: the oracle mirrors the area with list_sum
+        # (sequential), so np.dot's pairwise accumulation order would be an
+        # ulp-level parity hazard at the 6dp rounding boundary
         rows = [
-            (key[0], int(i), ring_to_wkt(c), abs(polygon_area(c)) if len(c) >= 3 else 0.0)
+            (key[0], int(i), ring_to_wkt(c),
+             abs(polygon_area_seq(c)) if len(c) >= 3 else 0.0)
             for i, c in zip(ids, cells)
         ]
         return pd.DataFrame(rows, columns=[group_col, "id", "cell_wkt", "cell_area"])

@@ -145,10 +145,11 @@ def getis_gstar_sim(
     value_col: str = "value",
     permutations: int = 99,
     seed: int = 1234,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Distributed conditional-randomization Gi* → (id, gs, z_sim, p_sim).
 
-    Scale path for permutation inference (replaces the driver-serial PySAL
+    Distributed permutation inference (replaces the driver-serial PySAL
     replica): the value vector is broadcast once; each row's ``permutations``
     deg(i)-sized samples-without-replacement are drawn by ranking the other
     rows under a keyed linear hash u_j = (A_ip·g_j + B_ip) mod (2^31−1) and
@@ -160,6 +161,20 @@ def getis_gstar_sim(
     two-sided folded p_sim, pooled-moment z_sim (EG/seG over all rows ×
     permutations).  Per-row work is vectorized numpy over an Arrow batch;
     everything after is column algebra.
+
+    Cost bound: each row ranks all n−1 candidates per permutation, so
+    total work is O(n²·permutations) and the value vector (8n bytes) is
+    broadcast — the same envelope as the local-Moran permutation path
+    (moran._local_permutation_p) and fine at the 10⁴–10⁵-row scales
+    permutation inference is used at.  At crawl scale use the analytic
+    ``getis_gstar`` (pure column algebra); permutation counting over 10M+
+    rows is statistically pointless anyway (p_sim resolution is bounded by
+    1/(permutations+1), not n).
+
+    The s ≥ nbrsum comparison is pinned at 6dp on both sides: nbrsum is a
+    Spark float sum whose partial-aggregation order varies with
+    parallelism (CLAUDE.md float-pin rule).  Exact no-op for the
+    integer-valued y the oracle contract requires.
     """
     import numpy as np
     import pandas as pd
@@ -206,7 +221,9 @@ def getis_gstar_sim(
                 key[:, i] = np.iinfo(np.int64).max  # exclude self
                 top = np.argpartition(key, d - 1, axis=1)[:, :d]
                 s = yv[top].sum(axis=1)
-                larger = int((s >= nbrsum).sum())
+                larger = int(
+                    (np.round(s, 6) >= round(float(nbrsum), 6)).sum()
+                )
                 sv = s + yi
                 out.append((rid, float(yi), d, float(nbrsum), larger,
                             float(sv.sum()), float((sv * sv).sum())))
@@ -219,7 +236,12 @@ def getis_gstar_sim(
         .join(nbr_stats, "id")
         .select("id", "_y", "_deg", "_nbrsum")
     )
-    per = base.mapInPandas(run, schema=schema)
+    # per feeds BOTH the pooled moments and the final join — without the
+    # persist the O(n·permutations)-per-row mapInPandas stage executes
+    # twice per action (n bounded rows cached, 7 columns)
+    per = base.mapInPandas(run, schema=schema).persist()
+    if persist_registry is not None:
+        persist_registry.append(per)
     tot = values.agg(F.sum(F.col(value_col).cast("double")).alias("_ysum"),
                      F.count("*").alias("_n"))
     denom = (F.col("_deg") + 1) * F.col("_ysum")

@@ -188,49 +188,74 @@ def _radius_edges(cal: DataFrame, data: DataFrame, radius: float,
     )
 
 
+#: per-row ring cap for the variable-radius join — above it a row moves to
+#: a coarser (doubled) grid tier, mirroring _radius_edges' coarsen guard.
+VAR_RING_CAP = 32
+
+
 def _var_radius_edges(cal_h: DataFrame, data: DataFrame, zcut: float,
                       cell_size: float) -> DataFrame:
     """(id, nbr, d, _h) pairs with d < zcut·h_i — PER-POINT radius join for
     adaptive non-truncated kernels at scale.
 
     Each calibration point explodes only the cell ring its own radius
-    needs (ring_i = ceil(zcut·h_i / cell_size), so ring_i·cell_size ≥
-    zcut·h_i guarantees no in-radius point is missed); dense regions have
-    small h_i and tiny fanout, sparse regions large rings — the fanout
-    tracks the data, not the global worst case."""
-    from crankshaft_spark.functions.cells import CELL_M, cell_expr
+    needs (ring_i = ceil(zcut·h_i / size), so ring_i·size ≥ zcut·h_i
+    guarantees no in-radius point is missed); dense regions have small h_i
+    and tiny fanout, sparse regions large rings — the fanout tracks the
+    data, not the global worst case.
 
-    cell = cell_expr(F.col("x"), F.col("y"), cell_size)
-    ring = F.greatest(
-        F.lit(1),
-        F.ceil(F.lit(zcut) * F.col("_h") / F.lit(cell_size)),
-    ).cast("long")
-    cells = F.flatten(
-        F.transform(
-            F.sequence(-ring, ring),
-            lambda dx: F.transform(
-                F.sequence(-ring, ring),
-                lambda dy: cell + dx * F.lit(CELL_M) + dy,
-            ),
+    Ring cap: a row whose fine-grid ring would exceed VAR_RING_CAP is
+    assigned to grid tier t = ⌈log2(ring/CAP)⌉ (cell size · 2^t), so every
+    row's explode is ≤ (2·CAP+1)² cells — an isolated outlier whose h_i
+    spans the domain gets a coarse grid, never a multi-million-cell
+    explode.  One equi-join per OCCUPIED tier (≤ log2 of the radius spread,
+    found with a cheap distinct on the k-row-per-point h table); the
+    d < zcut·h_i refine is unchanged, so the result is exact."""
+    from crankshaft_spark.functions.cells import cell_expr, ring_cells_expr
+
+    ncell = F.greatest(
+        F.lit(1), F.ceil(F.lit(zcut) * F.col("_h") / F.lit(cell_size))
+    ).cast("double")
+    tier = F.greatest(
+        F.lit(0), F.ceil(F.log2(ncell / F.lit(float(VAR_RING_CAP))))
+    ).cast("int")
+    cal_t = cal_h.withColumn("_tier", tier)
+    tiers = sorted(
+        r[0] for r in cal_t.select("_tier").distinct().collect()
+    )
+    parts = []
+    for tv in tiers:
+        size_t = cell_size * (2 ** tv)
+        cell = cell_expr(F.col("x"), F.col("y"), size_t)
+        ring = F.greatest(
+            F.lit(1),
+            F.ceil(F.lit(zcut) * F.col("_h") / F.lit(size_t)),
+        ).cast("long")
+        lhs = (
+            cal_t.where(F.col("_tier") == tv)
+            .select("id", "x", "y", "_h",
+                    F.explode(ring_cells_expr(cell, ring)).alias("cell"))
         )
-    )
-    lhs = cal_h.select("id", "x", "y", "_h", F.explode(cells).alias("cell"))
-    rhs = data.select(
-        F.col("id").alias("nbr"), F.col("x").alias("nx"),
-        F.col("y").alias("ny"),
-        cell_expr(F.col("x"), F.col("y"), cell_size).alias("cell"),
-    )
-    return (
-        lhs.join(rhs, "cell")
-        .select(
-            "id", "nbr", "_h",
-            F.sqrt(
-                (F.col("x") - F.col("nx")) * (F.col("x") - F.col("nx"))
-                + (F.col("y") - F.col("ny")) * (F.col("y") - F.col("ny"))
-            ).alias("d"),
+        rhs = data.select(
+            F.col("id").alias("nbr"), F.col("x").alias("nx"),
+            F.col("y").alias("ny"),
+            cell_expr(F.col("x"), F.col("y"), size_t).alias("cell"),
         )
-        .where(F.col("d") < F.lit(zcut) * F.col("_h"))
-    )
+        parts.append(
+            lhs.join(rhs, "cell")
+            .select(
+                "id", "nbr", "_h",
+                F.sqrt(
+                    (F.col("x") - F.col("nx")) * (F.col("x") - F.col("nx"))
+                    + (F.col("y") - F.col("ny")) * (F.col("y") - F.col("ny"))
+                ).alias("d"),
+            )
+            .where(F.col("d") < F.lit(zcut) * F.col("_h"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _weighted_edges(cal: DataFrame, data: DataFrame, bw: float,

@@ -179,28 +179,36 @@ def wav_encode(rate: int, samples: np.ndarray) -> bytes:
 
 
 def wav_decode(blob: bytes):
-    """(rate, samples int16 array) from mono PCM16 WAV bytes, else None."""
+    """(rate, samples int16 array) from mono PCM16 WAV bytes, else None.
+
+    Any malformed chunk (short fmt body, odd data length, truncated RIFF)
+    returns None — never raises: the mapInPandas error channel turns None
+    into ok=false per row instead of failing the task.
+    """
     if blob is None or len(blob) < 12 or blob[:4] != b"RIFF" \
             or blob[8:12] != b"WAVE":
         return None
-    pos, rate, data = 12, None, None
-    while pos + 8 <= len(blob):
-        tag = blob[pos:pos + 4]
-        (ln,) = struct.unpack("<I", blob[pos + 4:pos + 8])
-        body = blob[pos + 8:pos + 8 + ln]
-        if len(body) != ln:
-            return None
-        if tag == b"fmt ":
-            audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH",
-                                                              body[:16])
-            if audio_fmt != 1 or n_ch != 1 or bits != 16:
+    try:
+        pos, rate, data = 12, None, None
+        while pos + 8 <= len(blob):
+            tag = blob[pos:pos + 4]
+            (ln,) = struct.unpack("<I", blob[pos + 4:pos + 8])
+            body = blob[pos + 8:pos + 8 + ln]
+            if len(body) != ln:
                 return None
-        elif tag == b"data":
-            data = body
-        pos += 8 + ln + (ln & 1)
-    if rate is None or data is None:
+            if tag == b"fmt ":
+                audio_fmt, n_ch, rate, _, _, bits = struct.unpack(
+                    "<HHIIHH", body[:16])
+                if audio_fmt != 1 or n_ch != 1 or bits != 16:
+                    return None
+            elif tag == b"data":
+                data = body
+            pos += 8 + ln + (ln & 1)
+        if rate is None or data is None:
+            return None
+        return rate, np.frombuffer(data, dtype="<i2")
+    except (struct.error, ValueError):
         return None
-    return rate, np.frombuffer(data, dtype="<i2")
 
 
 def synth_media(spark, *, n: int = 100, seed: int = 42,

@@ -152,17 +152,33 @@ def test_real_codec_roundtrip(spark):
 def test_real_codec_rejects_corrupt(spark):
     from crankshaft_spark.operators.multimodal import png_encode
 
+    import struct
+
+    from crankshaft_spark.operators.multimodal import wav_encode
+
     good = png_encode(np.arange(64, dtype=np.uint8).reshape(8, 8))
     corrupt = bytearray(good)
     corrupt[40] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
+    # WAV with a fmt chunk whose declared length passes the body-length
+    # check but is too short for the 16-byte fmt struct (struct.error
+    # path), and one with an odd-length data chunk (np.frombuffer path)
+    wav_short_fmt = (b"RIFF" + struct.pack("<I", 16) + b"WAVEfmt "
+                     + struct.pack("<I", 4) + b"\x01\x00\x01\x00")
+    wav_good = bytearray(wav_encode(8000, np.arange(4, dtype=np.int16)))
+    fmt16 = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav_odd = (b"RIFF" + struct.pack("<I", 43) + b"WAVEfmt "
+               + struct.pack("<I", 16) + fmt16
+               + b"data" + struct.pack("<I", 7) + b"\x00" * 7)
     bad = spark.createDataFrame(
         [(1, bytearray(good)), (2, corrupt), (3, bytearray(b"not media")),
-         (4, None)],
+         (4, None), (5, bytearray(wav_short_fmt)), (6, bytearray(wav_odd)),
+         (7, wav_good)],
         "media_id long, media binary",
     )
     rows = {r["media_id"]: r["ok"]
             for r in decode_metadata(bad, decoder="real").collect()}
-    assert rows == {1: True, 2: False, 3: False, 4: False}
+    assert rows == {1: True, 2: False, 3: False, 4: False, 5: False,
+                    6: False, 7: True}
 
 
 def test_real_image_features_match_pixels(spark):
