@@ -171,6 +171,97 @@ def _local_permutation_p(
     return base.join(p, "id")
 
 
+def moran_local_hash_sim(
+    values: DataFrame,
+    edges: DataFrame,
+    *,
+    value_col: str = "value",
+    permutations: int = 19,
+    seed: int = 1234,
+) -> DataFrame:
+    """Local Moran with an ORACLE-EXPRESSIBLE permutation p_sim →
+    (id, quad, local_i, p_sim).
+
+    Same conditional randomization as ``moran_local(permutations=k)`` but
+    the deg(i)-subsets are drawn by the keyed-linear-hash SRSWOR of
+    getis_gstar_sim (rank (A_ip·g_j + B_ip) mod 2³¹−1, take deg smallest)
+    instead of a numpy RNG stream, so a DuckDB oracle can replay the draw
+    verbatim.
+
+    Exactness contract (why every comparison is integer):
+
+      sims_p ≥ I_i  ⇔  K_i·(S_p − d·ȳ) ≥ K_i·(S_nbr − d·ȳ),
+      K_i = (n−1)·z_i/(den·d),  den, d, n−1 > 0
+
+    so with sign(K_i) = sign(z_i) = sign(y_i·n − Σy) the float algebra
+    cancels: count S_p ≥ S_nbr when z_i > 0, S_p ≤ S_nbr when z_i < 0,
+    always when z_i = 0 — S_p, S_nbr, y_i·n, Σy all int64.  Requires
+    INTEGER-VALUED y and UNIFORM row weights (row-standardized kNN edges:
+    w_ij = 1/deg(i)), which also makes sample order irrelevant.  p_sim is
+    PySAL-folded: (min(larger, perms−larger)+1)/(perms+1).
+    """
+    from crankshaft_spark.operators.getis import _HASH_P, _h32
+
+    analytic = moran_local(values, edges, value_col=value_col)
+
+    spark = values.sparkSession
+    zrows = (
+        values.select("id", F.col(value_col).cast("long")).sort("id").collect()
+    )
+    ids = [int(r[0]) for r in zrows]
+    y = np.array([int(r[1]) for r in zrows], dtype=np.int64)
+    g = np.array([_h32(f"msim-g:{i}") % _HASH_P for i in ids], dtype=np.int64)
+    n = len(y)
+    ysum = int(y.sum())
+    by = spark.sparkContext.broadcast(y)
+    bg = spark.sparkContext.broadcast(g)
+    bpos = spark.sparkContext.broadcast({v: i for i, v in enumerate(ids)})
+
+    nbr_stats = (
+        edges.select("id", "nbr")
+        .join(values.select(F.col("id").alias("nbr"),
+                            F.col(value_col).cast("long").alias("_yl")),
+              "nbr")
+        .groupBy("id")
+        .agg(F.count("*").alias("_deg"), F.sum("_yl").alias("_nbrsum"))
+    )
+
+    schema = "id long, p_sim double"
+
+    def run(pdfs):
+        yv, gv, pos = by.value, bg.value, bpos.value
+        for pdf in pdfs:
+            out = []
+            for rid, d, nbrsum in zip(pdf["id"], pdf["_deg"], pdf["_nbrsum"]):
+                rid, d, nbrsum = int(rid), int(d), int(nbrsum)
+                i = pos[rid]
+                sg = yv[i] * n - ysum
+                if sg == 0:
+                    larger = permutations
+                else:
+                    a = np.array(
+                        [1 + _h32(f"msim-a:{seed}:{rid}:{p}") % (_HASH_P - 1)
+                         for p in range(permutations)], dtype=np.int64)
+                    b = np.array(
+                        [_h32(f"msim-b:{seed}:{rid}:{p}") % _HASH_P
+                         for p in range(permutations)], dtype=np.int64)
+                    u = (a[:, None] * gv[None, :] + b[:, None]) % _HASH_P
+                    key = u * np.int64(n) + np.arange(n, dtype=np.int64)[None, :]
+                    key[:, i] = np.iinfo(np.int64).max  # exclude self
+                    top = np.argpartition(key, d - 1, axis=1)[:, :d]
+                    s = yv[top].sum(axis=1)
+                    larger = int((s >= nbrsum).sum() if sg > 0
+                                 else (s <= nbrsum).sum())
+                folded = min(larger, permutations - larger)
+                out.append((rid, (folded + 1.0) / (permutations + 1.0)))
+            yield pd.DataFrame(out, columns=["id", "p_sim"])
+
+    p = nbr_stats.select("id", "_deg", "_nbrsum").mapInPandas(run, schema)
+    return analytic.join(p, "id").select(
+        "id", "quad", "local_i", "p_sim"
+    )
+
+
 def moran_global(
     values: DataFrame,
     edges: DataFrame,

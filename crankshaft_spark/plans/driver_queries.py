@@ -699,18 +699,96 @@ def o_orders_weighted_center():
     GROUP BY p.nationkey"""
 
 
-# ------------------------------------- permutation inference (rows-only) ----
-# Conditional randomization uses per-row seeded numpy RNG — deterministic at
-# any parallelism but not expressible in SQL; driver records rows-only.
+# ----------------------------------------- permutation inference ------------
+# Both sim entries use the keyed-linear-hash SRSWOR (getis.py docstring) so
+# the DuckDB oracle replays the draws verbatim; the numpy-RNG PySAL-replica
+# paths remain fixture-only (tests/test_moran.py, tests/test_getis.py).
 
 def q_moran_local_sim(spark, sf_dir):
-    pts = customer_points(spark, sf_dir)
-    res = moran_local(pts.select("id", "value"), _edges_w(spark, sf_dir),
-                      permutations=99, seed=1234)
+    """Local Moran with hash-SRSWOR permutation p_sim (value-hash oracle).
+    Integer-valued y + uniform kNN row weights reduce the sims >= I_i count
+    to exact int64 comparisons — see moran_local_hash_sim."""
+    from crankshaft_spark.operators.moran import moran_local_hash_sim
+
+    pts = customer_points(spark, sf_dir).select(
+        "id", ((F.col("id") * 41) % 1000).cast("double").alias("value")
+    )
+    res = moran_local_hash_sim(pts, _edges_w(spark, sf_dir),
+                               permutations=GETIS_SIM_PERMS, seed=1234)
     return res.select(
         "id", "quad", F.round("local_i", 6).alias("local_i"),
-        F.round("significance", 6).alias("p_sim"),
+        F.round("p_sim", 6).alias("p_sim"),
     )
+
+
+def o_moran_local_sim():
+    P = 2147483647
+    perms, seed = GETIS_SIM_PERMS, 1234
+    return f"""{_KNN_CTE},
+    yv AS (SELECT id, (id * 41) % 1000 AS y FROM pts),
+    tot AS (SELECT sum(y) AS ysum, count(*) AS n FROM yv),
+    stats AS (SELECT avg(y) AS mu, count(*) AS n FROM yv),
+    z AS (SELECT id, y - mu AS z FROM yv, stats),
+    den AS (SELECT sum(z*z) AS den FROM z),
+    lagz AS (
+      SELECT k.id, sum(z.z / {KNN_K}.0) AS lz
+      FROM knn k JOIN z ON k.nbr = z.id GROUP BY k.id
+    ),
+    deg AS (
+      SELECT k.id, count(*) AS d, sum(yn.y) AS nbrsum
+      FROM knn k JOIN yv yn ON k.nbr = yn.id GROUP BY k.id
+    ),
+    sgn AS (SELECT yv.id, yv.y * t.n - t.ysum AS sg FROM yv, tot t),
+    gh AS (SELECT id, y,
+                  ('0x' || substring(md5('msim-g:' || id), 1, 8))::BIGINT
+                    % {P} AS gj
+           FROM yv),
+    ab AS (
+      SELECT i.id, pp.p,
+             1 + ('0x' || substring(md5(concat_ws(':', 'msim-a', {seed},
+                     i.id, pp.p)), 1, 8))::BIGINT % {P - 1} AS a,
+             ('0x' || substring(md5(concat_ws(':', 'msim-b', {seed},
+                     i.id, pp.p)), 1, 8))::BIGINT % {P} AS b
+      FROM (SELECT id FROM sgn WHERE sg <> 0) i,
+           (SELECT unnest(range({perms})) AS p) pp
+    ),
+    samp AS (
+      SELECT ab.id, ab.p, o.y,
+             row_number() OVER (
+               PARTITION BY ab.id, ab.p
+               ORDER BY (ab.a * o.gj + ab.b) % {P} ASC, o.id ASC) AS rk
+      FROM ab JOIN gh o ON o.id <> ab.id
+    ),
+    sims AS (
+      SELECT sa.id, sa.p, sum(sa.y) AS s
+      FROM samp sa JOIN deg d ON d.id = sa.id
+      WHERE sa.rk <= d.d GROUP BY sa.id, sa.p
+    ),
+    per AS (
+      SELECT s.id,
+             sum(CASE WHEN g.sg > 0
+                      THEN CASE WHEN s.s >= d.nbrsum THEN 1 ELSE 0 END
+                      ELSE CASE WHEN s.s <= d.nbrsum THEN 1 ELSE 0 END
+                 END) AS larger
+      FROM sims s JOIN deg d ON d.id = s.id JOIN sgn g ON g.id = s.id
+      GROUP BY s.id
+    ),
+    psim AS (
+      SELECT sgn.id,
+             CASE WHEN sgn.sg = 0 THEN 1.0 / ({perms} + 1)
+                  ELSE (least(per.larger, {perms} - per.larger) + 1.0)
+                       / ({perms} + 1) END AS p_sim
+      FROM sgn LEFT JOIN per ON per.id = sgn.id
+    )
+    SELECT z.id,
+           CASE WHEN z.z > 0 AND l.lz > 0 THEN 'HH'
+                WHEN z.z <= 0 AND l.lz > 0 THEN 'LH'
+                WHEN z.z <= 0 AND l.lz <= 0 THEN 'LL'
+                ELSE 'HL' END AS quad,
+           round((stats.n - 1) * z.z * l.lz / den.den, 6) AS local_i,
+           round(ps.p_sim, 6) AS p_sim
+    FROM z JOIN lagz l ON z.id = l.id JOIN psim ps ON ps.id = z.id,
+         stats, den"""
 
 
 GETIS_SIM_PERMS = 19  # keeps the oracle's n·perms·(n−1) ranking bounded
@@ -2070,6 +2148,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cell_hourly": o_events_cell_hourly(),
         "sessions_batch": o_sessions_batch(),
         "getis_sim": o_getis_sim(),
+        "moran_local_sim": o_moran_local_sim(),
         "moran_local_bv": o_moran_bv(),
         "moran_local_rate": o_moran_local_rate(),
         "queen_edges": o_queen_edges(),

@@ -53,6 +53,35 @@ def test_moran_local_psim_range(values_and_edges):
         assert 0.0 < r["significance"] <= 1.0
 
 
+def test_moran_local_hash_sim_integer_contract(spark, values_and_edges):
+    """Hash-SRSWOR p_sim: integer-valued y, p_sim folded into
+    (0, 0.5+1/(p+1)], analytic columns identical to moran_local, and
+    results invariant to input partitioning (per-row hash seeds)."""
+    from pyspark.sql import functions as F
+
+    from crankshaft_spark.operators.moran import moran_local_hash_sim
+
+    _, edges = values_and_edges
+    perms = 19
+    ids = edges.select("id").distinct()
+    values = ids.select("id", ((F.col("id") * 41) % 7).cast("double")
+                        .alias("value"))
+    got = {r["id"]: r for r in moran_local_hash_sim(
+        values, edges, permutations=perms, seed=7).collect()}
+    analytic = {r["id"]: r for r in moran_local(values, edges).collect()}
+    assert set(got) == set(analytic)
+    for rid, r in got.items():
+        assert r["quad"] == analytic[rid]["quad"]
+        assert r["local_i"] == analytic[rid]["local_i"]
+        lo = 1.0 / (perms + 1)
+        assert lo <= r["p_sim"] <= (perms // 2 + 1.0) / (perms + 1)
+
+    re = {r["id"]: r["p_sim"] for r in moran_local_hash_sim(
+        values.repartition(13), edges.repartition(7),
+        permutations=perms, seed=7).collect()}
+    assert re == {rid: r["p_sim"] for rid, r in got.items()}
+
+
 def test_moran_global_fixture(values_and_edges, moran_fixture):
     values, edges = values_and_edges
     row = moran_global(values, edges, value_col="value").first()
