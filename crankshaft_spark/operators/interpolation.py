@@ -67,9 +67,24 @@ def interpolate_idw(
     )
 
 
+def _nan_to_null(est):
+    """float array → object list with None for NaN: outside-hull targets
+    surface as SQL NULL (what the reference's LEFT JOIN produces and what
+    the DuckDB oracle emits), not as a double NaN."""
+    import numpy as np
+
+    return [None if np.isnan(v) else float(v) for v in est]
+
+
 def _bary_eval(pts, vals, tris, px, py):
     """Vectorized containing-triangle lookup + barycentric blend.
-    Returns est array with NaN for points outside the TIN hull."""
+    Returns est array with NaN for points outside the TIN hull.
+
+    When a point lies within eps of an edge, BOTH adjacent triangles pass
+    the inside test; the winner is the triangle with the least SORTED
+    vertex-index triple — a property of the triangle set, not of the
+    Bowyer-Watson construction order, so the DuckDB oracle can reproduce
+    the pick without replaying list order."""
     import numpy as np
 
     a = pts[tris[:, 0]]
@@ -88,7 +103,11 @@ def _bary_eval(pts, vals, tris, px, py):
     inside = (w1 >= eps) & (w2 >= eps) & (w3 >= eps)
     est = np.full(len(px), np.nan)
     hit = inside.any(axis=1)
-    ti = np.argmax(inside, axis=1)
+    skey = np.sort(tris, axis=1)
+    order = np.lexsort((skey[:, 2], skey[:, 1], skey[:, 0]))
+    rank = np.empty(len(tris), dtype=np.int64)
+    rank[order] = np.arange(len(tris))
+    ti = np.argmin(np.where(inside, rank[None, :], len(tris)), axis=1)
     v = (w1[np.arange(len(px)), ti] * vals[tris[ti, 0]]
          + w2[np.arange(len(px)), ti] * vals[tris[ti, 1]]
          + w3[np.arange(len(px)), ti] * vals[tris[ti, 2]])
@@ -148,7 +167,7 @@ def interpolate_barycentric(
         # triangulation must not (see the tiled path's pin below)
         rows = sorted(
             samples.select("x", "y", value_col).collect(),
-            key=lambda r: (r[0], r[1]),
+            key=lambda r: (r[0], r[1], r[2]),
         )
         pts = np.array([[r[0], r[1]] for r in rows], dtype=float)
         vals = np.array([r[2] for r in rows], dtype=float)
@@ -161,7 +180,7 @@ def interpolate_barycentric(
             for pdf in pdfs:
                 est = _bary_eval(bpts, bvals, btris,
                                  pdf["x"].to_numpy(), pdf["y"].to_numpy())
-                yield pd.DataFrame({"id": pdf["id"], "est": est})
+                yield pd.DataFrame({"id": pdf["id"], "est": _nan_to_null(est)})
 
         return targets.select("id", "x", "y").mapInPandas(run, schema=schema)
 
@@ -191,22 +210,98 @@ def interpolate_barycentric(
                 {"id": "int64", "est": "float64"}
             )
         # shuffle delivery order is partitioning-dependent; Bowyer-Watson
-        # insertion order (and argmax-first triangle pick for cocircular
-        # cases) must not be — pin it by coordinates
-        s = pdf[pdf["role"] == 1].sort_values(["x", "y"], kind="mergesort")
+        # insertion order (and the min-vertex-key triangle pick for
+        # cocircular cases) must not be — pin it by (x, y, value), the
+        # same ORDER BY the DuckDB oracle's dl_pts uses
+        s = pdf[pdf["role"] == 1].sort_values(["x", "y", "v"],
+                                              kind="mergesort")
         if len(s) < 3:
-            return pd.DataFrame({"id": t["id"], "est": np.nan})
+            return pd.DataFrame({"id": t["id"], "est": None})
         pts = s[["x", "y"]].to_numpy(dtype=float)
         vals = s["v"].to_numpy(dtype=float)
         tris = delaunay(pts)
         if len(tris) == 0:
-            return pd.DataFrame({"id": t["id"], "est": np.nan})
+            return pd.DataFrame({"id": t["id"], "est": None})
         est = _bary_eval(pts, vals, tris,
                          t["x"].to_numpy(), t["y"].to_numpy())
-        return pd.DataFrame({"id": t["id"], "est": est})
+        return pd.DataFrame({"id": t["id"], "est": _nan_to_null(est)})
 
     return (
         spread_groups(tgt.unionByName(smp), "tcell")
         .groupBy("tcell")
         .applyInPandas(run_tile, schema=schema)
     )
+
+
+def interp_bary_oracle_sql(samples_sql: str, targets_sql: str) -> str:
+    """DuckDB mirror of ``interpolate_barycentric(tile_size='auto')`` for
+    the tiled branch (n ≥ 500) → (id, est) with est rounded to 6dp.
+
+    ``samples_sql`` must yield (x, y, value); ``targets_sql`` (id, x, y).
+    Mirrors, float-op for float-op:
+
+    * the auto tile size  sqrt(64·area / (9·n))  over exact min/max/count;
+    * the cellv1 tile key and the samples' 3×3 neighborhood explode;
+    * per-tile Bowyer-Watson via geometry._delaunay_oracle_ctes (grp =
+      tile, insertion order = the operator's (x, y, value) pin);
+    * _bary_eval's barycentric algebra (same operand order), the −1e-9
+      inside tolerance, and the min-sorted-vertex-triple pick among
+      containing triangles.
+
+    Targets in tiles with < 3 samples, in tiles whose points are all
+    collinear, or outside the local TIN hull produce NULL — exactly the
+    operator's None channel.
+    """
+    from crankshaft_spark.functions.cells import CELL_M
+    from crankshaft_spark.operators.geometry import _delaunay_oracle_ctes
+
+    def cell(x: str, y: str) -> str:
+        return (f"(CAST(floor(({x} + 180.0) / ts.tsz) AS BIGINT) "
+                f"* {CELL_M} + CAST(floor(({y} + 90.0) / ts.tsz) AS BIGINT))")
+
+    det = ("((vb.y - vc.y) * (va.x - vc.x) + (vc.x - vb.x) * (va.y - vc.y))")
+    detg = f"(CASE WHEN abs({det}) < 1e-300 THEN 1e-300 ELSE {det} END)"
+    w1 = (f"(((vb.y - vc.y) * (t.x - vc.x) + (vc.x - vb.x) * (t.y - vc.y))"
+          f" / {detg})")
+    w2 = (f"(((vc.y - va.y) * (t.x - vc.x) + (va.x - vc.x) * (t.y - vc.y))"
+          f" / {detg})")
+    s0 = "least(f.v0, least(f.v1, f.v2))"
+    s2 = "greatest(f.v0, greatest(f.v1, f.v2))"
+    s1 = f"(f.v0 + f.v1 + f.v2 - {s0} - {s2})"
+    dl_points = ("SELECT m.tcell AS grp, m.x, m.y, m.value FROM smp m "
+                 "WHERE m.tcell IN (SELECT DISTINCT tcell FROM tgt)")
+    return f"""WITH RECURSIVE ib_s AS ({samples_sql}),
+    ib_t AS ({targets_sql}),
+    ts AS (
+      SELECT sqrt((64.0 * greatest((max(x) - min(x)) * (max(y) - min(y)),
+                                   1e-12)) / (9.0 * count(*))) AS tsz
+      FROM ib_s
+    ),
+    tgt AS (SELECT t.id, t.x, t.y, {cell('t.x', 't.y')} AS tcell
+            FROM ib_t t, ts),
+    smp AS (
+      SELECT {cell('s.x', 's.y')} + o.dx * {CELL_M} + o.dy AS tcell,
+             s.x, s.y, s.value
+      FROM ib_s s, ts,
+           (SELECT a.r AS dx, b.r AS dy
+            FROM (SELECT unnest(range(-1, 2)) AS r) a,
+                 (SELECT unnest(range(-1, 2)) AS r) b) o
+    ),
+    {_delaunay_oracle_ctes(dl_points)},
+    bar AS (
+      SELECT t.id,
+             ({w1} * va.value + {w2} * vb.value
+              + (1.0 - {w1} - {w2}) * vc.value) AS est,
+             row_number() OVER (
+               PARTITION BY t.id ORDER BY {s0}, {s1}, {s2}) AS rk
+      FROM tgt t
+      JOIN dl_final f ON f.grp = t.tcell
+      JOIN dl_pts va ON va.grp = f.grp AND va.idx = f.v0
+      JOIN dl_pts vb ON vb.grp = f.grp AND vb.idx = f.v1
+      JOIN dl_pts vc ON vc.grp = f.grp AND vc.idx = f.v2
+      WHERE {w1} >= -1e-9 AND {w2} >= -1e-9
+        AND (1.0 - {w1} - {w2}) >= -1e-9
+    )
+    SELECT t.id, round(b.est, 6) AS est
+    FROM tgt t LEFT JOIN (SELECT id, est FROM bar WHERE rk = 1) b
+      ON b.id = t.id"""

@@ -1366,12 +1366,25 @@ def o_dot_density():
 
 
 def q_interp_bary(spark, sf_dir):
+    """Tiled barycentric TIN interpolation — value-hash oracle: per-tile
+    Bowyer-Watson replayed as a DuckDB recursive CTE, barycentric algebra
+    and the min-vertex-triple containing-triangle pick mirrored op-for-op
+    (interp_bary_oracle_sql)."""
     from crankshaft_spark.operators.interpolation import interpolate_barycentric
 
     src = customer_points(spark, sf_dir)
     tgt = supplier_points(spark, sf_dir)
     res = interpolate_barycentric(tgt, src, tile_size="auto")
     return res.select("id", F.round("est", 6).alias("est"))
+
+
+def o_interp_bary():
+    from crankshaft_spark.operators.interpolation import interp_bary_oracle_sql
+
+    return interp_bary_oracle_sql(
+        f"SELECT x, y, value FROM ({CUSTOMER_POINTS_SQL})",
+        f"SELECT id, x, y FROM ({SUPPLIER_POINTS_SQL})",
+    )
 
 
 # ----------------------------------------------- dedup / fingerprints -------
@@ -2149,6 +2162,7 @@ def oracle_sql() -> dict[str, str]:
         "sessions_batch": o_sessions_batch(),
         "getis_sim": o_getis_sim(),
         "moran_local_sim": o_moran_local_sim(),
+        "interp_bary": o_interp_bary(),
         "moran_local_bv": o_moran_bv(),
         "moran_local_rate": o_moran_local_rate(),
         "queen_edges": o_queen_edges(),
