@@ -36,6 +36,22 @@ def test_webpages_deterministic_across_parallelism(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_webpages_zipf_skew_profile(spark):
+    """skew='zipf' is geometric (host 0 ≈ 50%, host 1 ≈ 25%) and stays
+    closed-form deterministic across parallelism — the scalebench skew
+    stress path (BASELINE.md §4 Zipf row)."""
+    a = synth_webpages(spark, SF, skew="zipf").repartition(16)
+    b = synth_webpages(spark, SF, skew="zipf").coalesce(1)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    tot = a.count()
+    top = {r["host_id"]: r["count"]
+           for r in a.groupBy("host_id").count().collect()}
+    assert top[0] / tot == pytest.approx(0.5, abs=0.08)
+    assert top[1] / tot == pytest.approx(0.25, abs=0.06)
+    with pytest.raises(ValueError):
+        synth_webpages(spark, SF, skew="nope")
+
+
 def test_pip_join_matches_brute_force(spark):
     polys = admin_polygons()
     pages = synth_webpages(spark, SF).select("page_id", "lon", "lat")
