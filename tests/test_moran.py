@@ -72,7 +72,10 @@ def test_moran_local_hash_sim_integer_contract(spark, values_and_edges):
     assert set(got) == set(analytic)
     for rid, r in got.items():
         assert r["quad"] == analytic[rid]["quad"]
-        assert r["local_i"] == analytic[rid]["local_i"]
+        # two separate executions: Spark float-agg order may differ by an
+        # ulp (the catalog pins local_i at 6dp for the same reason)
+        assert r["local_i"] == pytest.approx(analytic[rid]["local_i"],
+                                             rel=1e-12, abs=1e-12)
         lo = 1.0 / (perms + 1)
         assert lo <= r["p_sim"] <= (perms // 2 + 1.0) / (perms + 1)
 
