@@ -116,8 +116,11 @@ def headtails_bins(df: DataFrame, *, value_col: str = "value",
     return spark.createDataFrame(out, "bin int, break_value double")
 
 
-def _quantile_start(n: int, breaks: int) -> list[int]:
-    bounds = [int(round(n * i / breaks)) for i in range(1, breaks)]
+def _quantile_start_int(n: int, breaks: int) -> list[int]:
+    # pure-integer quantile seed (⌊(n·i + ⌊k/2⌋)/k⌋ ≈ round(n·i/k)) so the
+    # DuckDB oracle derives the identical start with `//` — Python round()
+    # is banker's and not portable
+    bounds = [(n * i + breaks // 2) // breaks for i in range(1, breaks)]
     bounds = sorted(set(min(max(b, 1), n - 1) for b in bounds))
     while len(bounds) < breaks - 1:
         for cand in range(1, n):
@@ -130,38 +133,50 @@ def _quantile_start(n: int, breaks: int) -> list[int]:
 
 def _gvf_jenks(values, breaks: int, *, max_search: int = 50,
                start: list[int] | None = None):
-    """Driver-side Jenks natural-breaks refinement (numpy, deterministic).
+    """Driver-side Jenks natural-breaks refinement (pure Python,
+    deterministic, oracle-mirrorable).
 
     Seeded from quantile edges (or ``start`` boundary indices), then greedy
-    boundary hill-climb on GVF for at most ``max_search`` sweeps — the same
-    objective as the reference's shuffle loop (cdb_utils.sql:310-402,
-    maximizing SDAM − Σ class SSD ≡ minimizing Σ class SSD) with a
-    deterministic neighborhood search instead of seeded random shuffles
-    (divergence documented; the reference itself only asserts its Jenks
-    output through rounded regression goldens).  Returns (bounds, ssd).
+    first-improving boundary moves on GVF, at most ``max_search`` accepted
+    moves — the same objective as the reference's shuffle loop
+    (cdb_utils.sql:310-402, maximizing SDAM − Σ class SSD ≡ minimizing
+    Σ class SSD) with a deterministic neighborhood search instead of seeded
+    random shuffles (divergence documented; the reference itself only
+    asserts its Jenks output through rounded regression goldens).
+
+    Every float op is pinned for the DuckDB recursive-CTE oracle
+    (jenks_oracle_sql): sequential prefix sums S1/S2, per-segment SSD via
+    ``(S2[b]−S2[a]) − s·s/(b−a)``, sequential segment total, candidate scan
+    order (bi asc, −1 before +1), first improvement accepted, epsilon
+    1e-12.  One accepted move per iteration keeps the trajectory
+    replayable as one recursion step per move.  Returns (bounds, ssd).
     """
-    import numpy as np
-
-    v = np.sort(np.asarray(values, dtype=float))
+    v = sorted(float(x) for x in values)
     n = len(v)
-    bounds = list(start) if start is not None else _quantile_start(n, breaks)
+    k = breaks
+    bounds = list(start) if start is not None else _quantile_start_int(n, k)
 
-    def sdam_segments(bs):
+    s1 = [0.0]
+    s2 = [0.0]
+    for x in v:
+        s1.append(s1[-1] + x)
+        s2.append(s2[-1] + x * x)
+
+    def ssd(bs):
         edges = [0] + list(bs) + [n]
         tot = 0.0
         for a, b in zip(edges[:-1], edges[1:]):
-            seg = v[a:b]
-            if len(seg):
-                tot += ((seg - seg.mean()) ** 2).sum()
+            s = s1[b] - s1[a]
+            tot += (s2[b] - s2[a]) - s * s / (b - a)
         return tot
 
-    best = sdam_segments(bounds)
-    improved = True
+    best = ssd(bounds)
     it = 0
-    while improved and it < max_search:
-        improved = False
-        it += 1
+    while it < max_search:
+        moved = False
         for bi in range(len(bounds)):
+            if moved:
+                break
             for delta in (-1, 1):
                 cand = list(bounds)
                 cand[bi] += delta
@@ -169,9 +184,13 @@ def _gvf_jenks(values, breaks: int, *, max_search: int = 50,
                     continue
                 if cand[bi] >= (cand[bi + 1] if bi + 1 < len(cand) else n):
                     continue
-                s = sdam_segments(cand)
+                s = ssd(cand)
                 if s < best - 1e-12:
-                    best, bounds, improved = s, cand, True
+                    best, bounds, moved = s, cand, True
+                    break
+        if not moved:
+            break
+        it += 1
     return bounds, best
 
 
@@ -230,3 +249,79 @@ def jenks_bins(df: DataFrame, *, value_col: str = "value",
     return spark.createDataFrame(
         [(i + 1, e) for i, e in enumerate(edges)], "bin int, break_value double"
     )
+
+
+def jenks_oracle_sql(pts_sql: str, *, breaks: int = 5, round_dp: int = 6,
+                     max_moves: int | None = None) -> str:
+    """DuckDB mirror of ``jenks_bins(..., iterations=1)`` (quantile-seeded
+    greedy hill-climb, no random restarts) as recursive CTEs, replaying
+    `_gvf_jenks` move for move:
+
+      * ``pfx``: sequential prefix sums over the sorted value list, one
+        recursion step per element — bit-identical to the Python running
+        loop (windowed cumulative SUM is NOT: DuckDB's segment-tree
+        accumulation reorders float adds).
+      * ``climb``: one recursion step per accepted move; candidates scanned
+        in (bi asc, −1 before +1) order via ``row_number() OVER (ORDER BY
+        idx)``, first strict improvement (< best − 1e-12) accepted.
+
+    Assumes n ≥ 2·breaks with distinct quantile-seed indices (holds for
+    every driver sf; Python keeps the general dedupe/fill path).
+    ``pts_sql`` must yield a ``value`` column castable to DOUBLE.
+    """
+    k = breaks
+    cap = (f"least(greatest(2500000 // vals.n, 1), 750)"
+           if max_moves is None else str(int(max_moves)))
+    start = (f"list_transform(range(1,{k}), j -> "
+             f"greatest(least((vals.n*j + {k // 2})//{k}, vals.n-1), 1))")
+    nb = ("list_transform(c.b, (bb, j) -> bb + CASE WHEN j-1 = cd.bi "
+          "THEN cd.delta ELSE 0 END)")
+
+    def ssd(b: str) -> str:
+        hi = f"(CASE WHEN s2i={k} THEN vals.n ELSE ({b})[s2i] END)"
+        lo = f"(CASE WHEN s2i=1 THEN 0 ELSE ({b})[s2i-1] END)"
+        s = f"(pl.S1[{hi} + 1] - pl.S1[{lo} + 1])"
+        q = f"(pl.S2[{hi} + 1] - pl.S2[{lo} + 1])"
+        return (f"list_sum(list_transform(range(1,{k + 1}), s2i -> "
+                f"{q} - {s} * {s} / ({hi} - {lo})))")
+
+    valid = (f"(({nb})[cd.bi+1] > CASE WHEN cd.bi = 0 THEN 0 "
+             f"ELSE ({nb})[cd.bi] END AND "
+             f"({nb})[cd.bi+1] < CASE WHEN cd.bi = {k - 2} THEN vals.n "
+             f"ELSE ({nb})[cd.bi+2] END)")
+
+    # vals/pl MATERIALIZED: DuckDB inlines plain CTEs, so every climb
+    # iteration would otherwise re-run the n-step pfx recursion (measured
+    # 176 s -> 1.1 s at n=1500)
+    return f"""WITH RECURSIVE
+vals AS MATERIALIZED (
+         SELECT list_sort(list(CAST(value AS DOUBLE))) AS v,
+                count(*)::BIGINT AS n
+         FROM ({pts_sql}) WHERE value IS NOT NULL),
+pfx AS (
+  SELECT 0 AS i, 0.0::DOUBLE AS ps1, 0.0::DOUBLE AS ps2
+  UNION ALL
+  SELECT p.i+1, p.ps1 + v[p.i+1], p.ps2 + v[p.i+1]*v[p.i+1]
+  FROM pfx p, vals WHERE p.i < n
+),
+pl AS MATERIALIZED (
+       SELECT list(ps1 ORDER BY i) AS S1, list(ps2 ORDER BY i) AS S2
+       FROM pfx),
+cand AS (SELECT bi, delta, bi*2 + CASE WHEN delta=1 THEN 1 ELSE 0 END AS idx
+         FROM range(0,{k - 1}) cb(bi), (VALUES (-1),(1)) d(delta)),
+climb AS (
+  SELECT 0 AS it, {start} AS b, {ssd(start)} AS ssd
+  FROM vals, pl
+  UNION ALL
+  SELECT it+1, nb, nssd FROM (
+    SELECT c.it, {nb} AS nb, {ssd(nb)} AS nssd,
+           row_number() OVER (ORDER BY cd.idx) AS rn
+    FROM climb c, vals, pl, cand cd
+    WHERE {valid} AND {ssd(nb)} < c.ssd - 1e-12 AND c.it < {cap}
+  ) picked WHERE rn = 1
+),
+fin AS (SELECT b FROM climb ORDER BY it DESC LIMIT 1)
+SELECT CAST(s2i AS INT) AS bin,
+       round(CASE WHEN s2i = {k} THEN vals.v[vals.n]
+                  ELSE vals.v[fin.b[s2i]] END, {round_dp}) AS break_value
+FROM fin, vals, range(1,{k + 1}) t(s2i)"""

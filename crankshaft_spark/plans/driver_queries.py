@@ -1057,11 +1057,22 @@ def o_bins_headtails():
 
 
 def q_bins_jenks(spark, sf_dir):
+    """iterations=1 (quantile-seeded greedy only): the restart loop draws
+    from a Mersenne RNG DuckDB can't replay; the single-start hill-climb is
+    mirrored move-for-move as a recursive CTE (jenks_oracle_sql), upgrading
+    this entry from rows-only to value-hash.  Restart behavior is covered
+    by pytest (test_jenks_invert_and_iterations)."""
     from crankshaft_spark.operators.binning import jenks_bins
 
     pts = customer_points(spark, sf_dir)
-    res = jenks_bins(pts, value_col="value", breaks=5)
+    res = jenks_bins(pts, value_col="value", breaks=5, iterations=1)
     return res.select("bin", F.round("break_value", 6).alias("break_value"))
+
+
+def o_bins_jenks():
+    from crankshaft_spark.operators.binning import jenks_oracle_sql
+
+    return jenks_oracle_sql(CUSTOMER_POINTS_SQL, breaks=5, round_dp=6)
 
 
 # ------------------------------------------------------ NN interpolation ----
@@ -2147,6 +2158,7 @@ def oracle_sql() -> dict[str, str]:
         "markov": o_markov(),
         "outliers": o_outliers(),
         "bins": o_bins(),
+        "bins_jenks": o_bins_jenks(),
         "weighted_centers": o_weighted_centers(),
         "grid_density": o_grid_density(),
         "interp_nn_idw": o_interp_nn_idw(),
