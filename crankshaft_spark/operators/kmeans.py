@@ -77,11 +77,13 @@ def kmeans_spatial(
 
 
 def _assign_centers(pts: DataFrame, centers: list[tuple[float, float]],
-                    x: str = "x", y: str = "y") -> DataFrame:
+                    x: str = "x", y: str = "y",
+                    keep_d2: bool = False) -> DataFrame:
     """Nearest-center assignment as pure column algebra: array of
     (d2, center_idx) structs + array_min — lexicographic struct comparison
     gives the (distance asc, index asc) tie-break in whole-stage codegen.
-    Centers are a bounded literal list (k entries) — no join, no shuffle."""
+    Centers are a bounded literal list (k entries) — no join, no shuffle.
+    ``keep_d2`` also emits the winning squared distance as ``_d2``."""
     arr = F.array(*[
         F.struct(
             ((F.col(x) - F.lit(cx)) * (F.col(x) - F.lit(cx))
@@ -90,7 +92,11 @@ def _assign_centers(pts: DataFrame, centers: list[tuple[float, float]],
         )
         for i, (cx, cy) in enumerate(centers)
     ])
-    return pts.withColumn("cluster", F.array_min(arr)["c"])
+    out = pts.withColumn("_m", F.array_min(arr))
+    out = out.withColumn("cluster", F.col("_m")["c"])
+    if keep_d2:
+        out = out.withColumn("_d2", F.col("_m")["d2"])
+    return out.drop("_m")
 
 
 def kmeans_lloyd(
@@ -168,6 +174,144 @@ def kmeans_lloyd_oracle_sql(pts_sql: str, *, k: int, iters: int = 5) -> str:
         f"SELECT p.id, p.x, p.y, c{iters}.c, row_number() OVER ("
         f"PARTITION BY p.id ORDER BY {d2.format(t=f'c{iters}')} ASC, "
         f"c{iters}.c ASC) AS rk FROM pts p CROSS JOIN c{iters}) WHERE rk = 1"
+    )
+    return "".join(parts)
+
+
+def _portable_init_hash(seed: int, j: int):
+    """Keyed 32-bit md5 hash of (seed, restart j, row id) — the portable RNG
+    recipe (identical in DuckDB as ('0x'||substring(md5(s),1,8))::BIGINT)."""
+    s = F.concat_ws(
+        ":", F.lit("km"), F.lit(str(int(seed))), F.lit(str(int(j))),
+        F.col("id").cast("string"),
+    )
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def kmeans_lloyd_best(
+    points: DataFrame,
+    *,
+    k: int,
+    iters: int = 5,
+    n_init: int = 3,
+    seed: int = 42,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Best-of-``n_init`` deterministic Lloyd — the sklearn ``n_init``
+    selection machinery (reference kmeans.py:30) re-expressed so the whole
+    best-of loop is value-hash-checkable in DuckDB:
+
+      * restart j's init = the k points with smallest (md5(seed:j:id), id)
+        — a portable SRSWOR draw, not a Mersenne sample;
+      * each restart runs the exact-arithmetic Lloyd of ``kmeans_lloyd``
+        (integer coordinates → center means are exact in any engine);
+      * restarts are compared on fixed-point inertia
+        Σ floor(d2·1000) as BIGINT — floor of bit-identical doubles summed
+        as integers, so the winner is order-independent at any parallelism
+        (a raw double Σd2 would differ in ulps between engines/plans);
+        ties break on restart index.
+
+    Returns (id, cluster, best_init, inertia_fx).  Scale shape: per restart
+    per iteration one map-side-combined k-row aggregate; assignment is
+    codegen column math; nothing but k-row tables and one BIGINT reach the
+    driver.
+    """
+    pts = points.select(
+        F.col("id").cast("long").alias("id"),
+        F.col(x).cast("double").alias("x"),
+        F.col(y).cast("double").alias("y"),
+    ).na.drop().cache()
+    runs: list[tuple[int, int, list[tuple[float, float]]]] = []
+    for j in range(max(1, n_init)):
+        init = (
+            pts.withColumn("_h", _portable_init_hash(seed, j))
+            .orderBy("_h", "id").limit(k).collect()
+        )
+        centers = [(float(r["x"]), float(r["y"])) for r in init]
+        for _ in range(iters):
+            upd = (
+                _assign_centers(pts, centers)
+                .groupBy("cluster")
+                .agg(F.avg("x").alias("cx"), F.avg("y").alias("cy"))
+                .collect()
+            )
+            new = list(centers)
+            for r in upd:
+                new[r["cluster"]] = (float(r["cx"]), float(r["cy"]))
+            centers = new
+        fx = (
+            _assign_centers(pts, centers, keep_d2=True)
+            .agg(F.sum(F.floor(F.col("_d2") * F.lit(1000.0)).cast("long")))
+            .first()[0]
+        )
+        runs.append((int(fx), j, centers))
+    fx_best, j_best, centers_best = min(runs)
+    out = _assign_centers(pts, centers_best).select(
+        "id", "cluster",
+        F.lit(j_best).alias("best_init"),
+        F.lit(fx_best).cast("long").alias("inertia_fx"),
+    )
+    pts.unpersist()
+    return out
+
+
+def kmeans_best_oracle_sql(pts_sql: str, *, k: int, iters: int = 5,
+                           n_init: int = 3, seed: int = 42) -> str:
+    """DuckDB mirror of ``kmeans_lloyd_best``: per restart the same
+    hash-ranked init, the unrolled Lloyd of ``kmeans_lloyd_oracle_sql``,
+    and the fixed-point inertia; winner by (inertia_fx, restart)."""
+    d2 = "(p.x-{t}.cx)*(p.x-{t}.cx) + (p.y-{t}.cy)*(p.y-{t}.cy)"
+    parts = [f"WITH pts AS MATERIALIZED ({pts_sql})"]
+    finals = []
+    for j in range(max(1, n_init)):
+        hx = (f"('0x' || substring(md5(concat_ws(':', 'km', '{int(seed)}', "
+              f"'{int(j)}', CAST(id AS VARCHAR))), 1, 8))::BIGINT")
+        parts.append(
+            f", r{j}c0 AS (SELECT row_number() OVER (ORDER BY {hx}, id) - 1 "
+            f"AS c, x AS cx, y AS cy FROM pts ORDER BY {hx}, id LIMIT {k})"
+        )
+        for i in range(iters):
+            prev, an, cn = f"r{j}c{i}", f"r{j}a{i + 1}", f"r{j}c{i + 1}"
+            parts.append(
+                f", {an} AS (SELECT id, x, y, c FROM ("
+                f"SELECT p.id, p.x, p.y, {prev}.c, row_number() OVER ("
+                f"PARTITION BY p.id ORDER BY {d2.format(t=prev)} ASC, "
+                f"{prev}.c ASC) AS rk FROM pts p CROSS JOIN {prev}) "
+                f"WHERE rk = 1)"
+            )
+            parts.append(
+                f", {cn} AS (SELECT prev.c, coalesce(u.cx, prev.cx) AS cx, "
+                f"coalesce(u.cy, prev.cy) AS cy FROM {prev} prev LEFT JOIN ("
+                f"SELECT c, avg(x) AS cx, avg(y) AS cy FROM {an} GROUP BY c) "
+                f"u USING (c))"
+            )
+        fc = f"r{j}c{iters}"
+        parts.append(
+            f", r{j}fin AS (SELECT id, c, d2 FROM ("
+            f"SELECT p.id, {fc}.c, {d2.format(t=fc)} AS d2, "
+            f"row_number() OVER (PARTITION BY p.id ORDER BY "
+            f"{d2.format(t=fc)} ASC, {fc}.c ASC) AS rk "
+            f"FROM pts p CROSS JOIN {fc}) WHERE rk = 1)"
+        )
+        parts.append(
+            f", r{j}fx AS (SELECT {j} AS init, CAST("
+            f"sum(CAST(floor(d2 * 1000.0) AS BIGINT)) AS BIGINT) AS fx "
+            f"FROM r{j}fin)"
+        )
+        finals.append(j)
+    union_fx = " UNION ALL ".join(f"SELECT * FROM r{j}fx" for j in finals)
+    union_fin = " UNION ALL ".join(
+        f"SELECT {j} AS init, id, c FROM r{j}fin" for j in finals
+    )
+    parts.append(
+        f", best AS (SELECT init, fx FROM ({union_fx}) "
+        f"ORDER BY fx, init LIMIT 1)"
+    )
+    parts.append(
+        f" SELECT f.id, CAST(f.c AS INT) AS cluster, "
+        f"CAST(best.init AS INT) AS best_init, best.fx AS inertia_fx "
+        f"FROM ({union_fin}) f, best WHERE f.init = best.init"
     )
     return "".join(parts)
 

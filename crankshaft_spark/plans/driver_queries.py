@@ -1797,10 +1797,27 @@ FROM sol s JOIN uo ON uo.id = s.id JOIN xo x ON x.o = uo.o""".format(
 
 
 def q_kmeans_spatial(spark, sf_dir):
-    from crankshaft_spark.operators.kmeans import kmeans_spatial
+    """Best-of-n_init Lloyd with portable hash-ranked inits and fixed-point
+    inertia selection — the sklearn n_init machinery (kmeans.py:30) in a
+    value-hash-checkable form.  The pyspark.ml k-means|| parity instance
+    (kmeans_spatial) keeps pytest coverage: its JVM-RNG init is not
+    replayable in DuckDB."""
+    from crankshaft_spark.operators.kmeans import kmeans_lloyd_best
 
-    pts = customer_points(spark, sf_dir)
-    return kmeans_spatial(pts, k=8, n_init=2, max_iter=40)
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 9973) % 24000).cast("double").alias("x"),
+        ((F.col("c_custkey") * 7919) % 9600).cast("double").alias("y"),
+    )
+    return kmeans_lloyd_best(pts, k=KM_K, iters=KM_ITERS, n_init=3, seed=42)
+
+
+def o_kmeans_spatial():
+    from crankshaft_spark.operators.kmeans import kmeans_best_oracle_sql
+
+    return kmeans_best_oracle_sql(_KM_PTS_SQL, k=KM_K, iters=KM_ITERS,
+                                  n_init=3, seed=42)
 
 
 def q_kmeans_nonspatial(spark, sf_dir):
@@ -2142,6 +2159,7 @@ def oracle_sql() -> dict[str, str]:
         "gwr_predict": o_gwr_predict(),
         "kmeans_assign": o_kmeans_assign(),
         "kmeans_silhouette": o_kmeans_silhouette(),
+        "kmeans_spatial": o_kmeans_spatial(),
         "pia": o_pia(),
         "voronoi": o_voronoi(),
         "densify": o_densify(),
