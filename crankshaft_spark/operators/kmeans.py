@@ -179,13 +179,14 @@ def kmeans_lloyd_oracle_sql(pts_sql: str, *, k: int, iters: int = 5) -> str:
 
 
 def _portable_init_hash(seed: int, j: int):
-    """Keyed 32-bit md5 hash of (seed, restart j, row id) — the portable RNG
-    recipe (identical in DuckDB as ('0x'||substring(md5(s),1,8))::BIGINT)."""
-    s = F.concat_ws(
+    """Keyed 32-bit md5 hash of (seed, restart j, row id) — dedup's portable
+    hash column over the keyed string (one definition of the recipe)."""
+    from crankshaft_spark.operators.dedup import _h32
+
+    return _h32(F.concat_ws(
         ":", F.lit("km"), F.lit(str(int(seed))), F.lit(str(int(j))),
         F.col("id").cast("string"),
-    )
-    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    ))
 
 
 def kmeans_lloyd_best(

@@ -204,6 +204,11 @@ def moran_local_hash_sim(
 
     analytic = moran_local(values, edges, value_col=value_col)
 
+    # tolerate the same inputs the analytic path does: drop NULL values and
+    # edge sources absent from `values` (else pos[rid] KeyErrors in run())
+    values = values.where(F.col(value_col).isNotNull())
+    edges = edges.join(values.select("id"), "id", "left_semi")
+
     spark = values.sparkSession
     zrows = (
         values.select("id", F.col(value_col).cast("long")).sort("id").collect()

@@ -24,42 +24,25 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MODULES = [
-    "crankshaft_spark",
-    "crankshaft_spark.functions.cells",
-    "crankshaft_spark.functions.distance",
-    "crankshaft_spark.functions.geom",
-    "crankshaft_spark.functions.spread",
-    "crankshaft_spark.operators.ann",
-    "crankshaft_spark.operators.binning",
-    "crankshaft_spark.operators.contour",
-    "crankshaft_spark.operators.dedup",
-    "crankshaft_spark.operators.geometry",
-    "crankshaft_spark.operators.getis",
-    "crankshaft_spark.operators.gravity",
-    "crankshaft_spark.operators.grid",
-    "crankshaft_spark.operators.gwr",
-    "crankshaft_spark.operators.interpolation",
-    "crankshaft_spark.operators.kmeans",
-    "crankshaft_spark.operators.knn",
-    "crankshaft_spark.operators.markov",
-    "crankshaft_spark.operators.moran",
-    "crankshaft_spark.operators.multimodal",
-    "crankshaft_spark.operators.outliers",
-    "crankshaft_spark.operators.pip",
-    "crankshaft_spark.operators.segmentation",
-    "crankshaft_spark.operators.skew",
-    "crankshaft_spark.operators.text",
-    "crankshaft_spark.operators.weighted_mean",
-    "crankshaft_spark.operators.weights",
-    "crankshaft_spark.plans.checkpoint",
-    "crankshaft_spark.plans.pipeline",
-    "crankshaft_spark.sources.admin",
-    "crankshaft_spark.sources.derived",
-    "crankshaft_spark.sources.webpages",
-    "crankshaft_spark.streaming.ingest",
-    "crankshaft_spark.streaming.sessions",
-]
+# walked from the package so a new module can never silently escape the
+# gate; only deliberate non-API modules are excluded
+EXCLUDE = {
+    "crankshaft_spark.__main__",        # spark-submit entry, not a library
+    "crankshaft_spark.plans.driver_queries",  # round-driver catalog: its
+    # contract (queries()/oracle_sql()) is exercised by the driver itself
+}
+
+
+def _modules() -> list[str]:
+    import pkgutil
+
+    import crankshaft_spark
+
+    names = ["crankshaft_spark"]
+    for info in pkgutil.walk_packages(crankshaft_spark.__path__,
+                                      prefix="crankshaft_spark."):
+        names.append(info.name)
+    return sorted(n for n in names if n not in EXCLUDE)
 
 MANIFEST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "api_manifest.json")
@@ -67,7 +50,7 @@ MANIFEST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def snapshot() -> dict[str, str]:
     out: dict[str, str] = {}
-    for modname in MODULES:
+    for modname in _modules():
         mod = importlib.import_module(modname)
         for name, obj in sorted(vars(mod).items()):
             if name.startswith("_"):
