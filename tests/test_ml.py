@@ -157,6 +157,60 @@ def test_kmeans_lloyd_matches_numpy_and_parallelism(spark):
         assert got[rid] == lab[i], rid
 
 
+def test_kmeans_lloyd_best_matches_numpy_and_parallelism(spark):
+    """Best-of-n_init Lloyd: the winner is the restart with the smallest
+    fixed-point inertia (ties to the lowest restart index), replicated
+    directly from the documented spec; invariant to input partitioning."""
+    import hashlib
+    import math
+
+    from crankshaft_spark.operators.kmeans import kmeans_lloyd_best
+
+    k, iters, n_init, seed = 5, 3, 3, 7
+    rows = [(i, float((i * 97) % 113), float((i * 31) % 71))
+            for i in range(1, 241)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+
+    res = kmeans_lloyd_best(df, k=k, iters=iters, n_init=n_init,
+                            seed=seed).collect()
+    got = {r["id"]: r["cluster"] for r in res}
+    best_init = {r["best_init"] for r in res}
+    inertia_fx = {r["inertia_fx"] for r in res}
+    assert len(best_init) == 1 and len(inertia_fx) == 1
+    got_rep = {r["id"]: r["cluster"]
+               for r in kmeans_lloyd_best(df.repartition(13), k=k,
+                                          iters=iters, n_init=n_init,
+                                          seed=seed).collect()}
+    assert got == got_rep
+
+    pts = np.array([(x, y) for _, x, y in rows])
+    ids = [rid for rid, _, _ in rows]
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    runs = []
+    for j in range(n_init):
+        order = sorted(range(len(ids)),
+                       key=lambda i: (h32(f"km:{seed}:{j}:{ids[i]}"), ids[i]))
+        centers = pts[order[:k]].copy()
+        for _ in range(iters):
+            d2 = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+            lab = d2.argmin(axis=1)
+            for c in range(k):
+                if (lab == c).any():
+                    centers[c] = pts[lab == c].mean(axis=0)
+        d2 = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        lab = d2.argmin(axis=1)
+        fx = sum(int(math.floor(v * 1000.0)) for v in d2.min(axis=1))
+        runs.append((fx, j, lab))
+    fx_best, j_best, lab_best = min(runs, key=lambda t: (t[0], t[1]))
+    assert best_init == {j_best}
+    assert inertia_fx == {fx_best}
+    for i, rid in enumerate(ids):
+        assert got[rid] == lab_best[i], rid
+
+
 def test_segmentation_array_overload(spark):
     from crankshaft_spark.operators.segmentation import (
         create_and_predict_segment_arrays,
