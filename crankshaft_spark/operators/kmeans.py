@@ -223,32 +223,64 @@ def kmeans_lloyd_best(
         F.col(x).cast("double").alias("x"),
         F.col(y).cast("double").alias("y"),
     ).na.drop().cache()
-    runs: list[tuple[int, int, list[tuple[float, float]]]] = []
-    for j in range(max(1, n_init)):
+    n_init = max(1, n_init)
+
+    def stacked(keep_d2: bool = False) -> DataFrame:
+        # one row per (point, restart): (j, cluster[, _d2]) from restart j's
+        # current centers — all restarts advance in a SINGLE Spark job per
+        # iteration instead of one driver-sequential job each (the avg/sum
+        # aggregates are exact integer arithmetic, so stacking cannot
+        # change a single center or inertia bit)
+        arrs = []
+        for j in range(n_init):
+            m = F.array_min(F.array(*[
+                F.struct(
+                    ((F.col("x") - F.lit(cx)) * (F.col("x") - F.lit(cx))
+                     + (F.col("y") - F.lit(cy)) * (F.col("y") - F.lit(cy))
+                     ).alias("d2"),
+                    F.lit(c).alias("c"),
+                )
+                for c, (cx, cy) in enumerate(centers[j])
+            ]))
+            fields = [F.lit(j).alias("j"), m["c"].alias("cluster")]
+            if keep_d2:
+                fields.append(m["d2"].alias("_d2"))
+            arrs.append(F.struct(*fields))
+        return pts.select(
+            "id", "x", "y", F.explode(F.array(*arrs)).alias("_s")
+        ).select("id", "x", "y", "_s.*")
+
+    # per-restart hash-ranked init: orderBy+limit is TakeOrderedAndProject
+    # (never a global-sort single reducer); n_init k-row jobs
+    centers: list[list[tuple[float, float]]] = []
+    for j in range(n_init):
         init = (
             pts.withColumn("_h", _portable_init_hash(seed, j))
             .orderBy("_h", "id").limit(k).collect()
         )
-        centers = [(float(r["x"]), float(r["y"])) for r in init]
-        for _ in range(iters):
-            upd = (
-                _assign_centers(pts, centers)
-                .groupBy("cluster")
-                .agg(F.avg("x").alias("cx"), F.avg("y").alias("cy"))
-                .collect()
-            )
-            new = list(centers)
-            for r in upd:
-                new[r["cluster"]] = (float(r["cx"]), float(r["cy"]))
-            centers = new
-        fx = (
-            _assign_centers(pts, centers, keep_d2=True)
-            .agg(F.sum(F.floor(F.col("_d2") * F.lit(1000.0)).cast("long")))
-            .first()[0]
+        centers.append([(float(r["x"]), float(r["y"])) for r in init])
+
+    for _ in range(iters):
+        upd = (
+            stacked()
+            .groupBy("j", "cluster")
+            .agg(F.avg("x").alias("cx"), F.avg("y").alias("cy"))
+            .collect()
         )
-        runs.append((int(fx), j, centers))
-    fx_best, j_best, centers_best = min(runs)
-    out = _assign_centers(pts, centers_best).select(
+        new = [list(c) for c in centers]
+        for r in upd:
+            new[r["j"]][r["cluster"]] = (float(r["cx"]), float(r["cy"]))
+        centers = new
+    fxs = {
+        r["j"]: int(r["fx"])
+        for r in stacked(keep_d2=True)
+        .groupBy("j")
+        .agg(F.sum(F.floor(F.col("_d2") * F.lit(1000.0)).cast("long"))
+             .alias("fx"))
+        .collect()
+    }
+    fx_best, j_best = min((fxs[j], j) for j in range(n_init))
+    out = _assign_centers(pts, centers[j_best]).select(
         "id", "cluster",
         F.lit(j_best).alias("best_init"),
         F.lit(fx_best).cast("long").alias("inertia_fx"),
