@@ -140,6 +140,10 @@ def contour_cells(
     # between engines/parallelism levels (same rationale as markov lag_round)
     est = est.withColumn("est", F.round("est", 6))
     cells = centers.join(est, "id").where(~F.isnan("est") & F.col("est").isNotNull())
+    # the interpolation join feeds BOTH the break computation (1-2 actions
+    # inside the classifier) and the final classification scan — persist it
+    # or the whole grid+kNN-join DAG re-executes per consumer
+    cells = cells.persist()
     breaks_df = _CLASSIFIERS[classmethod](cells, value_col="est", breaks=steps)
     return classify_bins(cells, breaks_df, value_col="est")
 
