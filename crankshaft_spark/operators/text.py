@@ -41,24 +41,25 @@ def occurrences_sql(expr: str, pat: str) -> str:
     )
 
 
-def token_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_tokens, n_alpha_chars, avg_token_len) via whitespace
-    counting — the scale-safe token estimator (no split materialization)."""
+def _token_stat_cols(text_col: str):
     t = F.col(text_col)
     n_spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
     n_tokens = n_spaces + 1
     n_alpha = F.length(F.replace(t, F.lit(" "), F.lit("")))
-    return docs.select(
-        "doc_id",
+    return [
         n_tokens.cast("long").alias("n_tokens"),
         n_alpha.cast("long").alias("n_alpha_chars"),
         F.round(n_alpha.cast("double") / n_tokens, 6).alias("avg_token_len"),
-    )
+    ]
 
 
-def quality_score(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_chars, stopword_ratio, space_ratio, quality) — simple
-    length/stopword/whitespace heuristics for corpus filtering."""
+def token_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_alpha_chars, avg_token_len) via whitespace
+    counting — the scale-safe token estimator (no split materialization)."""
+    return docs.select("doc_id", *_token_stat_cols(text_col))
+
+
+def _quality_cols(text_col: str):
     t = F.lower(F.col(text_col))
     n_chars = F.length(t)
     n_spaces = n_chars - F.length(F.replace(t, F.lit(" "), F.lit("")))
@@ -76,30 +77,39 @@ def quality_score(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
             * F.least(F.lit(1.0), n_chars.cast("double") / 200.0)
         )
     )
-    return docs.select(
-        "doc_id",
+    return [
         n_chars.cast("long").alias("n_chars"),
         F.round(stopword_ratio, 6).alias("stopword_ratio"),
         F.round(space_ratio, 6).alias("space_ratio"),
         F.round(quality, 6).alias("quality"),
-    )
+    ]
+
+
+def quality_score(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, stopword_ratio, space_ratio, quality) — simple
+    length/stopword/whitespace heuristics for corpus filtering."""
+    return docs.select("doc_id", *_quality_cols(text_col))
+
+
+def _lang_cols(text_col: str):
+    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    cols = {}
+    for lang, words in LANG_MARKERS.items():
+        cols[lang] = sum((_occurrences(t, w) for w in words), F.lit(0.0))
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[cols[lang] for lang in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(cols[lang] == best, F.lit(lang)).otherwise(pred)
+    return [cols[lang].alias(f"score_{lang}") for lang in langs] + [
+        pred.alias("predicted_lang")
+    ]
 
 
 def lang_scores(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """(doc_id, score_<lang>… , predicted_lang) — n-gram/stopword counting
     language ID with a deterministic first-max tie-break."""
-    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
-    cols = {}
-    for lang, words in LANG_MARKERS.items():
-        cols[lang] = sum((_occurrences(t, w) for w in words), F.lit(0.0))
-    score_cols = [cols[lang].alias(f"score_{lang}") for lang in LANG_MARKERS]
-    out = docs.select("doc_id", *score_cols)
-    langs = list(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    pred = F.lit(None).cast("string")
-    for lang in reversed(langs):
-        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
-    return out.withColumn("predicted_lang", pred)
+    return docs.select("doc_id", *_lang_cols(text_col))
 
 
 def dedup_exact(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
@@ -241,16 +251,36 @@ def bpe_token_stats(docs: DataFrame, *, text_col: str = "text",
     regex' token counting; token_stats covers the whitespace half).  The
     three classes are disjoint, so n_bpe_tokens is their sum.  Pure JVM
     regexp_count — codegen, no shuffle."""
+    return docs.select(F.col(id_col), *_bpe_cols(text_col))
+
+
+def _bpe_cols(text_col: str):
     t = F.col(text_col)
     words = F.regexp_count(t, F.lit(BPE_WORD))
     numbers = F.regexp_count(t, F.lit(BPE_NUMBER))
     marks = F.regexp_count(t, F.lit(BPE_MARK))
-    return docs.select(
-        F.col(id_col),
+    return [
         words.cast("long").alias("n_words"),
         numbers.cast("long").alias("n_numbers"),
         marks.cast("long").alias("n_marks"),
         (words + numbers + marks).cast("long").alias("n_bpe_tokens"),
+    ]
+
+
+def text_profile(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Single-scan corpus profile: token_stats + bpe_token_stats +
+    quality_score + lang_scores columns in ONE projection over the text
+    table — no joins, one pass.  At 10^12 rows the joined composition
+    re-scans the (string-heavy) table four times and shuffles three
+    doc_id joins; this is the shape a profiling sweep should use.  Each
+    expression is the standalone operator's own column builder, so values
+    are identical to the per-op outputs."""
+    return docs.select(
+        "doc_id",
+        *_token_stat_cols(text_col),
+        *_bpe_cols(text_col),
+        *_quality_cols(text_col),
+        *_lang_cols(text_col),
     )
 
 

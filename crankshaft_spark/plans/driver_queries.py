@@ -2060,18 +2060,12 @@ def o_interp_nn_idw():
 
 def q_text_stats(spark, sf_dir):
     """Whitespace token stats + BPE-ish regex token counts + quality score
-    + language-ID n-gram scores, one wide row per document (all four text
-    operators, joined on doc_id; every column is the standalone operator's
-    output)."""
-    from crankshaft_spark.operators.text import bpe_token_stats, quality_score
+    + language-ID n-gram scores, one wide row per document — text_profile's
+    single-scan projection (no doc_id joins; every column is the standalone
+    operator's own builder)."""
+    from crankshaft_spark.operators.text import text_profile
 
-    docs = _docs(spark, sf_dir)
-    return (
-        token_stats(docs)
-        .join(bpe_token_stats(docs), "doc_id")
-        .join(quality_score(docs), "doc_id")
-        .join(lang_scores(docs), "doc_id")
-    )
+    return text_profile(_docs(spark, sf_dir))
 
 
 def o_text_stats():
