@@ -101,6 +101,7 @@ def contour_cells(
     steps: int = 5,
     buffer_frac: float = 0.2,
     num_neighbors: int = 8,
+    persist: bool = True,
 ) -> DataFrame:
     """Cell-level contour frame → (id, cx, cy, x, y, est, bin)."""
     ext = samples.agg(
@@ -142,8 +143,12 @@ def contour_cells(
     cells = centers.join(est, "id").where(~F.isnan("est") & F.col("est").isNotNull())
     # the interpolation join feeds BOTH the break computation (1-2 actions
     # inside the classifier) and the final classification scan — persist it
-    # or the whole grid+kNN-join DAG re-executes per consumer
-    cells = cells.persist()
+    # or the whole grid+kNN-join DAG re-executes per consumer.  The pin
+    # outlives this call (the returned plan reads it); callers doing many
+    # contour sweeps in one session should unpersist via
+    # ``spark.catalog.clearCache()`` or pass persist=False
+    if persist:
+        cells = cells.persist()
     breaks_df = _CLASSIFIERS[classmethod](cells, value_col="est", breaks=steps)
     return classify_bins(cells, breaks_df, value_col="est")
 

@@ -258,6 +258,11 @@ def kmeans_lloyd_best(
             pts.withColumn("_h", _portable_init_hash(seed, j))
             .orderBy("_h", "id").limit(k).collect()
         )
+        if not init:
+            pts.unpersist()
+            raise ValueError(
+                "kmeans_lloyd_best: no rows with non-null coordinates"
+            )
         centers.append([(float(r["x"]), float(r["y"])) for r in init])
 
     for _ in range(iters):
