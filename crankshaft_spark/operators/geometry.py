@@ -853,10 +853,17 @@ def overlap_sum(
         F.col(value_col).alias("_v"),
         F.explode(_bbox_cells("xs", "ys", cell_size)).alias("_cell"),
     )
-    pairs = (
+    # pin the refine parallelism: the candidate-pair shuffle is a few MB of
+    # vertex arrays, so AQE's byte-based coalescing lands every pair in ONE
+    # task and the Python clip runs serially (measured 4.0 -> 1.9 s at
+    # sf0.1 on local[32]; same trap as functions/spread.spread_groups)
+    from crankshaft_spark.functions.spread import spread_groups
+
+    pairs = spread_groups(
         q.join(t, "_cell")
         .select("qid", "qxs", "qys", "tid", "txs", "tys", "_v")
-        .dropDuplicates(["qid", "tid"])
+        .dropDuplicates(["qid", "tid"]),
+        "qid", "tid",
     )
 
     schema = "qid long, part double"
