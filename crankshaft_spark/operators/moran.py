@@ -166,7 +166,14 @@ def _local_permutation_p(
                 out_p[row_i] = (larger + 1.0) / (permutations + 1.0)
             yield pd.DataFrame({"id": pdf["id"], "significance": out_p})
 
-    withdeg = base.join(deg, "id").select("id", "_deg", "_ws", "local_i")
+    # pin parallelism: the per-row work is O(permutations·n) numpy but the
+    # input is a few KB, so AQE's byte-based coalescing would run the whole
+    # permutation stage in one task (functions/spread rationale)
+    from crankshaft_spark.functions.spread import spread_groups
+
+    withdeg = spread_groups(
+        base.join(deg, "id").select("id", "_deg", "_ws", "local_i"), "id"
+    )
     p = withdeg.mapInPandas(compute, schema=schema)
     return base.join(p, "id")
 
@@ -261,7 +268,12 @@ def moran_local_hash_sim(
                 out.append((rid, (folded + 1.0) / (permutations + 1.0)))
             yield pd.DataFrame(out, columns=["id", "p_sim"])
 
-    p = nbr_stats.select("id", "_deg", "_nbrsum").mapInPandas(run, schema)
+    # same AQE pin as _local_permutation_p: tiny bytes, heavy per-row numpy
+    from crankshaft_spark.functions.spread import spread_groups
+
+    p = spread_groups(
+        nbr_stats.select("id", "_deg", "_nbrsum"), "id"
+    ).mapInPandas(run, schema)
     return analytic.join(p, "id").select(
         "id", "quad", "local_i", "p_sim"
     )
