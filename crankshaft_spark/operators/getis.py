@@ -231,10 +231,16 @@ def getis_gstar_sim(
                 out, columns=["id", "_y", "_deg", "_nbrsum", "_larger",
                               "_ssum", "_s2sum"])
 
-    base = (
+    # spread_groups: tiny-bytes input, O(permutations·n) per-row numpy —
+    # without the pin AQE coalesces the whole permutation stage to one task
+    # (same trap as the moran sim paths / overlap refine)
+    from crankshaft_spark.functions.spread import spread_groups
+
+    base = spread_groups(
         values.select("id", F.col(value_col).cast("double").alias("_y"))
         .join(nbr_stats, "id")
-        .select("id", "_y", "_deg", "_nbrsum")
+        .select("id", "_y", "_deg", "_nbrsum"),
+        "id",
     )
     # per feeds BOTH the pooled moments and the final join — without the
     # persist the O(n·permutations)-per-row mapInPandas stage executes
