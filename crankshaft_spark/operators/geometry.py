@@ -114,7 +114,13 @@ def pia(polys: DataFrame, *, tolerance: float = 1e-6) -> DataFrame:
                 rows.append((int(pid), x, y, d))
             yield pd.DataFrame(rows, columns=["poly_id", "x", "y", "dist"])
 
-    return polys.select("poly_id", "xs", "ys").mapInPandas(run, schema=schema)
+    # per-polygon quadtree refinement is CPU-heavy and the polygon table is
+    # tiny bytes — pin the stage's parallelism (per-row-local, order-free)
+    from crankshaft_spark.functions.spread import spread_groups
+
+    return spread_groups(
+        polys.select("poly_id", "xs", "ys"), "poly_id"
+    ).mapInPandas(run, schema=schema)
 
 
 def pia_oracle_sql(

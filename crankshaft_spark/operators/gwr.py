@@ -452,7 +452,12 @@ def _fit_groups(grouped: DataFrame, kdim: int, want_hat: bool,
                 "tss": tss,
             })
 
-    return stats.mapInPandas(solve, schema=schema)
+    # pin parallelism: the moment table is n rows of small arrays (tiny
+    # bytes), so AQE would coalesce the batched-solve stage onto one core;
+    # the solve is per-row-local, so repartitioning cannot change results
+    from crankshaft_spark.functions.spread import spread_groups
+
+    return spread_groups(stats, "id").mapInPandas(solve, schema=schema)
 
 
 def _dep_mean(data: DataFrame, dep_var: str) -> float:
