@@ -42,6 +42,26 @@ def session_conf(builder: SparkSession.Builder, shuffle_partitions: int = 32,
     )
 
 
+def _quiet_window_warnings(spark: SparkSession) -> None:
+    """Silence WindowExec's "No Partition Defined" log spam.
+
+    Every empty-partition window in this engine runs over a documented
+    bounded set (the k-row ANN rerank, the sub-5M Jenks/quantile rank with
+    the reference's own bailout above it, the guarded GWR predict ids) —
+    the warning fires per task and floods driver logs.  Spark 4
+    constant-folds a ``partitionBy(lit(1))`` key away, so the logger level
+    is the only lever.  Unbounded single-reducer plans are still policed
+    by the tools/explain.py audit (CLAUDE.md round-1 lesson)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # cosmetic only — never fail session creation over logging
+
+
 def get_session(
     master: str = "local[*]",
     app_name: str = "crankshaft_spark",
@@ -49,4 +69,6 @@ def get_session(
 ) -> SparkSession:
     """Create (or reuse) a SparkSession with engine defaults."""
     builder = SparkSession.builder.master(master).appName(app_name)
-    return session_conf(builder, shuffle_partitions).getOrCreate()
+    spark = session_conf(builder, shuffle_partitions).getOrCreate()
+    _quiet_window_warnings(spark)
+    return spark
