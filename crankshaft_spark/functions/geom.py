@@ -300,16 +300,22 @@ def voronoi_cells(pts: np.ndarray, bound: np.ndarray) -> list[np.ndarray]:
     """
     cells = []
     for i, p in enumerate(pts):
-        d = np.hypot(pts[:, 0] - p[0], pts[:, 1] - p[1])
-        # stable: ties in d resolve by input position, so the clip sequence
-        # (and hence the float vertex arithmetic) is reproducible
-        order = np.argsort(d, kind="stable")
+        # squared distance, (q-p) operand order — the DuckDB oracle sorts
+        # and break-tests on this exact expression (no np.hypot: its
+        # scaled rounding can tie/invert where d2 doesn't, changing the
+        # clip sequence — CLAUDE.md float rule)
+        dx = pts[:, 0] - p[0]
+        dy = pts[:, 1] - p[1]
+        d2 = dx * dx + dy * dy
+        # stable: ties in d2 resolve by input position, so the clip
+        # sequence (and hence the float vertex arithmetic) is reproducible
+        order = np.argsort(d2, kind="stable")
         cell = bound
         for j in order:
             if j == i or len(cell) == 0:
                 continue
             r2 = ((cell[:, 0] - p[0]) ** 2 + (cell[:, 1] - p[1]) ** 2).max()
-            if d[j] * d[j] > 4.0 * r2:
+            if d2[j] > 4.0 * r2:
                 break
             q = pts[j]
             # keep points closer to p than q: (q-p)·x <= (q-p)·(p+q)/2

@@ -325,10 +325,11 @@ def voronoi_oracle_sql(points_sql: str, *, buffer_frac: float = 0.5) -> str:
       step itself a pure list expression (flatten/list_transform), with
       the operator's security-radius early stop (d² > 4·max-vertex-d²).
 
-    Only the break test deviates from numpy bit-for-bit (np.hypot² vs
-    x²+y², ≤1 ulp): a flip requires an exactly-tangent bisector, which
-    changes the vertex list only by zero-area slivers — invisible in the
-    6dp-rounded area.  ``points_sql`` must yield (grp, id, x, y).
+    The neighbor ordering AND the security-radius break test both use the
+    identical squared-distance expression as the Python kernel (voronoi_
+    cells sorts/breaks on dx·dx + dy·dy, (q−p) operand order) — no hypot
+    anywhere, so the clip sequences match bit-for-bit.  ``points_sql``
+    must yield (grp, id, x, y).
     """
     sp = "struct_pack(x := {x}, y := {y})"
     # monotone-chain pop test: np.cross(st[-1]-st[-2], q-st[-2]) <= 0

@@ -145,9 +145,19 @@ def getis_gstar_sim(
     value_col: str = "value",
     permutations: int = 99,
     seed: int = 1234,
+    persist: bool = True,
     persist_registry: list | None = None,
 ) -> DataFrame:
     """Distributed conditional-randomization Gi* → (id, gs, z_sim, p_sim).
+
+    The per-row permutation table is persisted by default (it feeds both
+    the pooled moments and the final join — without the cache the
+    O(n·permutations) mapInPandas stage executes twice per action).  The
+    pinned table is bounded (n rows × 7 columns) but lives until the
+    session clears it: repeated calls in one session should collect the
+    handle via ``persist_registry`` and unpersist it, clear with
+    ``spark.catalog.clearCache()``, or pass ``persist=False`` (the
+    contour_cells convention).
 
     Distributed permutation inference (replaces the driver-serial PySAL
     replica): the value vector is broadcast once; each row's ``permutations``
@@ -178,6 +188,13 @@ def getis_gstar_sim(
     """
     import numpy as np
     import pandas as pd
+
+    # tolerate the same inputs the analytic path does: drop NULL values and
+    # edge sources absent from `values` (else a None reaches np.array →
+    # NaN poisons every permutation sum, or pos[rid] KeyErrors in run())
+    # — mirrors moran_local_hash_sim
+    values = values.where(F.col(value_col).isNotNull())
+    edges = edges.join(values.select("id"), "id", "left_semi")
 
     spark = values.sparkSession
     nbr_stats = (
@@ -245,9 +262,11 @@ def getis_gstar_sim(
     # per feeds BOTH the pooled moments and the final join — without the
     # persist the O(n·permutations)-per-row mapInPandas stage executes
     # twice per action (n bounded rows cached, 7 columns)
-    per = base.mapInPandas(run, schema=schema).persist()
-    if persist_registry is not None:
-        persist_registry.append(per)
+    per = base.mapInPandas(run, schema=schema)
+    if persist:
+        per = per.persist()
+        if persist_registry is not None:
+            persist_registry.append(per)
     tot = values.agg(F.sum(F.col(value_col).cast("double")).alias("_ysum"),
                      F.count("*").alias("_n"))
     denom = (F.col("_deg") + 1) * F.col("_ysum")
@@ -284,7 +303,6 @@ def getis_sim_oracle_sql(
     *,
     permutations: int = 19,
     seed: int = 1234,
-    k_norm: float = 5.0,
 ) -> str:
     """DuckDB mirror of ``getis_gstar_sim``: same keyed-linear-hash SRSWOR
     (rank (A·g+B) mod P, take deg smallest, tie-break by id), same folded

@@ -76,23 +76,33 @@ def kmeans_spatial(
     )
 
 
-def _assign_centers(pts: DataFrame, centers: list[tuple[float, float]],
-                    x: str = "x", y: str = "y",
-                    keep_d2: bool = False) -> DataFrame:
-    """Nearest-center assignment as pure column algebra: array of
-    (d2, center_idx) structs + array_min — lexicographic struct comparison
-    gives the (distance asc, index asc) tie-break in whole-stage codegen.
-    Centers are a bounded literal list (k entries) — no join, no shuffle.
-    ``keep_d2`` also emits the winning squared distance as ``_d2``."""
-    arr = F.array(*[
+def _nearest_center_expr(centers: list[tuple[float, float]],
+                         x: str = "x", y: str = "y"):
+    """array_min over (d2, center_idx) structs → the winning (d2, c) pair.
+
+    Lexicographic struct comparison gives the (distance asc, index asc)
+    tie-break in whole-stage codegen.  The DuckDB kmeans oracles mirror
+    this exact operand order bit-for-bit, so the expression must exist in
+    exactly ONE place — both _assign_centers and kmeans_lloyd_best's
+    stacked restarts build from here."""
+    return F.array_min(F.array(*[
         F.struct(
             ((F.col(x) - F.lit(cx)) * (F.col(x) - F.lit(cx))
              + (F.col(y) - F.lit(cy)) * (F.col(y) - F.lit(cy))).alias("d2"),
             F.lit(i).alias("c"),
         )
         for i, (cx, cy) in enumerate(centers)
-    ])
-    out = pts.withColumn("_m", F.array_min(arr))
+    ]))
+
+
+def _assign_centers(pts: DataFrame, centers: list[tuple[float, float]],
+                    x: str = "x", y: str = "y",
+                    keep_d2: bool = False) -> DataFrame:
+    """Nearest-center assignment as pure column algebra (see
+    _nearest_center_expr).  Centers are a bounded literal list (k entries)
+    — no join, no shuffle.  ``keep_d2`` also emits the winning squared
+    distance as ``_d2``."""
+    out = pts.withColumn("_m", _nearest_center_expr(centers, x, y))
     out = out.withColumn("cluster", F.col("_m")["c"])
     if keep_d2:
         out = out.withColumn("_d2", F.col("_m")["d2"])
@@ -233,15 +243,7 @@ def kmeans_lloyd_best(
         # change a single center or inertia bit)
         arrs = []
         for j in range(n_init):
-            m = F.array_min(F.array(*[
-                F.struct(
-                    ((F.col("x") - F.lit(cx)) * (F.col("x") - F.lit(cx))
-                     + (F.col("y") - F.lit(cy)) * (F.col("y") - F.lit(cy))
-                     ).alias("d2"),
-                    F.lit(c).alias("c"),
-                )
-                for c, (cx, cy) in enumerate(centers[j])
-            ]))
+            m = _nearest_center_expr(centers[j])
             fields = [F.lit(j).alias("j"), m["c"].alias("cluster")]
             if keep_d2:
                 fields.append(m["d2"].alias("_d2"))

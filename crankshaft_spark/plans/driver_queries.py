@@ -1993,8 +1993,8 @@ def o_outliers():
 
 def q_bins(spark, sf_dir):
     """Equal-interval + quantile + heads/tails bin breaks unioned with a
-    method marker (Jenks stays a separate rows-only entry — its GVF
-    hill-climb is not SQL-expressible)."""
+    method marker (Jenks stays a separate entry, bins_jenks — value-hash
+    oracled via the move-replay recursive CTE since r3)."""
     from crankshaft_spark.operators.binning import headtails_bins
 
     pts = customer_points(spark, sf_dir)
