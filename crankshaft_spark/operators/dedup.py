@@ -187,6 +187,42 @@ def simhash(
     return sums.select(id_col, sim.cast("long").alias("simhash"))
 
 
+def simhash_expr(text, *, n: int = 4):
+    """Per-row 32-bit SimHash column — bit-identical to ``simhash`` (the
+    grouped form) for any text of length >= ``n``; NULL below that (where
+    the grouped form emits no row at all).
+
+    Map-side only: the distinct shingle set is an array column
+    (array_distinct over transform/sequence — the same substring walk as
+    ``text.shingles``), each bit's +1/−1 majority vote a filter-count over
+    the per-shingle h32 array.  No explode, no shuffle, no state — which is
+    what lets Structured Streaming dedup on the signature with nothing but
+    the dropDuplicatesWithinWatermark key store (streaming/dedup.py).
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    shs = F.array_distinct(F.transform(
+        # greatest guard: same DESCENDING-sequence trap as text.shingles
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
+        lambda i: F.substring(t, i.cast("int"), n),
+    ))
+    hxs = F.transform(shs, lambda s: _h32(s))
+    n_sh = F.size(hxs)
+    # bit i set iff set-bit count strictly beats the clear-bit count:
+    # 2*count_set > n_shingles  ⟺  sum(+1/−1) > 0 in the grouped form
+    def bit_votes(mask):
+        # single-arg lambda: a 2-arg one would receive the ARRAY INDEX as
+        # its second parameter, shadowing any captured loop variable
+        return F.size(F.filter(
+            hxs, lambda x: x.bitwiseAND(F.lit(mask)) != 0))
+
+    sim = sum(
+        (F.when(bit_votes(1 << i) * 2 > n_sh, F.lit(2 ** i)).otherwise(0)
+         for i in range(SIMHASH_BITS)),
+        F.lit(0).cast("long"),
+    )
+    return F.when(F.length(t) >= n, sim.cast("long"))
+
+
 def simhash_pairs(
     docs: DataFrame, *, text_col: str = "text", n: int = 4,
     max_hamming: int = 6, id_col: str = "doc_id",

@@ -241,3 +241,107 @@ def test_sessionize_batch_known_sessions(spark):
         (1, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1),
         (2, "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1),
     ]
+
+
+def test_simhash_expr_matches_grouped_simhash(spark):
+    """Per-row simhash_expr must be bit-identical to the grouped batch
+    simhash on real document text — and NULL exactly where the grouped
+    form drops the doc (text shorter than the shingle width)."""
+    from crankshaft_spark.operators.dedup import simhash, simhash_expr
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").limit(200)
+    )
+    docs = docs.union(spark.createDataFrame(
+        [(90001, "abc"), (90002, ""), (90003, "abcd")],
+        "doc_id long, text string",
+    ))
+    per_row = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", simhash_expr("text").alias("sh")).collect()
+    }
+    grouped = {
+        r["doc_id"]: r["simhash"] for r in simhash(docs).collect()
+    }
+    assert per_row[90001] is None and per_row[90002] is None
+    for did, sh in grouped.items():
+        assert per_row[did] == sh, did
+    assert len(grouped) == len([v for v in per_row.values() if v is not None])
+
+
+def test_stream_dedup_replay(spark, tmp_path):
+    """Three micro-batches of crawl rows with exact re-crawls and a
+    one-char-edit near-duplicate: exact dedup keeps first occurrences and
+    the edited page; near dedup (signature-identical) drops the edit too
+    when its shingle majority votes are unchanged."""
+    import datetime as dt
+    import os
+
+    from crankshaft_spark.operators.dedup import simhash_expr
+    from crankshaft_spark.streaming.dedup import (
+        stream_dedup_exact,
+        stream_dedup_near,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    body = "the quick brown fox jumps over the lazy dog " * 8
+    # an edit that flips no 32-bit majority vote: duplicate one shingle
+    # window (distinct-set unchanged except a handful of boundary shingles)
+    near = body + "the quick brown fox"
+    rows_by_batch = [
+        [(1, "u1", base, body), (2, "u2", base + dt.timedelta(minutes=1),
+                                 "completely different page body " * 10)],
+        [(3, "u1", base + dt.timedelta(minutes=5), body)],   # exact re-crawl
+        [(4, "u3", base + dt.timedelta(minutes=8), near),    # near re-crawl
+         (5, "u4", base + dt.timedelta(minutes=9), "third distinct text " * 9)],
+    ]
+    schema = "page_id long, url string, warc_ts timestamp, text string"
+
+    # only meaningful if the near-edit really is signature-identical
+    sigs = {
+        r["page_id"]: r["sh"]
+        for r in spark.createDataFrame(
+            [r for b in rows_by_batch for r in b], schema
+        ).select("page_id", simhash_expr("text").alias("sh")).collect()
+    }
+    assert sigs[1] == sigs[4] and sigs[1] != sigs[2]
+
+    src = str(tmp_path / "crawl")
+    os.makedirs(src)
+    for i, chunk in enumerate(rows_by_batch):
+        scratch = str(tmp_path / f"scratch{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(scratch)
+        part = next(f for f in os.listdir(scratch)
+                    if f.startswith("part-") and f.endswith(".parquet"))
+        dst = f"{src}/batch{i}.parquet"
+        os.rename(os.path.join(scratch, part), dst)
+        os.utime(dst, (1e9 + i, 1e9 + i))
+
+    def run(op, name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            op(stream)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {r["page_id"] for r in spark.sql(
+            f"SELECT page_id FROM {name}").collect()}
+
+    exact = run(lambda s: stream_dedup_exact(s, watermark="1 hour"),
+                "dedup_exact_stream")
+    assert exact == {1, 2, 4, 5}    # page 3 = exact re-crawl, dropped
+    near_ids = run(lambda s: stream_dedup_near(s, watermark="1 hour"),
+                   "dedup_near_stream")
+    assert near_ids == {1, 2, 5}    # page 4's signature matches page 1
+
+    # batch fallback: same operators on a plain DataFrame
+    all_rows = spark.createDataFrame(
+        [r for b in rows_by_batch for r in b], schema)
+    assert stream_dedup_exact(all_rows, watermark="1 hour").count() == 4
+    assert stream_dedup_near(all_rows, watermark="1 hour").count() == 3
