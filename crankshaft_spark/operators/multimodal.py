@@ -10,8 +10,12 @@ Two decode paths:
   over RNG payloads — the lightweight plumbing-test path.
 * ``decoder="real"``: pure-stdlib codecs for REAL container formats —
   PNG (signature/IHDR/IDAT chunk walk, CRC32 check, zlib inflate, full
-  five-filter scanline reconstruction incl. Paeth) and WAV (RIFF chunk
-  walk, PCM16).  No PIL/ffmpeg in this environment, so video has no
+  five-filter scanline reconstruction incl. Paeth), WAV (RIFF chunk
+  walk, PCM16), and uncompressed 8-bit BMP (full pixel decode), plus
+  header-only JPEG (SOF marker walk) and GIF (logical screen descriptor)
+  dimension parsing — entropy/LZW payloads have no stdlib inflater, so
+  those two report real dims with a NULL ``payload_sum`` instead of a
+  fake checksum.  No PIL/ffmpeg in this environment, so video has no
   stdlib container; video rows fall back to the CSMM header.  The decoded
   pixel/sample values feed a ``payload_sum`` checksum column so the
   DuckDB oracle verifies the actual byte-level decode, not just schema
@@ -164,6 +168,94 @@ def png_decode(blob: bytes):
     return w, h, px.astype(np.uint8)
 
 
+# ------------------------------------------- stdlib BMP / JPEG / GIF --------
+# BMP gets a full pixel decode (uncompressed 8-bit indexed with a grayscale
+# palette — the single-channel training-feature profile, same as the PNG
+# path).  JPEG and GIF are header-only: their pixel payloads are entropy /
+# LZW coded, which no stdlib module inflates, so the decoder yields real
+# dimensions with a NULL payload_sum rather than pretending to decode.
+
+def bmp_encode(pixels: np.ndarray) -> bytes:
+    """8-bit indexed BMP (BITMAPINFOHEADER, identity grayscale palette,
+    BI_RGB) from an (h, w) uint8 array — bottom-up rows, 4-byte stride."""
+    h, w = pixels.shape
+    stride = (w + 3) & ~3
+    palette = b"".join(struct.pack("<BBBB", g, g, g, 0) for g in range(256))
+    data = bytearray()
+    for r in range(h - 1, -1, -1):            # BMP stores rows bottom-up
+        data.extend(pixels[r].astype(np.uint8).tobytes())
+        data.extend(b"\x00" * (stride - w))
+    off = 14 + 40 + len(palette)
+    header = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(data),
+                       2835, 2835, 256, 0)
+    return header + info + palette + bytes(data)
+
+
+def bmp_decode(blob: bytes):
+    """(w, h, pixels) from an uncompressed 8-bit BITMAPINFOHEADER BMP with
+    a grayscale palette, else None (palette-mapped values ARE the decoded
+    payload, so non-gray palettes are out of this profile)."""
+    if blob is None or len(blob) < 54 or blob[:2] != b"BM":
+        return None
+    try:
+        (off,) = struct.unpack("<I", blob[10:14])
+        size, w, h, planes, bpp, comp = struct.unpack("<IiiHHI", blob[14:34])
+        if size != 40 or planes != 1 or bpp != 8 or comp != 0 \
+                or w <= 0 or h == 0:
+            return None
+        top_down = h < 0
+        h = abs(h)
+        pal = np.frombuffer(blob, dtype=np.uint8, count=1024, offset=54)
+        pal = pal.reshape(256, 4)
+        if not (pal[:, 0] == pal[:, 1]).all() \
+                or not (pal[:, 1] == pal[:, 2]).all():
+            return None
+        stride = (w + 3) & ~3
+        if off + stride * h > len(blob):
+            return None
+        rows = np.frombuffer(
+            blob, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)[:, :w]
+        idx = rows if top_down else rows[::-1]
+        return w, h, pal[idx.reshape(-1), 0].reshape(h, w)
+    except (struct.error, ValueError):
+        return None
+
+
+def jpeg_dims(blob: bytes):
+    """(w, h) from the first SOF0/1/2 marker of a JPEG stream, else None."""
+    if blob is None or len(blob) < 4 or blob[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    try:
+        while pos + 4 <= len(blob):
+            if blob[pos] != 0xFF:
+                return None
+            while blob[pos + 1] == 0xFF and pos + 4 <= len(blob):
+                pos += 1                       # FF fill bytes before marker
+            marker = blob[pos + 1]
+            if marker in (0xC0, 0xC1, 0xC2):       # SOF0/1/2
+                h, w = struct.unpack(">HH", blob[pos + 5:pos + 9])
+                return (w, h) if w > 0 and h > 0 else None
+            if marker == 0xD9 or marker == 0xDA:   # EOI / SOS: no SOF seen
+                return None
+            (ln,) = struct.unpack(">H", blob[pos + 2:pos + 4])
+            pos += 2 + ln
+    except struct.error:
+        return None
+    return None
+
+
+def gif_dims(blob: bytes):
+    """(w, h) from the GIF87a/89a logical screen descriptor, else None."""
+    if blob is None or len(blob) < 10 or blob[:6] not in (b"GIF87a",
+                                                          b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", blob[6:10])
+    return (w, h) if w > 0 and h > 0 else None
+
+
 # --------------------------------------------------- stdlib WAV codec -------
 
 def wav_encode(rate: int, samples: np.ndarray) -> bytes:
@@ -275,7 +367,8 @@ def decode_metadata(media: DataFrame, *, decoder: str = "fake") -> DataFrame:
     the task (per-row error channel, the scale-safe behavior).
 
     ``decoder="real"`` sniffs the container signature and runs the stdlib
-    codecs (PNG / WAV; CSMM fallback for video).  It adds a ``payload_sum``
+    codecs (PNG / WAV / BMP full decode; JPEG / GIF header-only dims with
+    NULL payload_sum; CSMM fallback for video).  It adds a ``payload_sum``
     column — the sum of the DECODED pixel/sample values — so correctness of
     the inflate+unfilter / PCM parse is observable, and returns ok=false
     for any blob that fails signature, CRC, or structural checks.
@@ -298,6 +391,20 @@ def decode_metadata(media: DataFrame, *, decoder: str = "fake") -> DataFrame:
                         rows.append((mid, "audio", rate // 1000, len(s),
                                      2 * len(s),
                                      int(s.astype(np.int64).sum()), True))
+                        continue
+                    bmp = bmp_decode(blob)
+                    if bmp is not None:
+                        w, h, px = bmp
+                        rows.append((mid, "image", w, h, w * h,
+                                     int(px.astype(np.int64).sum()), True))
+                        continue
+                    # header-only containers: real dims, no stdlib pixel
+                    # decode — payload_sum stays NULL (honest seam, never
+                    # a fake checksum)
+                    dims = jpeg_dims(blob) or gif_dims(blob)
+                    if dims is not None:
+                        w, h = dims
+                        rows.append((mid, "image", w, h, w * h, None, True))
                         continue
                     hdr = _parse_header(blob)
                     if hdr is not None and hdr[0] == 2:
@@ -342,14 +449,14 @@ def image_resize_features(
 ) -> DataFrame:
     """(media_id, feat array<double>) — decode image payload, nearest-
     neighbor resize to out_w×out_h, emit the normalized pixel vector.
-    ``decoder="real"`` runs the stdlib PNG decoder; the default parses the
-    CSMM fake header.  Non-image / undecodable rows are skipped."""
+    ``decoder="real"`` runs the stdlib PNG/BMP decoders; the default parses
+    the CSMM fake header.  Non-image / undecodable rows are skipped."""
     schema = "media_id long, feat array<double>"
 
     def decode(blob):
         if decoder == "real":
-            png = png_decode(blob)
-            return None if png is None else png[2]
+            img = png_decode(blob) or bmp_decode(blob)
+            return None if img is None else img[2]
         h = _parse_header(blob)
         if h is None or h[0] != 0:
             return None

@@ -237,3 +237,69 @@ def test_ivf_lloyd_deterministic_across_parallelism(spark):
     assert [(r["vec_id"], r["rank"]) for r in a] == \
         [(r["vec_id"], r["rank"]) for r in b]
     assert len(a) == 5
+
+
+def test_real_codec_bmp_jpeg_gif(spark):
+    """BMP round-trips through the full stdlib pixel decode (bottom-up AND
+    top-down row order); JPEG/GIF blobs yield real header dimensions with
+    a NULL payload_sum (no stdlib entropy/LZW inflater — honest seam);
+    structurally-broken variants of all three flag ok=false."""
+    import struct
+
+    from crankshaft_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_encode,
+        image_resize_features,
+    )
+
+    px = ((np.arange(11 * 5, dtype=np.int64) * 7 + 3) % 256).astype(
+        np.uint8).reshape(5, 11)           # w=11 exercises stride padding
+    bmp = bmp_encode(px)
+    w, h, got = bmp_decode(bmp)
+    assert (w, h) == (11, 5) and (got == px).all()
+    # top-down: negative height, rows stored first-to-last
+    td = bytearray(bmp)
+    td[22:26] = struct.pack("<i", -5)
+    (off,) = struct.unpack("<I", bmp[10:14])
+    stride = (11 + 3) & ~3
+    rows = [bmp[off + r * stride:off + (r + 1) * stride] for r in range(5)]
+    td[off:] = b"".join(reversed(rows))
+    w, h, got = bmp_decode(bytes(td))
+    assert (w, h) == (11, 5) and (got == px).all()
+
+    # minimal structurally-valid JPEG: SOI, APP0, SOF0 (h=17, w=23), EOI
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 17, 23) + b"\x01\x11\x00")
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    gif = b"GIF89a" + struct.pack("<HH", 40, 30) + b"\x00\x00\x00"
+    bad_bmp = bytearray(bmp)
+    bad_bmp[28:30] = struct.pack("<H", 24)          # 24bpp: outside profile
+    jpeg_nosof = b"\xff\xd8" + app0 + b"\xff\xd9"   # EOI before any SOF
+    gif_zero = b"GIF89a" + struct.pack("<HH", 0, 30) + b"\x00\x00\x00"
+
+    media = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(jpeg)), (3, bytearray(gif)),
+         (4, bytearray(bad_bmp)), (5, bytearray(jpeg_nosof)),
+         (6, bytearray(gif_zero))],
+        "media_id long, media binary",
+    )
+    rows = {r["media_id"]: r
+            for r in decode_metadata(media, decoder="real").collect()}
+    assert rows[1]["ok"] and rows[1]["kind"] == "image"
+    assert (rows[1]["dim0"], rows[1]["dim1"]) == (11, 5)
+    assert rows[1]["payload_sum"] == int(px.astype(np.int64).sum())
+    assert rows[2]["ok"] and (rows[2]["dim0"], rows[2]["dim1"]) == (23, 17)
+    assert rows[2]["payload_sum"] is None
+    assert rows[3]["ok"] and (rows[3]["dim0"], rows[3]["dim1"]) == (40, 30)
+    assert rows[3]["payload_sum"] is None
+    assert not rows[4]["ok"] and not rows[5]["ok"] and not rows[6]["ok"]
+
+    # resize features run off the BMP pixel decode too
+    feats = {r["media_id"]: r["feat"]
+             for r in image_resize_features(
+                 media, out_w=2, out_h=2, decoder="real").collect()}
+    assert set(feats) == {1}
+    want = [px[(r * 5) // 2][(c * 11) // 2] / 255.0
+            for r in range(2) for c in range(2)]
+    assert feats[1] == pytest.approx(want)
