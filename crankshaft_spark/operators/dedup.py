@@ -187,17 +187,18 @@ def simhash(
     return sums.select(id_col, sim.cast("long").alias("simhash"))
 
 
-def simhash_expr(text, *, n: int = 4):
-    """Per-row 32-bit SimHash column — bit-identical to ``simhash`` (the
-    grouped form) for any text of length >= ``n``; NULL below that (where
-    the grouped form emits no row at all).
+def shingle_hashes_expr(text, *, n: int = 4):
+    """array<long> of h32 over the distinct character-n-gram shingle set
+    (the same substring walk as ``text.shingles``); NULL for text shorter
+    than ``n`` (where the grouped operators emit no row at all).
 
-    Map-side only: the distinct shingle set is an array column
-    (array_distinct over transform/sequence — the same substring walk as
-    ``text.shingles``), each bit's +1/−1 majority vote a filter-count over
-    the per-shingle h32 array.  No explode, no shuffle, no state — which is
-    what lets Structured Streaming dedup on the signature with nothing but
-    the dropDuplicatesWithinWatermark key store (streaming/dedup.py).
+    This is the expensive half of the per-row simhash — one md5 per
+    shingle.  Materialize it with its OWN withColumn before feeding
+    ``simhash_from_hashes``: Catalyst's subexpression elimination skips any
+    subtree holding a LambdaVariable, so embedding this array inline in the
+    33 vote expressions would recompute every md5 ~33×.  CollapseProject
+    keeps a non-cheap multiply-referenced alias in its own projection, so
+    the two-step form evaluates each md5 once.
     """
     t = F.col(text) if isinstance(text, str) else text
     shs = F.array_distinct(F.transform(
@@ -205,7 +206,14 @@ def simhash_expr(text, *, n: int = 4):
         F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
         lambda i: F.substring(t, i.cast("int"), n),
     ))
-    hxs = F.transform(shs, lambda s: _h32(s))
+    return F.when(F.length(t) >= n, F.transform(shs, lambda s: _h32(s)))
+
+
+def simhash_from_hashes(hxs):
+    """32-bit SimHash from a ``shingle_hashes_expr`` array column — cheap
+    integer vote-counting only (32 filter passes over the materialized
+    array, no hashing); NULL in → NULL out."""
+    hxs = F.col(hxs) if isinstance(hxs, str) else hxs
     n_sh = F.size(hxs)
     # bit i set iff set-bit count strictly beats the clear-bit count:
     # 2*count_set > n_shingles  ⟺  sum(+1/−1) > 0 in the grouped form
@@ -220,7 +228,22 @@ def simhash_expr(text, *, n: int = 4):
          for i in range(SIMHASH_BITS)),
         F.lit(0).cast("long"),
     )
-    return F.when(F.length(t) >= n, sim.cast("long"))
+    return F.when(hxs.isNotNull(), sim.cast("long"))
+
+
+def simhash_expr(text, *, n: int = 4):
+    """Per-row 32-bit SimHash column — bit-identical to ``simhash`` (the
+    grouped form) for any text of length >= ``n``; NULL below that.
+
+    Map-side only: no explode, no shuffle, no state — which is what lets
+    Structured Streaming dedup on the signature with nothing but the
+    dropDuplicatesWithinWatermark key store (streaming/dedup.py).  This
+    single-expression convenience recomputes the shingle md5s per vote —
+    fine for tests/small batches; hot paths should materialize
+    ``shingle_hashes_expr`` first (see its docstring) as
+    ``stream_dedup_near`` does.
+    """
+    return simhash_from_hashes(shingle_hashes_expr(text, n=n))
 
 
 def simhash_pairs(

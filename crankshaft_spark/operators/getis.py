@@ -189,12 +189,13 @@ def getis_gstar_sim(
     import numpy as np
     import pandas as pd
 
-    # tolerate the same inputs the analytic path does: drop NULL values and
-    # edge sources absent from `values` (else a None reaches np.array →
-    # NaN poisons every permutation sum, or pos[rid] KeyErrors in run())
-    # — mirrors moran_local_hash_sim
+    # tolerate the same inputs the analytic path does: drop NULL values
+    # (a None reaching np.array turns the broadcast pool to NaN and
+    # poisons every permutation sum) — mirrors moran_local_hash_sim.
+    # Edge sources/targets outside `values` need no extra guard: nbr_stats
+    # inner-joins edges.nbr to values and the per-row base inner-joins
+    # values to nbr_stats, so neither side can reach run().
     values = values.where(F.col(value_col).isNotNull())
-    edges = edges.join(values.select("id"), "id", "left_semi")
 
     spark = values.sparkSession
     nbr_stats = (

@@ -212,7 +212,9 @@ def bmp_decode(blob: bytes):
                 or not (pal[:, 1] == pal[:, 2]).all():
             return None
         stride = (w + 3) & ~3
-        if off + stride * h > len(blob):
+        # pixel data must start past header+info+palette (14+40+1024) or
+        # the "pixels" would alias header/palette bytes with ok=true
+        if off < 1078 or off + stride * h > len(blob):
             return None
         rows = np.frombuffer(
             blob, dtype=np.uint8, count=stride * h, offset=off

@@ -16,23 +16,75 @@ Semantics vs the batch family (operators/dedup.py, operators/text.py):
   inherent to streaming dedup — document downstream batch ``dedup_exact``
   as the exact backstop).
 * ``stream_dedup_near`` collapses signature-identical near-duplicates: the
-  per-row ``simhash_expr`` (bit-identical to the batch grouped simhash)
-  is the key, so re-crawls whose shingle-set majority votes are unchanged
-  (hamming distance 0) dedup online.  Hamming ≤ k matching requires
-  pairwise candidate state and stays batch-side (``simhash_pairs``) — an
-  honest recall boundary, not an approximation of it.
+  per-row simhash (bit-identical to the batch grouped simhash; hashes
+  materialized once via ``shingle_hashes_expr``) is the key, so re-crawls
+  whose shingle-set majority votes are unchanged (hamming distance 0)
+  dedup online.  Hamming ≤ k matching requires pairwise candidate state
+  and stays batch-side (``simhash_pairs``) — an honest recall boundary,
+  not an approximation of it.
+
+NULL policy: a row whose dedup key is undefined (every key column NULL,
+or NULL text in the near path) is PASSED THROUGH, never deduplicated —
+unknown content is not "equal" to other unknown content, and a NULL key
+under SQL distinct semantics would silently collapse every
+extraction-failed page into one survivor.
+
+Plan-shape invariants (pytest-asserted by counting md5 nodes in the
+optimized plan):
+
+* the md5-per-shingle array is computed ONCE per row — both the key and
+  the optional signature column reference the materialized ``_hxs`` alias
+  directly (CollapseProject never inlines a non-cheap multi-referenced
+  alias; a single-consumer intermediate would be inlined and cascade the
+  copies back in);
+* the defined/undefined split filters on a CHEAP definedness predicate
+  (text/key-column NULL-ness), never on the key expression itself —
+  filtering on ``_dk IS NULL`` looks equivalent but predicate pushdown
+  substitutes the entire key expression into a pre-projection Filter and
+  re-evaluates every shingle md5 per branch.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from crankshaft_spark.operators.dedup import simhash_expr
+from crankshaft_spark.operators.dedup import (
+    shingle_hashes_expr,
+    simhash_from_hashes,
+)
 
-#: unit-separator joint for multi-column dedup keys — cannot appear in a
-#: column's own text without being visible in both halves of a collision.
+#: joint for multi-column keys.  Each part below is a fixed-width md5
+#: digest (or the 1-char NULL marker), so no value can smuggle a separator
+#: across field boundaries and NULL never collapses into the empty string.
 _SEP = "\x1f"
+
+
+def _dedup_on_key(pages: DataFrame, key: Column, defined: Column, *,
+                  ts: str, watermark: str) -> DataFrame:
+    """First in-horizon row per key among rows where ``defined`` holds;
+    rows failing ``defined`` pass through.  ``defined`` must be a cheap
+    never-NULL predicate equivalent to the key being well-defined (see the
+    module plan-shape invariants).  Batch fallback keeps the deterministic
+    minimum of (event time, row hash) per key — NOT dropDuplicates'
+    arbitrary partition-order representative, which would violate the
+    repo's bit-identical-at-any-parallelism invariant."""
+    wm = pages.withWatermark(ts, watermark)
+    with_key = wm.where(defined).withColumn("_dk", key)
+    pass_through = wm.where(~defined)
+    if pages.isStreaming:
+        kept = with_key.dropDuplicatesWithinWatermark(["_dk"]).drop("_dk")
+        return kept.unionByName(pass_through)
+    cols = pages.columns
+    order = F.struct(F.col(ts), F.xxhash64(*[F.col(c) for c in cols]))
+    kept = (
+        with_key.groupBy("_dk")
+        .agg(F.min_by(F.struct(*cols), order).alias("_r"))
+        .select("_r.*")
+    )
+    return kept.unionByName(pass_through)
 
 
 def stream_dedup_exact(
@@ -44,19 +96,22 @@ def stream_dedup_exact(
 ) -> DataFrame:
     """Keep the first in-horizon occurrence per exact content key.
 
-    The key is md5 over the unit-separated ``key_cols`` — the state store
-    keeps the 32-char digest, not the page text (a crawl row's html/text
-    payload never enters state).  Works on batch DataFrames too (falls back
-    to plain dropDuplicates semantics over the whole input).
+    The key joins one fixed-width md5 digest per ``key_cols`` entry (NULL
+    column → a non-digest marker, so NULL ≠ '' and field boundaries are
+    unambiguous); the state store keeps digests, never page text.  Rows
+    with every key column NULL pass through undeduplicated (module NULL
+    policy).  Works on batch DataFrames too (deterministic
+    min-(ts, row-hash) representative per key).
     """
-    keyed = pages.withWatermark(ts, watermark).withColumn(
-        "_dk", F.md5(F.concat_ws(_SEP, *key_cols))
+    parts = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-"))
+        for c in key_cols
+    ]
+    key = F.md5(F.concat_ws(_SEP, *parts))
+    defined = reduce(
+        Column.__or__, [F.col(c).isNotNull() for c in key_cols]
     )
-    if pages.isStreaming:
-        out = keyed.dropDuplicatesWithinWatermark(["_dk"])
-    else:
-        out = keyed.dropDuplicates(["_dk"])
-    return out.drop("_dk")
+    return _dedup_on_key(pages, key, defined, ts=ts, watermark=watermark)
 
 
 def stream_dedup_near(
@@ -70,25 +125,27 @@ def stream_dedup_near(
 ) -> DataFrame:
     """Keep the first in-horizon occurrence per 32-bit SimHash signature.
 
-    Texts shorter than ``n`` have no shingle set (simhash_expr is NULL
-    there); they fall back to exact-text keys rather than colliding into
-    one NULL bucket.  ``keep_signature`` retains the ``simhash`` column
-    for downstream observability / batch reconciliation joins.
+    The shingle-hash array is materialized once per row (module plan-shape
+    invariants).  Texts shorter than ``n`` have no shingle set; they fall
+    back to exact-text keys rather than colliding into one NULL bucket,
+    and NULL text passes through (module NULL policy).  ``keep_signature``
+    appends the ``simhash`` column for downstream observability / batch
+    reconciliation joins (replacing any same-named input column; without
+    it the input's own columns pass through untouched).
     """
-    keyed = (
-        pages.withWatermark(ts, watermark)
-        .withColumn("simhash", simhash_expr(text_col, n=n))
-        .withColumn(
-            "_dk",
-            F.coalesce(
-                F.col("simhash").cast("string"),
-                F.concat(F.lit("short:"), F.md5(F.col(text_col))),
-            ),
-        )
+    staged = pages.withColumn("_hxs", shingle_hashes_expr(text_col, n=n))
+    sig = simhash_from_hashes(F.col("_hxs"))
+    key = F.coalesce(
+        sig.cast("string"),
+        F.concat(F.lit("short:"), F.md5(F.col(text_col))),
     )
-    if pages.isStreaming:
-        out = keyed.dropDuplicatesWithinWatermark(["_dk"])
-    else:
-        out = keyed.dropDuplicates(["_dk"])
-    out = out.drop("_dk")
-    return out if keep_signature else out.drop("simhash")
+    if keep_signature:
+        staged = staged.withColumn("_simhash", sig)
+    out = _dedup_on_key(
+        staged, key, F.col(text_col).isNotNull(), ts=ts, watermark=watermark
+    ).drop("_hxs")
+    if keep_signature:
+        if "simhash" in out.columns:
+            out = out.drop("simhash")
+        return out.withColumnRenamed("_simhash", "simhash")
+    return out

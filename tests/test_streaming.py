@@ -340,8 +340,82 @@ def test_stream_dedup_replay(spark, tmp_path):
                    "dedup_near_stream")
     assert near_ids == {1, 2, 5}    # page 4's signature matches page 1
 
-    # batch fallback: same operators on a plain DataFrame
+    # batch fallback: same operators on a plain DataFrame, deterministic
+    # representative = earliest warc_ts per key
     all_rows = spark.createDataFrame(
         [r for b in rows_by_batch for r in b], schema)
-    assert stream_dedup_exact(all_rows, watermark="1 hour").count() == 4
+    exact_batch = stream_dedup_exact(all_rows, watermark="1 hour")
+    assert {r["page_id"] for r in exact_batch.collect()} == {1, 2, 4, 5}
     assert stream_dedup_near(all_rows, watermark="1 hour").count() == 3
+    near_kept = stream_dedup_near(
+        all_rows, watermark="1 hour", keep_signature=True)
+    assert {r["page_id"]: r["simhash"] for r in near_kept.collect()} == {
+        1: sigs[1], 2: sigs[2], 5: sigs[5]}
+
+
+def test_stream_dedup_null_and_key_semantics(spark):
+    """Module NULL policy + key construction: NULL-text rows pass through
+    undeduplicated; NULL ≠ '' under multi-column keys; separator chars in
+    values cannot shift across field boundaries."""
+    import datetime as dt
+
+    from crankshaft_spark.streaming.dedup import (
+        stream_dedup_exact,
+        stream_dedup_near,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "page_id long, url string, warc_ts timestamp, text string"
+    rows = [
+        (1, "u1", base, None),                      # NULL text: pass through
+        (2, "u2", base + dt.timedelta(minutes=1), None),   # ... both of them
+        (3, "u3", base + dt.timedelta(minutes=2), ""),     # '' is NOT NULL
+        (4, "u4", base + dt.timedelta(minutes=3), ""),     # '' dups dedup
+        (5, "a\x1fb", base + dt.timedelta(minutes=4), "c"),
+        (6, "a", base + dt.timedelta(minutes=5), "b\x1fc"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {r["page_id"] for r in stream_dedup_exact(
+        df, key_cols=("url", "text"), watermark="1 hour").collect()}
+    assert got == {1, 2, 3, 4, 5, 6}    # all distinct under (url, text)
+    got = {r["page_id"] for r in stream_dedup_exact(
+        df, key_cols=("text",), watermark="1 hour").collect()}
+    assert got == {1, 2, 3, 5, 6}       # NULLs pass; ''-dup page 4 dropped
+    got = {r["page_id"] for r in stream_dedup_near(
+        df, watermark="1 hour").collect()}
+    assert 1 in got and 2 in got        # NULL text passes the near path too
+    # input already carrying a simhash column: preserved without
+    # keep_signature, replaced with it
+    carrying = df.withColumn("simhash", df.page_id * 10)
+    kept = stream_dedup_near(carrying, watermark="1 hour")
+    assert {r["page_id"]: r["simhash"] for r in kept.collect()} == {
+        r["page_id"]: r["page_id"] * 10 for r in kept.collect()}
+    replaced = stream_dedup_near(
+        carrying, watermark="1 hour", keep_signature=True)
+    # every text here is NULL or shorter than the shingle width, so the
+    # recomputed signature is NULL on all rows — the input's 10*id values
+    # must be gone
+    assert all(r["simhash"] is None for r in replaced.collect())
+
+
+def test_stream_dedup_plan_materializes_hashes_once(spark):
+    """Plan-shape invariant (streaming/dedup.py module docstring): the
+    md5-per-shingle array appears ONCE in the optimized plan per branch —
+    not inlined 33x into the vote expressions (CollapseProject) nor
+    substituted into pushed-down Filters (split must use the cheap
+    definedness predicate, never `_dk IS NULL`)."""
+    from crankshaft_spark.streaming.dedup import (
+        stream_dedup_exact,
+        stream_dedup_near,
+    )
+
+    schema = "page_id long, url string, warc_ts timestamp, text string"
+    df = spark.createDataFrame([(1, "u", None, "abcdefgh")], schema)
+    for ks, cap in ((False, 2), (True, 3)):
+        plan = (stream_dedup_near(df, watermark="1 hour", keep_signature=ks)
+                ._jdf.queryExecution().optimizedPlan().toString())
+        assert plan.count("md5") <= cap, plan
+    plan = (stream_dedup_exact(df, key_cols=("url", "text"),
+                               watermark="1 hour")
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert plan.count("md5") <= 4, plan
