@@ -297,3 +297,96 @@ def bpe_token_stats_oracle_sql(docs_sql: str) -> str:
            CAST({cnt(BPE_WORD)} + {cnt(BPE_NUMBER)} + {cnt(BPE_MARK)}
                 AS BIGINT) AS n_bpe_tokens
     FROM ({docs_sql})"""
+
+
+# ------------------------------------------------- URL canonicalization -----
+# Crawl-dedup prerequisite (engine-native; the reference has no URL surface):
+# two fetches of one resource usually differ only in scheme/host case, a
+# default port, a fragment, query-param order, tracking params, or a
+# trailing slash.  Canonicalize before keying any dedup on url.  Every step
+# is a portable regexp/list expression — canonical_url_sql mirrors it
+# token-for-token for the DuckDB oracle.
+
+#: query params dropped during canonicalization (tracking noise).
+_TRACK_PREFIXES = ("utm_", "gclid=", "fbclid=")
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = "\\?([^#]*)"
+
+
+def canonical_url_expr(url) -> Column:
+    """Canonical form of an absolute http(s) URL, as one column expression:
+    lowercase scheme+host, default port stripped, fragment dropped, one
+    trailing path slash trimmed (empty path → '/'), query params sorted
+    with empties and tracking params removed.  A string with no
+    ``scheme://`` prefix is returned unchanged (not an absolute URL)."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    host0 = F.lower(F.regexp_extract(u, _HOST_RE, 1))
+    host = F.when(
+        (scheme == "http") & host0.endswith(":80"),
+        F.regexp_replace(host0, ":80$", ""),
+    ).when(
+        (scheme == "https") & host0.endswith(":443"),
+        F.regexp_replace(host0, ":443$", ""),
+    ).otherwise(host0)
+    path0 = F.regexp_replace(F.regexp_extract(u, _PATH_RE, 1), "/$", "")
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    keep = F.filter(
+        F.split(F.regexp_extract(u, _QUERY_RE, 1), "&"),
+        lambda x: (x != "")
+        & ~x.startswith(_TRACK_PREFIXES[0])
+        & ~x.startswith(_TRACK_PREFIXES[1])
+        & ~x.startswith(_TRACK_PREFIXES[2]),
+    )
+    q = F.array_join(F.array_sort(keep), "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", u).otherwise(canon)
+
+
+def canonical_url_sql(url_expr: str) -> str:
+    """The same canonicalization as ANSI/DuckDB SQL text (oracle mirror)."""
+    scheme = f"lower(regexp_extract({url_expr}, '{_SCHEME_RE}', 1))"
+    host0 = f"lower(regexp_extract({url_expr}, '{_HOST_RE}', 1))"
+    host = (
+        f"CASE WHEN {scheme} = 'http' AND {host0} LIKE '%:80' "
+        f"THEN regexp_replace({host0}, ':80$', '') "
+        f"WHEN {scheme} = 'https' AND {host0} LIKE '%:443' "
+        f"THEN regexp_replace({host0}, ':443$', '') ELSE {host0} END"
+    )
+    path0 = (
+        f"regexp_replace(regexp_extract({url_expr}, '{_PATH_RE}', 1), "
+        f"'/$', '')"
+    )
+    path = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
+    flt = " AND ".join(
+        [f"NOT starts_with(x, '{p}')" for p in _TRACK_PREFIXES])
+    q = (
+        f"array_to_string(list_sort(list_filter(string_split("
+        f"regexp_extract({url_expr}, '\\?([^#]*)', 1), '&'), "
+        f"x -> x <> '' AND {flt})), '&')"
+    )
+    canon = (
+        f"({scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {q} <> '' THEN '?' || {q} ELSE '' END)"
+    )
+    return f"CASE WHEN {scheme} = '' THEN {url_expr} ELSE {canon} END"
+
+
+def dedup_url(pages: DataFrame, *, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Canonical-URL dedup groups: (canon_url, n_copies, keep_id) — the URL
+    twin of ``dedup_exact`` (same hash-groupBy shape, canonicalize first)."""
+    return (
+        pages.select(id_col, canonical_url_expr(url_col).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )

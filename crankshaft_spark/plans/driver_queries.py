@@ -404,15 +404,70 @@ def o_gravity():
 
 # ------------------------------------------------ text / training-data ops --
 
+#: messy-URL variants derived closed-form from doc_id (CLAUDE.md derived-
+#: input rule — identical arithmetic in both engines).  Variants (0,1),
+#: (2,3) and (4,5) collide after canonicalization; 6 and 7 stand alone.
+_MESSY_URL_VARIANTS = [
+    ("http://example.org/a/", ""),
+    ("HTTP://EXAMPLE.ORG:80/a/", "/"),
+    ("http://example.org/a/", "?b=2&a=1"),
+    ("http://example.org/a/", "?a=1&b=2#frag"),
+    ("https://example.org:443/a/", "?a=1&utm_source=x&b=2"),
+    ("https://example.org/a/", "?b=2&a=1&fbclid=zz"),
+    ("http://sub.example.org/a/", ""),
+    ("relative/path/", ""),
+]
+
+
+def _messy_url_expr():
+    v = F.col("doc_id") % 8
+    g = F.expr("doc_id DIV 8").cast("string")
+    out = None
+    for i, (pre, post) in enumerate(_MESSY_URL_VARIANTS):
+        branch = F.concat(F.lit(pre), g, F.lit(post))
+        out = F.when(v == i, branch) if out is None else \
+            out.when(v == i, branch)
+    return out
+
+
+def _messy_url_sql() -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN '{pre}' || CAST(doc_id // 8 AS VARCHAR) || '{post}'"
+        for i, (pre, post) in enumerate(_MESSY_URL_VARIANTS)
+    ).replace(" || ''", "")
+    return f"CASE doc_id % 8 {arms} END"
+
+
 def q_dedup_exact(spark, sf_dir):
+    """Exact text-hash dedup groups UNION canonical-URL dedup groups
+    (method marker) — the two key-normalization halves of crawl dedup in
+    one gate entry.  URL inputs are the 8 messy closed-form variants."""
+    from crankshaft_spark.operators.text import dedup_url
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup_exact(docs)
+    text_groups = dedup_exact(docs).select(
+        F.lit("text").alias("method"), F.col("text_hash").alias("grp_key"),
+        "n_copies", "keep_id",
+    )
+    urls = docs.select("doc_id", _messy_url_expr().alias("url"))
+    url_groups = dedup_url(urls).select(
+        F.lit("url").alias("method"), F.col("canon_url").alias("grp_key"),
+        "n_copies", "keep_id",
+    )
+    return text_groups.unionByName(url_groups)
 
 
 def o_dedup_exact():
-    return """SELECT md5(text) AS text_hash, count(*) AS n_copies,
-                     min(doc_id) AS keep_id
-              FROM documents GROUP BY 1"""
+    from crankshaft_spark.operators.text import canonical_url_sql
+
+    return f"""SELECT 'text' AS method, md5(text) AS grp_key,
+                      count(*) AS n_copies, min(doc_id) AS keep_id
+               FROM documents GROUP BY 2
+               UNION ALL
+               SELECT 'url' AS method, {canonical_url_sql('url')} AS grp_key,
+                      count(*) AS n_copies, min(doc_id) AS keep_id
+               FROM (SELECT doc_id, {_messy_url_sql()} AS url
+                     FROM documents) GROUP BY 2"""
 
 
 def q_token_stats(spark, sf_dir):

@@ -161,3 +161,42 @@ def test_bpe_token_stats_known_counts(spark):
     # "a-b c3d": words a,b,c,d ; numbers 3 ; marks -
     assert got[2] == (4, 1, 1, 6)
     assert got[3] == (0, 0, 0, 0)
+
+
+def test_canonical_url_semantics(spark):
+    """Canonicalization rules on hand-picked URLs: case, default ports,
+    fragments, tracking params, query order, trailing slash, and the
+    pass-through for non-absolute strings.  The Spark<->DuckDB mirror of
+    the same expression is gate-checked by the dedup_exact oracle."""
+    from crankshaft_spark.operators.text import canonical_url_expr, dedup_url
+
+    cases = [
+        ("HTTP://EXAMPLE.ORG:80/a/5/", "http://example.org/a/5"),
+        ("http://example.org/a/5?b=2&a=1", "http://example.org/a/5?a=1&b=2"),
+        ("http://example.org/a/5?a=1&b=2#f", "http://example.org/a/5?a=1&b=2"),
+        ("https://example.org:443/x?utm_source=x&a=1", "https://example.org/x?a=1"),
+        ("https://ex.org/x?fbclid=1&gclid=2", "https://ex.org/x"),
+        ("http://example.org", "http://example.org/"),
+        ("http://example.org/?", "http://example.org/"),
+        ("http://example.org:8080/x", "http://example.org:8080/x"),
+        ("https://Example.Org:80/x", "https://example.org:80/x"),
+        ("relative/path/5", "relative/path/5"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["c"]
+           for r in df.select("i", canonical_url_expr("url").alias("c"))
+           .collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+    # dedup groups: first five all collapse pairwise with distinct keys
+    pages = spark.createDataFrame(
+        [(1, "http://example.org/a?b=2&a=1"),
+         (2, "HTTP://EXAMPLE.ORG:80/a?a=1&b=2#x"),
+         (3, "http://example.org/b")],
+        "doc_id long, url string")
+    groups = {r["canon_url"]: (r["n_copies"], r["keep_id"])
+              for r in dedup_url(pages).collect()}
+    assert groups == {"http://example.org/a?a=1&b=2": (2, 1),
+                      "http://example.org/b": (1, 3)}
