@@ -307,72 +307,90 @@ def bpe_token_stats_oracle_sql(docs_sql: str) -> str:
 # is a portable regexp/list expression — canonical_url_sql mirrors it
 # token-for-token for the DuckDB oracle.
 
-#: query params dropped during canonicalization (tracking noise).
-_TRACK_PREFIXES = ("utm_", "gclid=", "fbclid=")
+#: query params dropped during canonicalization (tracking noise): a param
+#: whose key (the token before '=', or the whole token when value-less)
+#: equals a blocked name or starts with the utm_ prefix.
+_TRACK_KEYS = ("gclid", "fbclid")
+_TRACK_PREFIX = "utm_"
 
+# Anchors use \z (end of text), not $: Java's $ also matches before a final
+# line terminator while RE2's (DuckDB) does not — \z means the same thing in
+# both engines.  _QUERY_RE is anchored through a lazy non-'#' prefix so a
+# '?' inside the fragment can never start the query.
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
-_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_USER_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*@)"
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)"
 _PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = "\\?([^#]*)"
+_QUERY_RE = "^[^#]*?\\?([^#]*)"
+
+
+def _param_keep(x: Column) -> Column:
+    """Keep a query param token: non-empty and not tracking noise."""
+    k = F.split_part(x, F.lit("="), F.lit(1))
+    keep = (x != "") & ~k.startswith(_TRACK_PREFIX)
+    for name in _TRACK_KEYS:
+        keep = keep & (k != name)
+    return keep
 
 
 def canonical_url_expr(url) -> Column:
     """Canonical form of an absolute http(s) URL, as one column expression:
-    lowercase scheme+host, default port stripped, fragment dropped, one
-    trailing path slash trimmed (empty path → '/'), query params sorted
+    lowercase scheme+host (userinfo, if any, preserved verbatim — it is
+    case-sensitive per RFC 3986), default port stripped, fragment dropped,
+    one trailing path slash trimmed (empty path → '/'), query params sorted
     with empties and tracking params removed.  A string with no
     ``scheme://`` prefix is returned unchanged (not an absolute URL)."""
     u = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    user = F.regexp_extract(u, _USER_RE, 1)
     host0 = F.lower(F.regexp_extract(u, _HOST_RE, 1))
     host = F.when(
         (scheme == "http") & host0.endswith(":80"),
-        F.regexp_replace(host0, ":80$", ""),
+        F.regexp_replace(host0, ":80\\z", ""),
     ).when(
         (scheme == "https") & host0.endswith(":443"),
-        F.regexp_replace(host0, ":443$", ""),
+        F.regexp_replace(host0, ":443\\z", ""),
     ).otherwise(host0)
-    path0 = F.regexp_replace(F.regexp_extract(u, _PATH_RE, 1), "/$", "")
+    path0 = F.regexp_replace(F.regexp_extract(u, _PATH_RE, 1), "/\\z", "")
     path = F.when(path0 == "", F.lit("/")).otherwise(path0)
     keep = F.filter(
-        F.split(F.regexp_extract(u, _QUERY_RE, 1), "&"),
-        lambda x: (x != "")
-        & ~x.startswith(_TRACK_PREFIXES[0])
-        & ~x.startswith(_TRACK_PREFIXES[1])
-        & ~x.startswith(_TRACK_PREFIXES[2]),
-    )
+        F.split(F.regexp_extract(u, _QUERY_RE, 1), "&"), _param_keep)
     q = F.array_join(F.array_sort(keep), "&")
     canon = F.concat(
-        scheme, F.lit("://"), host, path,
+        scheme, F.lit("://"), user, host, path,
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
     return F.when(scheme == "", u).otherwise(canon)
 
 
 def canonical_url_sql(url_expr: str) -> str:
-    """The same canonicalization as ANSI/DuckDB SQL text (oracle mirror)."""
+    """The same canonicalization as ANSI/DuckDB SQL text (oracle mirror) —
+    every regex constant is interpolated from the module-level patterns so
+    the two engines can never desynchronize."""
     scheme = f"lower(regexp_extract({url_expr}, '{_SCHEME_RE}', 1))"
+    user = f"regexp_extract({url_expr}, '{_USER_RE}', 1)"
     host0 = f"lower(regexp_extract({url_expr}, '{_HOST_RE}', 1))"
     host = (
         f"CASE WHEN {scheme} = 'http' AND {host0} LIKE '%:80' "
-        f"THEN regexp_replace({host0}, ':80$', '') "
+        f"THEN regexp_replace({host0}, ':80\\z', '') "
         f"WHEN {scheme} = 'https' AND {host0} LIKE '%:443' "
-        f"THEN regexp_replace({host0}, ':443$', '') ELSE {host0} END"
+        f"THEN regexp_replace({host0}, ':443\\z', '') ELSE {host0} END"
     )
     path0 = (
         f"regexp_replace(regexp_extract({url_expr}, '{_PATH_RE}', 1), "
-        f"'/$', '')"
+        f"'/\\z', '')"
     )
     path = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
     flt = " AND ".join(
-        [f"NOT starts_with(x, '{p}')" for p in _TRACK_PREFIXES])
+        [f"split_part(x, '=', 1) <> '{k}'" for k in _TRACK_KEYS]
+        + [f"NOT starts_with(split_part(x, '=', 1), '{_TRACK_PREFIX}')"])
     q = (
         f"array_to_string(list_sort(list_filter(string_split("
-        f"regexp_extract({url_expr}, '\\?([^#]*)', 1), '&'), "
+        f"regexp_extract({url_expr}, '{_QUERY_RE}', 1), '&'), "
         f"x -> x <> '' AND {flt})), '&')"
     )
     canon = (
-        f"({scheme} || '://' || {host} || {path} || "
+        f"({scheme} || '://' || {user} || {host} || {path} || "
         f"CASE WHEN {q} <> '' THEN '?' || {q} ELSE '' END)"
     )
     return f"CASE WHEN {scheme} = '' THEN {url_expr} ELSE {canon} END"
