@@ -387,3 +387,104 @@ def fingerprints_oracle_sql(docs_sql: str, *, k: int = FP_K,
       FROM grams
     )
     SELECT doc_id, pos, fp FROM wmin WHERE fp = m"""
+
+
+def dedup_components(
+    docs: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id",
+    n_iter: int = 6,
+) -> DataFrame:
+    """(doc_id, component, n_members, is_keep) — resolve near-dup PAIRS into
+    duplicate GROUPS: connected components over the pair graph, component =
+    min doc_id reachable, keep exactly one doc (the component label) per
+    group.  The missing last stage of any dedup pipeline: LSH emits pairs,
+    but a training run must drop all-but-one member per transitive cluster.
+
+    Hash-min label propagation, level-synchronous: every node starts with
+    its own id; each round every node takes the min label over itself and
+    its neighbors (self-loops make that one edge join + min aggregate —
+    two shuffles per round, both map-side combinable).  Runs exactly
+    ``n_iter`` rounds (deterministic at any parallelism; mirrored
+    round-for-round by a DuckDB recursive CTE).  Convergence needs
+    rounds >= graph diameter: near-dup components are quasi-cliques from
+    LSH banding (diameter 1-2), so the default 6 is a wide margin.  For
+    general high-diameter graphs at scale, alternate large-star/small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce") converge
+    in O(log^2 n); not needed for dedup-shaped inputs.
+    """
+    nodes = docs.select(F.col(id_col).alias("id")).distinct()
+    und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    edges = (
+        und
+        .unionByName(und.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+        .unionByName(nodes.select(F.col("id").alias("src"),
+                                  F.col("id").alias("dst")))
+        .persist()
+    )
+    edges.count()  # materialize once: every round joins this same table
+    labels = nodes.select("id", F.col("id").alias("lbl"))
+    retained = []
+    for _ in range(n_iter):
+        new = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(edges["dst"].alias("id"))
+            .agg(F.min("lbl").alias("lbl"))
+            .persist()
+        )
+        new.count()  # cut lineage growth round-over-round
+        retained.append(new)
+        labels = new
+    sizes = labels.groupBy(F.col("lbl").alias("component")).agg(
+        F.count("*").alias("n_members"))
+    out = (
+        labels.join(sizes, labels["lbl"] == sizes["component"])
+        .select(
+            F.col("id").alias(id_col),
+            "component",
+            "n_members",
+            (F.col("id") == F.col("component")).alias("is_keep"),
+        )
+    )
+    # sever the n_iter-round join lineage before releasing the per-round
+    # caches: without this, any action on the result would lazily replay
+    # all rounds through unpersisted intermediates.  localCheckpoint is
+    # executor-local (not fault-tolerant storage) — on a real cluster an
+    # executor loss fails the job rather than recomputing; acceptable for
+    # a deterministic batch op, and the output is one small row per doc.
+    rows = out.localCheckpoint(eager=True)
+    for df in retained:
+        df.unpersist()
+    edges.unpersist()
+    return rows
+
+
+def components_oracle_sql(docs_sql: str, pairs_sql: str, *,
+                          n_iter: int = 6) -> str:
+    """DuckDB mirror of dedup_components: the same label propagation as a
+    level-synchronous recursive CTE (one UNION-joined round per iteration,
+    min label over self+neighbors via a window).  ``pairs_sql`` and the
+    derived edge list are AS MATERIALIZED — the recursive term re-runs any
+    plain CTE it references on EVERY round (CLAUDE.md round-3 lesson)."""
+    return f"""
+    WITH RECURSIVE d AS MATERIALIZED ({docs_sql}),
+    prs AS MATERIALIZED ({pairs_sql}),
+    nodes AS MATERIALIZED (SELECT DISTINCT doc_id AS id FROM d),
+    edges AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM prs
+      UNION ALL SELECT b, a FROM prs
+      UNION ALL SELECT id, id FROM nodes
+    ),
+    labels(iter, id, lbl) AS (
+      SELECT 0, id, id FROM nodes
+      UNION ALL
+      SELECT DISTINCT l.iter + 1, e.dst,
+             min(l.lbl) OVER (PARTITION BY e.dst)
+      FROM labels l JOIN edges e ON e.src = l.id
+      WHERE l.iter < {n_iter}
+    ),
+    fin AS (SELECT id, lbl AS component FROM labels WHERE iter = {n_iter}),
+    sizes AS (SELECT component, count(*) AS n_members
+              FROM fin GROUP BY component)
+    SELECT f.id AS doc_id, f.component, s.n_members,
+           f.id = f.component AS is_keep
+    FROM fin f JOIN sizes s ON f.component = s.component"""

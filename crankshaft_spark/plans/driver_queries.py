@@ -1474,15 +1474,39 @@ def _docs(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    from crankshaft_spark.operators.dedup import minhash_lsh_pairs
+    """LSH candidate pairs UNION their connected-component resolution
+    (kind marker) — detection and transitive group-resolution, the two
+    halves of near-dup removal, in one gate entry.  Member rows reuse the
+    numeric slot for the component size."""
+    from crankshaft_spark.operators.dedup import (
+        dedup_components, minhash_lsh_pairs)
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).persist()
+    comp = dedup_components(docs, pairs)
+    pair_rows = pairs.select(
+        F.lit("pair").alias("kind"), "a", "b", "est_jaccard")
+    member_rows = comp.select(
+        F.lit("member").alias("kind"),
+        F.col("doc_id").alias("a"),
+        F.col("component").alias("b"),
+        F.col("n_members").cast("double").alias("est_jaccard"),
+    )
+    return pair_rows.unionByName(member_rows)
 
 
 def o_minhash_lsh():
-    from crankshaft_spark.operators.dedup import minhash_oracle_sql
+    from crankshaft_spark.operators.dedup import (
+        components_oracle_sql, minhash_oracle_sql)
 
-    return minhash_oracle_sql(DOCS_SQL, threshold=0.5)
+    pairs_sql = minhash_oracle_sql(DOCS_SQL, threshold=0.5)
+    comp_sql = components_oracle_sql(DOCS_SQL, "SELECT * FROM prs0")
+    return f"""WITH prs0 AS MATERIALIZED ({pairs_sql}),
+    comp AS ({comp_sql})
+    SELECT 'pair' AS kind, a, b, est_jaccard FROM prs0
+    UNION ALL
+    SELECT 'member' AS kind, doc_id AS a, component AS b,
+           CAST(n_members AS DOUBLE) AS est_jaccard FROM comp"""
 
 
 def q_simhash_pairs(spark, sf_dir):

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from crankshaft_spark.operators.ann import embedding_neardup_pairs
 from crankshaft_spark.operators.dedup import (
+    dedup_components,
     fingerprints,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -303,3 +304,49 @@ def test_real_codec_bmp_jpeg_gif(spark):
     want = [px[(r * 5) // 2][(c * 11) // 2] / 255.0
             for r in range(2) for c in range(2)]
     assert feats[1] == pytest.approx(want)
+
+
+def test_dedup_components_resolves_transitive_groups(spark):
+    """Pairs (1,2),(2,3) never emit (1,3), but all three must land in ONE
+    component; a path graph needs multiple propagation rounds; singletons
+    keep themselves."""
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 10, 11, 12, 20)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (11, 12)],
+        "a long, b long")
+    got = {r["doc_id"]: (r["component"], r["n_members"], r["is_keep"])
+           for r in dedup_components(docs, pairs).collect()}
+    assert got == {
+        1: (1, 5, True), 2: (1, 5, False), 3: (1, 5, False),
+        4: (1, 5, False), 5: (1, 5, False),
+        10: (10, 3, True), 11: (10, 3, False), 12: (10, 3, False),
+        20: (20, 1, True),
+    }
+
+
+def test_dedup_components_parallelism_invariant(spark):
+    """min-label propagation is order-free: identical labels at any
+    partitioning (the scalebench rows_identical contract)."""
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 38, 2)]       # 19 two-doc groups
+        + [(1, 3), (3, 5)],                          # chain joins 3 of them
+        "a long, b long")
+    a = sorted(map(tuple, dedup_components(docs, pairs).collect()))
+    b = sorted(map(tuple, dedup_components(
+        docs.repartition(7), pairs.repartition(5)).collect()))
+    assert a == b
+    # groups {0..5} merged via the odd chain: component 0 has 6 members
+    assert (0, 0, 6, True) in a
+
+
+def test_dedup_components_on_lsh_pairs(spark, docs):
+    """End-to-end: LSH pair detection feeding group resolution — exact dup
+    (1,2) and near dup 3 resolve into one keep; 6 stays a singleton."""
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    got = {r["doc_id"]: (r["component"], r["is_keep"])
+           for r in dedup_components(docs, pairs).collect()}
+    assert got[1] == (1, True) and got[2] == (1, False)
+    assert got[6] == (6, True)
+    assert got[4][0] == got[5][0] == 4
