@@ -408,3 +408,119 @@ def dedup_url(pages: DataFrame, *, url_col: str = "url",
             F.min(id_col).alias("keep_id"),
         )
     )
+
+
+# ------------------------------------------------ repetition quality -----
+# Gopher-style repetition filters (Rae et al. 2021 §A1.1, public): heavily
+# templated / machine-generated pages show up as duplicate lines and a few
+# dominant word n-grams.  Fractions here are occurrence fractions (top
+# n-gram count / total n-gram count), documented as Gopher-INSPIRED rather
+# than the paper's character-weighted variants.
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Array of word n-grams, [] when the doc has < n words.  The size
+    guard matters: Spark sequence(1, k) with k < 1 generates DESCENDING
+    (CLAUDE.md round-1 lesson)."""
+    def gram(i: Column) -> Column:
+        parts = []
+        for j in range(n):
+            if parts:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(words, i + j))
+        return F.concat(*parts)
+
+    return F.when(
+        F.size(words) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(words) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(docs: DataFrame, *, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, dup_word_frac, top2gram_frac,
+    top3gram_frac) — repetition-based quality signals per document:
+
+    - dup_line_frac / dup_word_frac: fraction of line/word occurrences
+      that are repeats of an already-seen value (1 - distinct/total);
+    - top{2,3}gram_frac: fraction of all word n-gram occurrences taken by
+      the single most frequent n-gram (0 when the doc has < n words).
+
+    Lines split on newline, words on single space.  Shape: one explode
+    per token class unioned, count by (doc, class, token), roll up to
+    (doc, class), pivot to one row per doc — every aggregate is keyed by
+    doc_id (bounded groups, map-side combinable), no driver collects."""
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    lines = F.split(t, "\n")
+    classes = [
+        ("l", lines), ("w", words),
+        ("g2", _word_ngrams(words, 2)), ("g3", _word_ngrams(words, 3)),
+    ]
+    ex = None
+    for kind, arr in classes:
+        part = docs.select(
+            F.col(id_col), F.lit(kind).alias("kind"),
+            F.explode(arr).alias("tok"))
+        ex = part if ex is None else ex.unionByName(part)
+    rolled = (
+        ex.groupBy(id_col, "kind", "tok").agg(F.count("*").alias("c"))
+        .groupBy(id_col, "kind")
+        .agg(F.sum("c").alias("tot"), F.count("*").alias("nd"),
+             F.max("c").alias("mx"))
+        .withColumn("dup_frac", F.round(
+            1.0 - F.col("nd") / F.col("tot").cast("double"), 6))
+        .withColumn("top_frac", F.round(
+            F.col("mx") / F.col("tot").cast("double"), 6))
+    )
+
+    def pick(kind: str, col: Column) -> Column:
+        return F.max(F.when(F.col("kind") == kind, col))
+
+    return rolled.groupBy(id_col).agg(
+        pick("l", F.col("tot")).cast("long").alias("n_lines"),
+        F.coalesce(pick("l", F.col("dup_frac")), F.lit(0.0))
+         .alias("dup_line_frac"),
+        F.coalesce(pick("w", F.col("dup_frac")), F.lit(0.0))
+         .alias("dup_word_frac"),
+        F.coalesce(pick("g2", F.col("top_frac")), F.lit(0.0))
+         .alias("top2gram_frac"),
+        F.coalesce(pick("g3", F.col("top_frac")), F.lit(0.0))
+         .alias("top3gram_frac"),
+    )
+
+
+def repetition_oracle_sql(docs_sql: str) -> str:
+    """DuckDB mirror of repetition_stats.  range(1, k) is end-exclusive
+    and empty for k <= 1, so the short-doc n-gram guard is implicit."""
+    w = "string_split(text, ' ')"
+    g2 = (f"list_transform(range(1, len({w})), "
+          f"i -> {w}[i] || ' ' || {w}[i+1])")
+    g3 = (f"list_transform(range(1, len({w}) - 1), "
+          f"i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2])")
+    return f"""
+    WITH d AS ({docs_sql}),
+    toks AS (
+      SELECT doc_id, 'l' AS kind,
+             unnest(string_split(text, chr(10))) AS tok FROM d
+      UNION ALL SELECT doc_id, 'w', unnest({w}) FROM d
+      UNION ALL SELECT doc_id, 'g2', unnest({g2}) FROM d
+      UNION ALL SELECT doc_id, 'g3', unnest({g3}) FROM d
+    ),
+    counts AS (SELECT doc_id, kind, tok, count(*) AS c
+               FROM toks GROUP BY doc_id, kind, tok),
+    rolled AS (
+      SELECT doc_id, kind, sum(c) AS tot, count(*) AS nd, max(c) AS mx,
+             round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_frac,
+             round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_frac
+      FROM counts GROUP BY doc_id, kind)
+    SELECT doc_id,
+      CAST(max(CASE WHEN kind = 'l' THEN tot END) AS BIGINT) AS n_lines,
+      coalesce(max(CASE WHEN kind = 'l' THEN dup_frac END), 0.0)
+        AS dup_line_frac,
+      coalesce(max(CASE WHEN kind = 'w' THEN dup_frac END), 0.0)
+        AS dup_word_frac,
+      coalesce(max(CASE WHEN kind = 'g2' THEN top_frac END), 0.0)
+        AS top2gram_frac,
+      coalesce(max(CASE WHEN kind = 'g3' THEN top_frac END), 0.0)
+        AS top3gram_frac
+    FROM rolled GROUP BY doc_id"""

@@ -2148,23 +2148,37 @@ def o_interp_nn_idw():
 
 def q_text_stats(spark, sf_dir):
     """Whitespace token stats + BPE-ish regex token counts + quality score
-    + language-ID n-gram scores, one wide row per document — text_profile's
-    single-scan projection (no doc_id joins; every column is the standalone
-    operator's own builder)."""
-    from crankshaft_spark.operators.text import text_profile
+    + language-ID n-gram scores (text_profile's single-scan projection — no
+    doc_id joins for the column-algebra half) JOIN Gopher-style repetition
+    signals (dup line/word fraction, top 2/3-gram fraction — inherently an
+    aggregate, its own scan).  The synthetic docs are single-line, so the
+    repetition input derives line structure closed-form: every ' table '
+    becomes a newline (plain string replace, identical in both engines)."""
+    from crankshaft_spark.operators.text import (
+        repetition_stats, text_profile)
 
-    return text_profile(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    lined = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "), F.lit("\n"))
+         .alias("text"))
+    return text_profile(docs).join(repetition_stats(lined), "doc_id")
 
 
 def o_text_stats():
+    from crankshaft_spark.operators.text import repetition_oracle_sql
+
+    lined_sql = ("SELECT doc_id, replace(text, ' table ', chr(10)) AS text "
+                 f"FROM ({DOCS_SQL})")
     return f"""
     SELECT t.*, b.n_words, b.n_numbers, b.n_marks, b.n_bpe_tokens,
            q.n_chars, q.stopword_ratio, q.space_ratio, q.quality,
-           l.* EXCLUDE (doc_id)
+           l.* EXCLUDE (doc_id), r.* EXCLUDE (doc_id)
     FROM ({o_token_stats()}) t
     JOIN ({o_token_bpe()}) b ON t.doc_id = b.doc_id
     JOIN ({o_quality_score()}) q ON t.doc_id = q.doc_id
-    JOIN ({o_lang_scores()}) l ON t.doc_id = l.doc_id"""
+    JOIN ({o_lang_scores()}) l ON t.doc_id = l.doc_id
+    JOIN ({repetition_oracle_sql(lined_sql)}) r ON t.doc_id = r.doc_id"""
 
 
 # -------------------------------------------------------------- catalog -----

@@ -208,3 +208,48 @@ def test_canonical_url_semantics(spark):
               for r in dedup_url(pages).collect()}
     assert groups == {"http://example.org/a?a=1&b=2": (2, 1),
                       "http://example.org/b": (1, 3)}
+
+
+def test_repetition_stats_semantics(spark):
+    """Gopher-inspired repetition signals on hand-built docs: duplicate
+    lines/words raise the dup fractions, a dominant n-gram raises the top
+    fractions, short/empty docs degrade to zeros (no NaN/NULL)."""
+    from crankshaft_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b"),
+         (1, "x y\nx y\nz z"),
+         (2, "one two three four"),
+         (3, "w"),
+         (4, ""),
+         (5, "p q p q p q p q")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    # "a a a b": 4 words 2 distinct -> dup 0.5; 2-grams [a a, a a, a b]
+    assert got[0]["dup_word_frac"] == 0.5
+    assert got[0]["top2gram_frac"] == round(2 / 3, 6)
+    # three lines, one duplicated -> 1 - 2/3
+    assert got[1]["n_lines"] == 3
+    assert got[1]["dup_line_frac"] == round(1 - 2 / 3, 6)
+    # all-distinct words: zero dup, 2-gram top is 1/3
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top2gram_frac"] == round(1 / 3, 6)
+    # single word / empty text: no n-grams -> zeros, single line
+    for d in (3, 4):
+        assert got[d]["n_lines"] == 1
+        assert got[d]["top2gram_frac"] == 0.0
+        assert got[d]["top3gram_frac"] == 0.0
+    # "p q" * 4: 8 words 2 distinct -> dup 0.75; top 2-gram 'p q' 4/7
+    assert got[5]["dup_word_frac"] == 0.75
+    assert got[5]["top2gram_frac"] == round(4 / 7, 6)
+
+
+def test_repetition_stats_parallelism_invariant(spark):
+    from crankshaft_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(i, ("tok%d " % (i % 3)) * (i % 7 + 1)) for i in range(50)],
+        "doc_id long, text string")
+    a = sorted(map(tuple, repetition_stats(docs).collect()))
+    b = sorted(map(tuple, repetition_stats(docs.repartition(11)).collect()))
+    assert a == b
