@@ -391,7 +391,7 @@ def fingerprints_oracle_sql(docs_sql: str, *, k: int = FP_K,
 
 def dedup_components(
     docs: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id",
-    n_iter: int = 6,
+    max_rounds: int = 50,
 ) -> DataFrame:
     """(doc_id, component, n_members, is_keep) — resolve near-dup PAIRS into
     duplicate GROUPS: connected components over the pair graph, component =
@@ -399,17 +399,23 @@ def dedup_components(
     group.  The missing last stage of any dedup pipeline: LSH emits pairs,
     but a training run must drop all-but-one member per transitive cluster.
 
-    Hash-min label propagation, level-synchronous: every node starts with
-    its own id; each round every node takes the min label over itself and
-    its neighbors (self-loops make that one edge join + min aggregate —
-    two shuffles per round, both map-side combinable).  Runs exactly
-    ``n_iter`` rounds (deterministic at any parallelism; mirrored
-    round-for-round by a DuckDB recursive CTE).  Convergence needs
-    rounds >= graph diameter: near-dup components are quasi-cliques from
-    LSH banding (diameter 1-2), so the default 6 is a wide margin.  For
-    general high-diameter graphs at scale, alternate large-star/small-star
-    rounds (Kiveris et al., "Connected Components in MapReduce") converge
-    in O(log^2 n); not needed for dedup-shaped inputs.
+    Algorithm: hash-min label propagation with pointer jumping.  Every node
+    starts with its own id; each round every node takes the min label over
+    itself and its neighbors (self-loops make that one edge join + one
+    map-side-combinable min aggregate), then shortcuts lbl <- lbl(lbl)
+    (one more join on the round's own label table).  The jump halves the
+    remaining label-tree depth, so convergence is O(log d) rounds for
+    diameter d — real LSH dup graphs at sf0.01 already contain chains
+    deeper than 6, and a plain fixed-round propagation silently splits
+    them.  Rounds run until a full round changes nothing (label sets are
+    monotone decreasing, so the fixpoint is exact connected components and
+    is identical at any parallelism); ``max_rounds`` (default 50, i.e.
+    graphs beyond ~2^50-diameter) is a loud-failure backstop only.
+
+    The result is defined by the FIXPOINT, not the round count — the
+    DuckDB oracle (components_oracle_sql) reaches the same fixpoint by a
+    different route (UNION-terminating recursive CTE), which is what makes
+    a convergence-driven driver loop oracle-able.
     """
     nodes = docs.select(F.col(id_col).alias("id")).distinct()
     und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -422,18 +428,37 @@ def dedup_components(
         .persist()
     )
     edges.count()  # materialize once: every round joins this same table
-    labels = nodes.select("id", F.col("id").alias("lbl"))
-    retained = []
-    for _ in range(n_iter):
-        new = (
+    labels = nodes.select("id", F.col("id").alias("lbl")).persist()
+    labels.count()
+    retained = [labels]
+    for _ in range(max_rounds):
+        prop = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy(edges["dst"].alias("id"))
             .agg(F.min("lbl").alias("lbl"))
+        )
+        jump = prop.select(F.col("id").alias("jid"),
+                           F.col("lbl").alias("jlbl"))
+        new = (
+            prop.join(jump, prop["lbl"] == F.col("jid"))
+            .select(prop["id"],
+                    F.least(prop["lbl"], F.col("jlbl")).alias("lbl"))
             .persist()
         )
-        new.count()  # cut lineage growth round-over-round
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "plbl"), "id")
+            .where(F.col("lbl") != F.col("plbl")).count()
+        )
         retained.append(new)
         labels = new
+        if changed == 0:
+            break
+    else:
+        for df in retained:
+            df.unpersist()
+        edges.unpersist()
+        raise ValueError(
+            f"dedup_components did not converge in {max_rounds} rounds")
     sizes = labels.groupBy(F.col("lbl").alias("component")).agg(
         F.count("*").alias("n_members"))
     out = (
@@ -445,7 +470,7 @@ def dedup_components(
             (F.col("id") == F.col("component")).alias("is_keep"),
         )
     )
-    # sever the n_iter-round join lineage before releasing the per-round
+    # sever the multi-round join lineage before releasing the per-round
     # caches: without this, any action on the result would lazily replay
     # all rounds through unpersisted intermediates.  localCheckpoint is
     # executor-local (not fault-tolerant storage) — on a real cluster an
@@ -458,13 +483,16 @@ def dedup_components(
     return rows
 
 
-def components_oracle_sql(docs_sql: str, pairs_sql: str, *,
-                          n_iter: int = 6) -> str:
-    """DuckDB mirror of dedup_components: the same label propagation as a
-    level-synchronous recursive CTE (one UNION-joined round per iteration,
-    min label over self+neighbors via a window).  ``pairs_sql`` and the
-    derived edge list are AS MATERIALIZED — the recursive term re-runs any
-    plain CTE it references on EVERY round (CLAUDE.md round-3 lesson)."""
+def components_oracle_sql(docs_sql: str, pairs_sql: str) -> str:
+    """DuckDB mirror of dedup_components, fixpoint-equivalent rather than
+    round-for-round: a UNION (distinct) recursive CTE propagates (node,
+    seen-label) pairs along edges and terminates when no NEW pair appears;
+    min(lbl) per node is then exactly the component minimum — the same
+    fixpoint the Spark pointer-jumping loop converges to.  Labels >= the
+    receiving node id are pruned (dominated by the node's own base row),
+    bounding the accumulated pair set.  ``pairs_sql`` and the edge list
+    are AS MATERIALIZED — the recursive term re-runs any plain CTE it
+    references on EVERY round (CLAUDE.md round-3 lesson)."""
     return f"""
     WITH RECURSIVE d AS MATERIALIZED ({docs_sql}),
     prs AS MATERIALIZED ({pairs_sql}),
@@ -472,17 +500,15 @@ def components_oracle_sql(docs_sql: str, pairs_sql: str, *,
     edges AS MATERIALIZED (
       SELECT a AS src, b AS dst FROM prs
       UNION ALL SELECT b, a FROM prs
-      UNION ALL SELECT id, id FROM nodes
     ),
-    labels(iter, id, lbl) AS (
-      SELECT 0, id, id FROM nodes
-      UNION ALL
-      SELECT DISTINCT l.iter + 1, e.dst,
-             min(l.lbl) OVER (PARTITION BY e.dst)
-      FROM labels l JOIN edges e ON e.src = l.id
-      WHERE l.iter < {n_iter}
+    reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, r.lbl
+      FROM reach r JOIN edges e ON e.src = r.id
+      WHERE r.lbl < e.dst
     ),
-    fin AS (SELECT id, lbl AS component FROM labels WHERE iter = {n_iter}),
+    fin AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
     sizes AS (SELECT component, count(*) AS n_members
               FROM fin GROUP BY component)
     SELECT f.id AS doc_id, f.component, s.n_members,

@@ -445,23 +445,30 @@ def repetition_stats(docs: DataFrame, *, text_col: str = "text",
     - top{2,3}gram_frac: fraction of all word n-gram occurrences taken by
       the single most frequent n-gram (0 when the doc has < n words).
 
-    Lines split on newline, words on single space.  Shape: one explode
-    per token class unioned, count by (doc, class, token), roll up to
-    (doc, class), pivot to one row per doc — every aggregate is keyed by
+    Lines split on newline, words on single space; NULL text is treated
+    as '' (every input doc gets an output row).  Shape: ONE scan — the
+    four token classes are tagged (kind, tok) structs concatenated into a
+    single exploded array — then count by (doc, class, token), roll up to
+    (doc, class), pivot to one row per doc; every aggregate is keyed by
     doc_id (bounded groups, map-side combinable), no driver collects."""
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     words = F.split(t, " ")
     lines = F.split(t, "\n")
-    classes = [
-        ("l", lines), ("w", words),
-        ("g2", _word_ngrams(words, 2)), ("g3", _word_ngrams(words, 3)),
-    ]
-    ex = None
-    for kind, arr in classes:
-        part = docs.select(
-            F.col(id_col), F.lit(kind).alias("kind"),
-            F.explode(arr).alias("tok"))
-        ex = part if ex is None else ex.unionByName(part)
+
+    def tagged(kind: str, arr: Column) -> Column:
+        return F.transform(
+            arr,
+            lambda x: F.struct(F.lit(kind).alias("kind"), x.alias("tok")))
+
+    combined = F.concat(
+        tagged("l", lines), tagged("w", words),
+        tagged("g2", _word_ngrams(words, 2)),
+        tagged("g3", _word_ngrams(words, 3)),
+    )
+    ex = docs.select(
+        F.col(id_col), F.explode(combined).alias("kt"),
+    ).select(
+        id_col, F.col("kt.kind").alias("kind"), F.col("kt.tok").alias("tok"))
     rolled = (
         ex.groupBy(id_col, "kind", "tok").agg(F.count("*").alias("c"))
         .groupBy(id_col, "kind")
@@ -492,7 +499,7 @@ def repetition_stats(docs: DataFrame, *, text_col: str = "text",
 def repetition_oracle_sql(docs_sql: str) -> str:
     """DuckDB mirror of repetition_stats.  range(1, k) is end-exclusive
     and empty for k <= 1, so the short-doc n-gram guard is implicit."""
-    w = "string_split(text, ' ')"
+    w = "string_split(coalesce(text, ''), ' ')"
     g2 = (f"list_transform(range(1, len({w})), "
           f"i -> {w}[i] || ' ' || {w}[i+1])")
     g3 = (f"list_transform(range(1, len({w}) - 1), "
@@ -501,7 +508,7 @@ def repetition_oracle_sql(docs_sql: str) -> str:
     WITH d AS ({docs_sql}),
     toks AS (
       SELECT doc_id, 'l' AS kind,
-             unnest(string_split(text, chr(10))) AS tok FROM d
+             unnest(string_split(coalesce(text, ''), chr(10))) AS tok FROM d
       UNION ALL SELECT doc_id, 'w', unnest({w}) FROM d
       UNION ALL SELECT doc_id, 'g2', unnest({g2}) FROM d
       UNION ALL SELECT doc_id, 'g3', unnest({g3}) FROM d

@@ -1482,7 +1482,12 @@ def q_minhash_lsh(spark, sf_dir):
         dedup_components, minhash_lsh_pairs)
 
     docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_pairs(docs, threshold=0.5).persist()
+    # localCheckpoint, not persist: both arms (pair rows + the eager
+    # component build) read one materialized copy, and nothing stays
+    # pinned in the session cache after the entry is collected (the
+    # checkpoint RDD is freed when the DataFrame is garbage-collected).
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).localCheckpoint(
+        eager=True)
     comp = dedup_components(docs, pairs)
     pair_rows = pairs.select(
         F.lit("pair").alias("kind"), "a", "b", "est_jaccard")

@@ -350,3 +350,17 @@ def test_dedup_components_on_lsh_pairs(spark, docs):
     assert got[1] == (1, True) and got[2] == (1, False)
     assert got[6] == (6, True)
     assert got[4][0] == got[5][0] == 4
+
+
+def test_dedup_components_deep_chain_and_backstop(spark):
+    """Deep chains converge without tuning (pointer jumping: O(log d)
+    rounds); the max_rounds backstop fails loudly instead of returning
+    split groups."""
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(29)], "a long, b long")
+    got = dedup_components(docs, pairs).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert sum(r["is_keep"] for r in got) == 1
+    with pytest.raises(ValueError, match="did not converge"):
+        dedup_components(docs, pairs, max_rounds=1)

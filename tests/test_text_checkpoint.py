@@ -253,3 +253,16 @@ def test_repetition_stats_parallelism_invariant(spark):
     a = sorted(map(tuple, repetition_stats(docs).collect()))
     b = sorted(map(tuple, repetition_stats(docs.repartition(11)).collect()))
     assert a == b
+
+
+def test_repetition_stats_null_text_row_kept(spark):
+    """NULL text is treated as '' — the doc still gets a (zeroed) row, so
+    the text_stats consolidated join cannot drop documents."""
+    from crankshaft_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a a")], "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_lines"] == 1 and got[1]["dup_word_frac"] == 0.0
+    assert got[2]["dup_word_frac"] == 0.5
