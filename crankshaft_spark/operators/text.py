@@ -531,3 +531,60 @@ def repetition_oracle_sql(docs_sql: str) -> str:
       coalesce(max(CASE WHEN kind = 'g3' THEN top_frac END), 0.0)
         AS top3gram_frac
     FROM rolled GROUP BY doc_id"""
+
+
+# ------------------------------------------------------- PII scrubbing -----
+# Training-data pipelines redact contact info before the corpus ships
+# (public practice: CCNet/Dolma-style regex scrubbers).  Patterns are
+# deliberately conservative and Java/RE2-portable: character classes and
+# bounded quantifiers only — no \b (wordiness differs across engines), no
+# backrefs, no lookarounds (RE2 has none).
+
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+PII_PHONE_RE = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+#: applied in this order — emails first (an address can contain digits
+#: that would otherwise leave phone-shaped fragments), then IPs (dotted
+#: quads would otherwise partially match the phone pattern), then phones.
+_PII_RULES = [
+    ("email", PII_EMAIL_RE, "<EMAIL>"),
+    ("ip", PII_IPV4_RE, "<IP>"),
+    ("phone", PII_PHONE_RE, "<PHONE>"),
+]
+
+
+def pii_scrub(docs: DataFrame, *, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, scrubbed, n_emails, n_ips, n_phones) — redact emails,
+    IPv4 addresses and NNN-NNN-NNNN phone numbers with typed placeholder
+    tokens and count each match class.  Pure regexp column algebra
+    (codegen, no shuffle, no Python); counts are taken before any
+    replacement so later rules can't consume an earlier class's text."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}s")
+        for name, pat, _ in _PII_RULES
+    ]
+    scrubbed = t
+    for _, pat, token in _PII_RULES:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return docs.select(
+        F.col(id_col), scrubbed.alias("scrubbed"), *counts)
+
+
+def pii_oracle_sql(docs_sql: str) -> str:
+    """DuckDB mirror of pii_scrub (regexp_replace needs the 'g' flag —
+    DuckDB replaces only the first match by default, Spark replaces
+    all)."""
+    scrubbed = "text"
+    for _, pat, token in _PII_RULES:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{token}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+        f" AS n_{name}s"
+        for name, pat, _ in _PII_RULES
+    )
+    return f"""
+    SELECT doc_id, {scrubbed} AS scrubbed, {counts}
+    FROM ({docs_sql})"""

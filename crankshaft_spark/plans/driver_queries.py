@@ -2160,30 +2160,57 @@ def q_text_stats(spark, sf_dir):
     repetition input derives line structure closed-form: every ' table '
     becomes a newline (plain string replace, identical in both engines)."""
     from crankshaft_spark.operators.text import (
-        repetition_stats, text_profile)
+        pii_scrub, repetition_stats, text_profile)
 
     docs = _docs(spark, sf_dir)
     lined = docs.select(
         "doc_id",
         F.replace(F.col("text"), F.lit(" table "), F.lit("\n"))
          .alias("text"))
-    return text_profile(docs).join(repetition_stats(lined), "doc_id")
+    # PII arm: the synthetic docs carry no contact info, so append some
+    # closed-form (identical concat in the oracle) — email+IP on every
+    # doc, a phone on every third
+    d = F.col("doc_id")
+    pii_src = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), d.cast("string"),
+            F.lit("@example.com ip 10.0."), (d % 256).cast("string"),
+            F.lit("."), ((d * 7) % 256).cast("string"),
+            F.when(d % 3 == 0, F.lit(" call 555-123-4567"))
+             .otherwise(F.lit("")),
+        ).alias("text"))
+    return (
+        text_profile(docs)
+        .join(repetition_stats(lined), "doc_id")
+        .join(pii_scrub(pii_src), "doc_id")
+    )
 
 
 def o_text_stats():
-    from crankshaft_spark.operators.text import repetition_oracle_sql
+    from crankshaft_spark.operators.text import (
+        pii_oracle_sql, repetition_oracle_sql)
 
     lined_sql = ("SELECT doc_id, replace(text, ' table ', chr(10)) AS text "
                  f"FROM ({DOCS_SQL})")
+    pii_src_sql = (
+        "SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567'"
+        " ELSE '' END AS text "
+        f"FROM ({DOCS_SQL})")
     return f"""
     SELECT t.*, b.n_words, b.n_numbers, b.n_marks, b.n_bpe_tokens,
            q.n_chars, q.stopword_ratio, q.space_ratio, q.quality,
-           l.* EXCLUDE (doc_id), r.* EXCLUDE (doc_id)
+           l.* EXCLUDE (doc_id), r.* EXCLUDE (doc_id),
+           p.* EXCLUDE (doc_id)
     FROM ({o_token_stats()}) t
     JOIN ({o_token_bpe()}) b ON t.doc_id = b.doc_id
     JOIN ({o_quality_score()}) q ON t.doc_id = q.doc_id
     JOIN ({o_lang_scores()}) l ON t.doc_id = l.doc_id
-    JOIN ({repetition_oracle_sql(lined_sql)}) r ON t.doc_id = r.doc_id"""
+    JOIN ({repetition_oracle_sql(lined_sql)}) r ON t.doc_id = r.doc_id
+    JOIN ({pii_oracle_sql(pii_src_sql)}) p ON t.doc_id = p.doc_id"""
 
 
 # -------------------------------------------------------------- catalog -----

@@ -266,3 +266,24 @@ def test_repetition_stats_null_text_row_kept(spark):
     assert set(got) == {1, 2}
     assert got[1]["n_lines"] == 1 and got[1]["dup_word_frac"] == 0.0
     assert got[2]["dup_word_frac"] == 0.5
+
+
+def test_pii_scrub_semantics(spark):
+    """Emails, IPv4s and NNN-NNN-NNNN phones are replaced with typed
+    tokens; counts reflect the ORIGINAL text; lookalikes survive (single-
+    letter TLD, 5-part dotted sequence keeps its tail)."""
+    from crankshaft_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(0, "mail a.b+c@ex.co.uk or 555-123-4567"),
+         (1, "hosts 10.0.255.1 192.168.1.100"),
+         (2, "x@y.z is not an email, 1.2.3.4.5 has a tail"),
+         (3, "clean")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(docs).collect()}
+    assert got[0]["scrubbed"] == "mail <EMAIL> or <PHONE>"
+    assert (got[0]["n_emails"], got[0]["n_phones"]) == (1, 1)
+    assert got[1]["scrubbed"] == "hosts <IP> <IP>" and got[1]["n_ips"] == 2
+    assert got[2]["scrubbed"] == "x@y.z is not an email, <IP>.5 has a tail"
+    assert got[2]["n_emails"] == 0
+    assert got[3]["scrubbed"] == "clean"
