@@ -588,3 +588,71 @@ def pii_oracle_sql(docs_sql: str) -> str:
     return f"""
     SELECT doc_id, {scrubbed} AS scrubbed, {counts}
     FROM ({docs_sql})"""
+
+
+# ---------------------------------------------------- corpus filtering -----
+
+#: (reason, rule) pairs in precedence order — the reported reason is the
+#: FIRST failing rule, so both engines must evaluate in this exact order.
+CORPUS_RULES_DOC = """rule order: low_quality -> lang -> dup_lines ->
+repetitive -> ok"""
+
+
+def corpus_keep_expr(*, quality, predicted_lang, dup_line_frac,
+                     top2gram_frac, min_quality: float = 0.2,
+                     lang_allow: tuple = ("en",),
+                     max_dup_line_frac: float = 0.5,
+                     max_top2gram_frac: float = 0.2):
+    """(keep, reason) column pair: the keep/drop decision a training-data
+    pipeline executes over the per-doc quality signals.  Inputs are
+    existing columns (from text_profile / repetition_stats), so composing
+    this into a profiling query adds a projection, not a scan.  Reason is
+    the first failing rule in pinned order (low_quality, lang, dup_lines,
+    repetitive), 'ok' otherwise."""
+    lang_ok = F.lit(False)
+    for lg in lang_allow:
+        lang_ok = lang_ok | (predicted_lang == lg)
+    reason = (
+        F.when(quality < min_quality, "low_quality")
+        .when(~lang_ok, "lang")
+        .when(dup_line_frac > max_dup_line_frac, "dup_lines")
+        .when(top2gram_frac > max_top2gram_frac, "repetitive")
+        .otherwise("ok")
+    )
+    return (reason == "ok").alias("keep"), reason.alias("reason")
+
+
+def corpus_keep_sql(*, quality: str, predicted_lang: str,
+                    dup_line_frac: str, top2gram_frac: str,
+                    min_quality: float = 0.2,
+                    lang_allow: tuple = ("en",),
+                    max_dup_line_frac: float = 0.5,
+                    max_top2gram_frac: float = 0.2) -> str:
+    """DuckDB mirror of corpus_keep_expr: returns SQL text for the two
+    projected columns ``keep`` and ``reason``."""
+    allow = " OR ".join(f"{predicted_lang} = '{lg}'" for lg in lang_allow)
+    reason = (
+        f"CASE WHEN {quality} < {min_quality} THEN 'low_quality' "
+        f"WHEN NOT ({allow}) THEN 'lang' "
+        f"WHEN {dup_line_frac} > {max_dup_line_frac} THEN 'dup_lines' "
+        f"WHEN {top2gram_frac} > {max_top2gram_frac} THEN 'repetitive' "
+        f"ELSE 'ok' END"
+    )
+    return f"({reason} = 'ok') AS keep, {reason} AS reason"
+
+
+def corpus_filter(docs: DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id", **thresholds) -> DataFrame:
+    """(doc_id, keep, reason) — standalone convenience over raw docs:
+    computes the needed signals (one profile scan + one repetition
+    aggregate) and applies corpus_keep_expr."""
+    prof = docs.select(
+        F.col(id_col), *_quality_cols(text_col), *_lang_cols(text_col))
+    rep = repetition_stats(docs, text_col=text_col, id_col=id_col)
+    joined = prof.join(rep, id_col)
+    keep, reason = corpus_keep_expr(
+        quality=F.col("quality"),
+        predicted_lang=F.col("predicted_lang"),
+        dup_line_frac=F.col("dup_line_frac"),
+        top2gram_frac=F.col("top2gram_frac"), **thresholds)
+    return joined.select(id_col, keep, reason)

@@ -2160,7 +2160,7 @@ def q_text_stats(spark, sf_dir):
     repetition input derives line structure closed-form: every ' table '
     becomes a newline (plain string replace, identical in both engines)."""
     from crankshaft_spark.operators.text import (
-        pii_scrub, repetition_stats, text_profile)
+        corpus_keep_expr, pii_scrub, repetition_stats, text_profile)
 
     docs = _docs(spark, sf_dir)
     lined = docs.select(
@@ -2180,16 +2180,29 @@ def q_text_stats(spark, sf_dir):
             F.when(d % 3 == 0, F.lit(" call 555-123-4567"))
              .otherwise(F.lit("")),
         ).alias("text"))
-    return (
+    joined = (
         text_profile(docs)
         .join(repetition_stats(lined), "doc_id")
         .join(pii_scrub(pii_src), "doc_id")
     )
+    # final pipeline verdict over the signals above (adds a projection,
+    # not a scan); dup-line/top-gram rules read the lined variant's
+    # columns
+    # thresholds picked so three branches fire on the synthetic corpus
+    # (quality median ~0.1, top2gram up to ~0.13; lang/dup_lines can't
+    # fire here — all-en, no dup lines — and are pytest-covered instead)
+    keep, reason = corpus_keep_expr(
+        quality=F.col("quality"),
+        predicted_lang=F.col("predicted_lang"),
+        dup_line_frac=F.col("dup_line_frac"),
+        top2gram_frac=F.col("top2gram_frac"),
+        min_quality=0.05, max_top2gram_frac=0.08)
+    return joined.select("*", keep, reason)
 
 
 def o_text_stats():
     from crankshaft_spark.operators.text import (
-        pii_oracle_sql, repetition_oracle_sql)
+        corpus_keep_sql, pii_oracle_sql, repetition_oracle_sql)
 
     lined_sql = ("SELECT doc_id, replace(text, ' table ', chr(10)) AS text "
                  f"FROM ({DOCS_SQL})")
@@ -2200,7 +2213,7 @@ def o_text_stats():
         " || CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567'"
         " ELSE '' END AS text "
         f"FROM ({DOCS_SQL})")
-    return f"""
+    inner = f"""
     SELECT t.*, b.n_words, b.n_numbers, b.n_marks, b.n_bpe_tokens,
            q.n_chars, q.stopword_ratio, q.space_ratio, q.quality,
            l.* EXCLUDE (doc_id), r.* EXCLUDE (doc_id),
@@ -2211,6 +2224,11 @@ def o_text_stats():
     JOIN ({o_lang_scores()}) l ON t.doc_id = l.doc_id
     JOIN ({repetition_oracle_sql(lined_sql)}) r ON t.doc_id = r.doc_id
     JOIN ({pii_oracle_sql(pii_src_sql)}) p ON t.doc_id = p.doc_id"""
+    verdict = corpus_keep_sql(
+        quality="x.quality", predicted_lang="x.predicted_lang",
+        dup_line_frac="x.dup_line_frac", top2gram_frac="x.top2gram_frac",
+        min_quality=0.05, max_top2gram_frac=0.08)
+    return f"SELECT x.*, {verdict} FROM ({inner}) x"
 
 
 # -------------------------------------------------------------- catalog -----

@@ -287,3 +287,27 @@ def test_pii_scrub_semantics(spark):
     assert got[2]["scrubbed"] == "x@y.z is not an email, <IP>.5 has a tail"
     assert got[2]["n_emails"] == 0
     assert got[3]["scrubbed"] == "clean"
+
+
+def test_corpus_filter_reasons(spark):
+    """Keep/drop verdict with pinned reason precedence: low_quality wins
+    over lang, lang over repetition; all branches reachable."""
+    from crankshaft_spark.operators.text import corpus_filter
+
+    docs = spark.createDataFrame(
+        [(1, "tiny"),                                        # low_quality
+         (2, "el gato la casa de la ciudad el perro come en la casa "
+             "grande de la ciudad vieja junto a la plaza"),  # es -> lang
+         (3, "the cat and the dog\nthe cat and the dog\n"
+             "the cat and the dog\nof the house and the mat "
+             "sat on the mat of the house"),                 # dup lines
+         (4, "the cat and the dog of the house sat on the mat and "
+             "the bird flew over the green field near the old river")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in corpus_filter(
+               docs, min_quality=0.2, max_dup_line_frac=0.4).collect()}
+    assert got[1] == (False, "low_quality")
+    assert got[2] == (False, "lang")
+    assert got[3] == (False, "dup_lines")
+    assert got[4] == (True, "ok")
