@@ -70,8 +70,11 @@ def _quality_cols(text_col: str):
     )
     stopword_ratio = stop_hits / n_tokens
     space_ratio = n_spaces.cast("double") / n_chars
+    # NULL text scores 0.0 (contentless), NOT NULL: Spark's least() skips
+    # NULL operands, so without the explicit guard a NULL doc would score
+    # a perfect 1.0 (least(1.0, NULL) = 1.0) and sail through filters.
     quality = (
-        F.when(n_chars < 20, 0.0)
+        F.when(n_chars.isNull() | (n_chars < 20), 0.0)
         .otherwise(
             F.least(F.lit(1.0), stopword_ratio * 4.0)
             * F.least(F.lit(1.0), n_chars.cast("double") / 200.0)
@@ -267,20 +270,24 @@ def _bpe_cols(text_col: str):
     ]
 
 
-def text_profile(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+def text_profile(docs: DataFrame, *, text_col: str = "text",
+                 extra_cols=()) -> DataFrame:
     """Single-scan corpus profile: token_stats + bpe_token_stats +
     quality_score + lang_scores columns in ONE projection over the text
     table — no joins, one pass.  At 10^12 rows the joined composition
     re-scans the (string-heavy) table four times and shuffles three
     doc_id joins; this is the shape a profiling sweep should use.  Each
     expression is the standalone operator's own column builder, so values
-    are identical to the per-op outputs."""
+    are identical to the per-op outputs.  ``extra_cols`` appends further
+    projection-only column expressions (e.g. pii_cols over a derived text
+    expression) to the SAME scan instead of a separate scan + join."""
     return docs.select(
         "doc_id",
         *_token_stat_cols(text_col),
         *_bpe_cols(text_col),
         *_quality_cols(text_col),
         *_lang_cols(text_col),
+        *extra_cols,
     )
 
 
@@ -554,39 +561,48 @@ _PII_RULES = [
 ]
 
 
+def pii_cols(text: Column) -> list:
+    """[scrubbed, n_emails, n_ips, n_phones] column expressions over a
+    text expression — pure regexp algebra (codegen, no shuffle, no
+    Python), composable into an existing projection so a profiling sweep
+    pays no extra scan.  Each class is counted on the text AFTER earlier
+    rules' replacements, so every count equals the number of that class's
+    typed tokens actually emitted (an email that swallows a phone-shaped
+    digit run is ONE email, zero phones — counts and tokens agree).
+    NULL text is treated as '' (every doc keeps a row, zero counts)."""
+    stage = F.coalesce(text, F.lit(""))
+    counts = []
+    for name, pat, token in _PII_RULES:
+        counts.append(
+            F.regexp_count(stage, F.lit(pat)).cast("long")
+             .alias(f"n_{name}s"))
+        stage = F.regexp_replace(stage, pat, token)
+    return [stage.alias("scrubbed"), *counts]
+
+
 def pii_scrub(docs: DataFrame, *, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """(doc_id, scrubbed, n_emails, n_ips, n_phones) — redact emails,
     IPv4 addresses and NNN-NNN-NNNN phone numbers with typed placeholder
-    tokens and count each match class.  Pure regexp column algebra
-    (codegen, no shuffle, no Python); counts are taken before any
-    replacement so later rules can't consume an earlier class's text."""
-    t = F.col(text_col)
-    counts = [
-        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}s")
-        for name, pat, _ in _PII_RULES
-    ]
-    scrubbed = t
-    for _, pat, token in _PII_RULES:
-        scrubbed = F.regexp_replace(scrubbed, pat, token)
-    return docs.select(
-        F.col(id_col), scrubbed.alias("scrubbed"), *counts)
+    tokens and count each match class (see pii_cols for the staged-count
+    semantics)."""
+    return docs.select(F.col(id_col), *pii_cols(F.col(text_col)))
 
 
 def pii_oracle_sql(docs_sql: str) -> str:
     """DuckDB mirror of pii_scrub (regexp_replace needs the 'g' flag —
     DuckDB replaces only the first match by default, Spark replaces
-    all)."""
-    scrubbed = "text"
-    for _, pat, token in _PII_RULES:
-        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{token}', 'g')"
-    counts = ", ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
-        f" AS n_{name}s"
-        for name, pat, _ in _PII_RULES
-    )
+    all).  Counts are staged exactly like pii_cols: each class counted
+    on the text after earlier classes' replacements."""
+    stage = "coalesce(text, '')"
+    counts = []
+    for name, pat, token in _PII_RULES:
+        counts.append(
+            f"CAST(len(regexp_extract_all({stage}, '{pat}')) AS BIGINT)"
+            f" AS n_{name}s")
+        stage = f"regexp_replace({stage}, '{pat}', '{token}', 'g')"
     return f"""
-    SELECT doc_id, {scrubbed} AS scrubbed, {counts}
+    SELECT doc_id, {stage} AS scrubbed, {", ".join(counts)}
     FROM ({docs_sql})"""
 
 
@@ -608,13 +624,13 @@ def corpus_keep_expr(*, quality, predicted_lang, dup_line_frac,
     existing columns (from text_profile / repetition_stats), so composing
     this into a profiling query adds a projection, not a scan.  Reason is
     the first failing rule in pinned order (low_quality, lang, dup_lines,
-    repetitive), 'ok' otherwise."""
-    lang_ok = F.lit(False)
-    for lg in lang_allow:
-        lang_ok = lang_ok | (predicted_lang == lg)
+    repetitive), 'ok' otherwise.  NULL signals fail their rule (a NULL
+    quality or language is a drop, never a silent keep): a NULL-text doc
+    has quality NULL and is dropped as low_quality."""
     reason = (
-        F.when(quality < min_quality, "low_quality")
-        .when(~lang_ok, "lang")
+        F.when(quality.isNull() | (quality < min_quality), "low_quality")
+        .when(~F.coalesce(predicted_lang.isin(*lang_allow), F.lit(False)),
+              "lang")
         .when(dup_line_frac > max_dup_line_frac, "dup_lines")
         .when(top2gram_frac > max_top2gram_frac, "repetitive")
         .otherwise("ok")
@@ -630,10 +646,12 @@ def corpus_keep_sql(*, quality: str, predicted_lang: str,
                     max_top2gram_frac: float = 0.2) -> str:
     """DuckDB mirror of corpus_keep_expr: returns SQL text for the two
     projected columns ``keep`` and ``reason``."""
-    allow = " OR ".join(f"{predicted_lang} = '{lg}'" for lg in lang_allow)
+    allow = ", ".join(f"'{lg}'" for lg in lang_allow)
     reason = (
-        f"CASE WHEN {quality} < {min_quality} THEN 'low_quality' "
-        f"WHEN NOT ({allow}) THEN 'lang' "
+        f"CASE WHEN {quality} IS NULL OR {quality} < {min_quality}"
+        f" THEN 'low_quality' "
+        f"WHEN NOT coalesce({predicted_lang} IN ({allow}), false)"
+        f" THEN 'lang' "
         f"WHEN {dup_line_frac} > {max_dup_line_frac} THEN 'dup_lines' "
         f"WHEN {top2gram_frac} > {max_top2gram_frac} THEN 'repetitive' "
         f"ELSE 'ok' END"

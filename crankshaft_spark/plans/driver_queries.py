@@ -529,7 +529,7 @@ def o_quality_score():
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
            round(stop_hits / (n_spaces + 1), 6) AS stopword_ratio,
            round(CAST(n_spaces AS DOUBLE) / n_chars, 6) AS space_ratio,
-           round(CASE WHEN n_chars < 20 THEN 0.0
+           round(CASE WHEN n_chars IS NULL OR n_chars < 20 THEN 0.0
                  ELSE least(1.0, stop_hits / (n_spaces + 1) * 4.0)
                       * least(1.0, CAST(n_chars AS DOUBLE) / 200.0)
                  END, 6) AS quality
@@ -2160,7 +2160,7 @@ def q_text_stats(spark, sf_dir):
     repetition input derives line structure closed-form: every ' table '
     becomes a newline (plain string replace, identical in both engines)."""
     from crankshaft_spark.operators.text import (
-        corpus_keep_expr, pii_scrub, repetition_stats, text_profile)
+        corpus_keep_expr, pii_cols, repetition_stats, text_profile)
 
     docs = _docs(spark, sf_dir)
     lined = docs.select(
@@ -2169,21 +2169,18 @@ def q_text_stats(spark, sf_dir):
          .alias("text"))
     # PII arm: the synthetic docs carry no contact info, so append some
     # closed-form (identical concat in the oracle) — email+IP on every
-    # doc, a phone on every third
+    # doc, a phone on every third.  pii_cols is projection algebra, so it
+    # rides the SAME scan as text_profile (no extra scan, no doc_id join).
     d = F.col("doc_id")
-    pii_src = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"), F.lit(" contact user"), d.cast("string"),
-            F.lit("@example.com ip 10.0."), (d % 256).cast("string"),
-            F.lit("."), ((d * 7) % 256).cast("string"),
-            F.when(d % 3 == 0, F.lit(" call 555-123-4567"))
-             .otherwise(F.lit("")),
-        ).alias("text"))
+    pii_text = F.concat(
+        F.col("text"), F.lit(" contact user"), d.cast("string"),
+        F.lit("@example.com ip 10.0."), (d % 256).cast("string"),
+        F.lit("."), ((d * 7) % 256).cast("string"),
+        F.when(d % 3 == 0, F.lit(" call 555-123-4567"))
+         .otherwise(F.lit("")))
     joined = (
-        text_profile(docs)
+        text_profile(docs, extra_cols=pii_cols(pii_text))
         .join(repetition_stats(lined), "doc_id")
-        .join(pii_scrub(pii_src), "doc_id")
     )
     # final pipeline verdict over the signals above (adds a projection,
     # not a scan); dup-line/top-gram rules read the lined variant's

@@ -270,15 +270,20 @@ def test_repetition_stats_null_text_row_kept(spark):
 
 def test_pii_scrub_semantics(spark):
     """Emails, IPv4s and NNN-NNN-NNNN phones are replaced with typed
-    tokens; counts reflect the ORIGINAL text; lookalikes survive (single-
-    letter TLD, 5-part dotted sequence keeps its tail)."""
+    tokens; each count equals the number of that class's tokens actually
+    emitted (staged counting — a span consumed by an earlier class is not
+    re-counted by a later one); lookalikes survive (single-letter TLD,
+    5-part dotted sequence keeps its tail); NULL text keeps its row with
+    zero counts."""
     from crankshaft_spark.operators.text import pii_scrub
 
     docs = spark.createDataFrame(
         [(0, "mail a.b+c@ex.co.uk or 555-123-4567"),
          (1, "hosts 10.0.255.1 192.168.1.100"),
          (2, "x@y.z is not an email, 1.2.3.4.5 has a tail"),
-         (3, "clean")],
+         (3, "clean"),
+         (4, "555-123-4567@spam.co"),   # email swallows the phone digits
+         (5, None)],
         "doc_id long, text string")
     got = {r["doc_id"]: r.asDict() for r in pii_scrub(docs).collect()}
     assert got[0]["scrubbed"] == "mail <EMAIL> or <PHONE>"
@@ -287,6 +292,11 @@ def test_pii_scrub_semantics(spark):
     assert got[2]["scrubbed"] == "x@y.z is not an email, <IP>.5 has a tail"
     assert got[2]["n_emails"] == 0
     assert got[3]["scrubbed"] == "clean"
+    assert got[4]["scrubbed"] == "<EMAIL>"
+    assert (got[4]["n_emails"], got[4]["n_phones"]) == (1, 0)
+    assert got[5]["scrubbed"] == ""
+    assert (got[5]["n_emails"], got[5]["n_ips"], got[5]["n_phones"]) \
+        == (0, 0, 0)
 
 
 def test_corpus_filter_reasons(spark):
@@ -302,7 +312,8 @@ def test_corpus_filter_reasons(spark):
              "the cat and the dog\nof the house and the mat "
              "sat on the mat of the house"),                 # dup lines
          (4, "the cat and the dog of the house sat on the mat and "
-             "the bird flew over the green field near the old river")],
+             "the bird flew over the green field near the old river"),
+         (5, None)],                                         # NULL -> drop
         "doc_id long, text string")
     got = {r["doc_id"]: (r["keep"], r["reason"])
            for r in corpus_filter(
@@ -311,3 +322,4 @@ def test_corpus_filter_reasons(spark):
     assert got[2] == (False, "lang")
     assert got[3] == (False, "dup_lines")
     assert got[4] == (True, "ok")
+    assert got[5] == (False, "low_quality")
