@@ -32,10 +32,11 @@ from crankshaft_spark.plans.pipeline import hotspot_pipeline  # noqa: E402
 from crankshaft_spark.sources.webpages import synth_webpages  # noqa: E402
 
 HEADLINE = [
-    "knn_edges", "moran_local", "moran_local_rate", "getis_z", "markov",
+    "knn_edges", "moran_local", "moran_local_rate_bv", "getis_z", "markov",
     "interp_nn_idw", "interp_bary", "gravity_h", "grid_density",
     "contour_equal", "overlap_sum", "queen_edges", "pip_assign",
     "page_extract", "dedup_exact", "text_stats", "ngram_jaccard",
+    "decontaminate", "corpus_select",
     "minhash_lsh", "simhash_pairs", "fingerprints",
     "ann_cosine", "embed_neardup", "kmeans_spatial", "voronoi", "pia",
 ]

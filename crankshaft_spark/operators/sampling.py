@@ -1,0 +1,238 @@
+"""Deterministic corpus sampling and token-budget shard packing.
+
+Training-data selection ops (engine-native; the reference has no corpus
+surface — public practice: per-domain quota sampling and fixed-token-budget
+output shards in C4/Dolma-style pipelines).  Everything is driven by the
+repo's portable per-row RNG (CLAUDE.md): u = conv(substring(md5(
+'seed:id'),1,8),16,10) / 2^32, derived from row IDENTITY so results are
+bit-identical at any parallelism and replayable by the DuckDB oracle.
+
+Scale shapes:
+  * Bernoulli sampling is a pure filter — no shuffle, fully pushed.
+  * Stratified quota sampling ranks per stratum.  A per-stratum window
+    sort funnels each stratum through one reducer, so the hot path
+    prefilters to ~OVERSAMPLE*quota candidates per stratum first (u is
+    uniform, so the threshold quota*OVERSAMPLE/n_s keeps the winners with
+    overwhelming margin) and ranks only the survivors; a per-stratum
+    count guard falls back to unfiltered ranking for any stratum the
+    prefilter underfilled, so the result is EXACTLY the top-quota-by-u
+    set regardless.
+  * Shard packing needs a global prefix sum.  One global orderBy window
+    is a single-reducer plan, so the tokens are range-bucketed by the
+    hash's high bits (order-preserving), prefix-summed WITHIN each bucket
+    by a partitioned window, and stitched with per-bucket offsets — the
+    offsets table is n_buckets rows (driver-side, bounded by constant).
+"""
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "uniform_hash",
+    "uniform_hash_sql",
+    "corpus_sample",
+    "weighted_sample",
+    "shard_pack",
+]
+
+#: 2^32 — the md5-prefix hash is 8 hex digits.
+_M = 4294967296.0
+
+#: candidate multiplier for the stratified prefilter (see module doc).
+OVERSAMPLE = 4.0
+
+
+def uniform_hash(seed, *cols) -> Column:
+    """Portable u in [0, 1): first 8 md5 hex digits of 'seed:c1:c2:...'
+    over row-identity columns.  Identical in DuckDB via
+    uniform_hash_sql — the CLAUDE.md portable-RNG recipe."""
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), *cols))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_M)
+
+
+def uniform_hash_sql(seed, *exprs) -> str:
+    """DuckDB mirror of uniform_hash."""
+    parts = ", ".join(f"CAST({e} AS VARCHAR)" for e in exprs)
+    return (f"(('0x' || substring(md5(concat_ws(':', '{seed}', {parts})),"
+            f" 1, 8))::BIGINT / {_M})")
+
+
+def corpus_sample(docs: DataFrame, *, seed: int = 42,
+                  id_col: str = "doc_id", fraction: float = None,
+                  stratify_by: str = None, quota: int = None) -> DataFrame:
+    """Deterministic sample of a document table.
+
+    Two modes:
+      * ``fraction`` — Bernoulli: keep rows with u < fraction.  Pure
+        filter (no shuffle); expected fraction*n rows, independent of
+        partitioning, reproducible from (seed, id).
+      * ``stratify_by`` + ``quota`` — exact top-``quota``-by-u rows per
+        stratum (e.g. per source/domain), the per-domain cap a crawl
+        pipeline uses so no host dominates the corpus.
+
+    Returns the input columns plus ``u`` (rounded 6dp) and, in quota
+    mode, ``sample_rank`` (1-based within the stratum).
+    """
+    u = uniform_hash(seed, F.col(id_col))
+    if fraction is not None:
+        return (docs.withColumn("u", u)
+                    .filter(F.col("u") < fraction)
+                    .withColumn("u", F.round("u", 6)))
+    if stratify_by is None or quota is None:
+        raise ValueError("need fraction, or stratify_by and quota")
+
+    s = F.col(stratify_by)
+    cand = docs.withColumn("u", u)
+    # prefilter: u uniform => the top-quota u's almost surely sit below
+    # OVERSAMPLE*quota/n_s; the per-stratum flag table below makes the
+    # 'almost' exact.  Three passes over the input total (counts,
+    # survivor counts, final filter) — all joins are stratum-keyed
+    # against per-stratum tables (one row per stratum; AQE picks
+    # broadcast when they're small).
+    counts = cand.groupBy(stratify_by).agg(F.count("*").alias("_n"))
+    counts = counts.withColumn(
+        "_thr",
+        F.least(F.lit(1.0), F.lit(OVERSAMPLE * quota) / F.col("_n")))
+    # guard: a stratum whose survivor count fell below min(quota, n)
+    # skips the prefilter entirely (never triggers in practice with
+    # OVERSAMPLE=4; keeps the result EXACTLY top-quota-by-u regardless)
+    svc = (cand.join(counts, stratify_by)
+               .groupBy(stratify_by)
+               .agg(F.sum((F.col("u") < F.col("_thr")).cast("long"))
+                     .alias("_k"),
+                    F.first("_n").alias("_n"), F.first("_thr").alias("_thr")))
+    flags = svc.withColumn(
+        "_fallback", F.col("_k") < F.least(F.lit(quota), F.col("_n")))
+    keep = (cand.join(flags, stratify_by)
+                .filter((F.col("u") < F.col("_thr")) | F.col("_fallback"))
+                .select(*cand.columns))
+    w = Window.partitionBy(s).orderBy("u", id_col)
+    return (keep.withColumn("sample_rank", F.row_number().over(w))
+                .filter(F.col("sample_rank") <= quota)
+                .withColumn("u", F.round("u", 6)))
+
+
+def corpus_sample_oracle_sql(docs_sql: str, *, seed: int = 42,
+                             id_col: str = "doc_id",
+                             fraction: float = None,
+                             stratify_by: str = None,
+                             quota: int = None) -> str:
+    """DuckDB mirror of corpus_sample (the prefilter is lossless, so the
+    oracle is the direct top-quota-by-u definition)."""
+    u = uniform_hash_sql(seed, id_col)
+    if fraction is not None:
+        return f"""
+        SELECT *, round(u, 6) AS u FROM (
+          SELECT *, {u} AS u FROM ({docs_sql})) WHERE u < {fraction}"""
+    return f"""
+    SELECT * EXCLUDE (u, sample_rank), round(u, 6) AS u, sample_rank
+    FROM (
+      SELECT *, row_number() OVER (
+          PARTITION BY {stratify_by} ORDER BY u, {id_col}) AS sample_rank
+      FROM (SELECT *, {u} AS u FROM ({docs_sql})))
+    WHERE sample_rank <= {quota}"""
+
+
+def weighted_sample(docs: DataFrame, *, target: int, weight_col: str,
+                    seed: int = 42, id_col: str = "doc_id") -> DataFrame:
+    """Poisson sample with inclusion probability proportional to weight
+    (PPS: pi_i = target * w_i / sum(w)) — quality- or length-weighted
+    corpus selection with expected size ``target``.
+
+    Exactly portable across engines AND parallelism: weights are floored
+    to 1e-6 fixed-point BIGINTs and summed as integers (commutative — a
+    double sum would be partition-order sensitive, CLAUDE.md), and the
+    inclusion test  h < pi * 2^32  is cross-multiplied into products of
+    integer-derived doubles written in the SAME operand order as the
+    oracle (IEEE multiplication is deterministic given identical
+    operands).  Rows with pi >= 1 are always kept.  Pure filter against
+    a broadcast one-row total — no shuffle of the corpus."""
+    wfp = F.floor(F.col(weight_col) * F.lit(1e6)).cast("long")
+    tot = docs.agg(F.sum(wfp).alias("_W"))
+    h = (F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col))),
+            1, 8), 16, 10).cast("long"))
+    lhs = h.cast("double") * F.col("_W").cast("double")
+    rhs = (F.lit(float(target)) * wfp.cast("double")) * F.lit(_M)
+    pi = F.round((F.lit(float(target)) * wfp.cast("double"))
+                 / F.col("_W").cast("double"), 6)
+    return (docs.crossJoin(F.broadcast(tot))
+                .filter(lhs < rhs)
+                .select(*docs.columns, pi.alias("pi")))
+
+
+def weighted_sample_oracle_sql(docs_sql: str, *, target: int,
+                               weight_col: str, seed: int = 42,
+                               id_col: str = "doc_id",
+                               cols: str = "*") -> str:
+    """DuckDB mirror of weighted_sample — identical operand order."""
+    wfp = f"CAST(floor({weight_col} * 1e6) AS BIGINT)"
+    h = (f"(('0x' || substring(md5(concat_ws(':', '{seed}', "
+         f"CAST({id_col} AS VARCHAR))), 1, 8))::BIGINT)")
+    return f"""
+    SELECT {cols},
+           round((CAST({target} AS DOUBLE) * CAST(wfp AS DOUBLE))
+                 / CAST(_W AS DOUBLE), 6) AS pi
+    FROM (SELECT *, {wfp} AS wfp, {h} AS h FROM ({docs_sql})),
+         (SELECT sum({wfp}) AS _W FROM ({docs_sql}))
+    WHERE CAST(h AS DOUBLE) * CAST(_W AS DOUBLE)
+          < (CAST({target} AS DOUBLE) * CAST(wfp AS DOUBLE)) * {_M}"""
+
+
+def shard_pack(docs: DataFrame, *, budget: int, tokens_col: str = "tokens",
+               id_col: str = "doc_id", seed: int = 42,
+               n_buckets: int = 256) -> DataFrame:
+    """Assign each doc to a fixed-token-budget output shard.
+
+    Docs are laid out in a deterministic shuffled order (portable hash of
+    (seed, id) — decorrelates shards from crawl order) and cut greedily:
+    ``shard_id = cum_tokens_before_this_doc div budget``.  Exact integer
+    arithmetic end to end.
+
+    Distributed prefix sum: the hash is range-bucketed (order-
+    preserving high bits) into ``n_buckets``; within-bucket cumulative
+    sums come from a PARTITIONED window; bucket offsets are an
+    ``n_buckets``-row table prefix-summed driver-side and broadcast
+    back.  No global-order single-reducer window at any size.
+    """
+    h = (F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col))),
+            1, 8), 16, 10).cast("long"))
+    t = F.col(tokens_col).cast("long")
+    rows = docs.withColumn("_h", h).withColumn(
+        "_b", (F.col("_h") / F.lit(int(_M) // n_buckets)).cast("long"))
+    w = (Window.partitionBy("_b").orderBy("_h", id_col)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rows = rows.withColumn("_cum_in_b", F.sum(t).over(w))
+    # per-bucket offsets: the totals table is <= n_buckets rows, so its
+    # global-order window is a bounded single-reducer stage by design
+    woff = (Window.orderBy("_b")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+    odf = (rows.groupBy("_b").agg(F.sum(t).alias("_s"))
+               .withColumn("_off", F.coalesce(F.sum("_s").over(woff),
+                                              F.lit(0)))
+               .drop("_s"))
+    out = (rows.join(F.broadcast(odf), "_b")
+               .withColumn("_cum_before",
+                           F.col("_off") + F.col("_cum_in_b") - t)
+               .withColumn("shard_id",
+                           F.expr(f"_cum_before div {int(budget)}")))
+    return out.select(*docs.columns, "shard_id")
+
+
+def shard_pack_oracle_sql(docs_sql: str, *, budget: int,
+                          tokens_col: str = "tokens",
+                          id_col: str = "doc_id", seed: int = 42,
+                          cols: str = "*") -> str:
+    """DuckDB mirror of shard_pack: one global window (the oracle runs at
+    test scale), same hash order, same integer arithmetic.  Windowed SUM
+    of BIGINTs is exact whatever the accumulation tree, so the
+    segment-tree caveat (CLAUDE.md) doesn't bite."""
+    h = (f"(('0x' || substring(md5(concat_ws(':', '{seed}', "
+         f"CAST({id_col} AS VARCHAR))), 1, 8))::BIGINT)")
+    return f"""
+    SELECT {cols},
+           (sum({tokens_col}) OVER (ORDER BY _h, {id_col}
+              ROWS UNBOUNDED PRECEDING) - {tokens_col}) // {budget}
+           AS shard_id
+    FROM (SELECT *, {h} AS _h FROM ({docs_sql}))"""

@@ -674,3 +674,70 @@ def corpus_filter(docs: DataFrame, *, text_col: str = "text",
         dup_line_frac=F.col("dup_line_frac"),
         top2gram_frac=F.col("top2gram_frac"), **thresholds)
     return joined.select(id_col, keep, reason)
+
+
+# ------------------------------------------------- decontamination ---------
+# Benchmark decontamination (public practice: GPT-3-style 13-gram collision
+# filtering): a training doc is contaminated when it shares any word n-gram
+# with any eval/benchmark item.  The benchmark side is tiny next to the
+# corpus (thousands of items vs billions of docs), so the scale shape is:
+# distinct the BENCHMARK n-grams (bounded), broadcast them, and stream the
+# corpus's exploded n-grams through a broadcast hash join — the 100 TB side
+# never shuffles; the per-doc hit rollup shuffles only matched grams, and
+# the join back to the base scan carries only contaminated doc_ids.
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, *, n: int = 13,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ngrams, n_hits, contaminated) — flag training docs that
+    share any word ``n``-gram with any benchmark item.  ``n_hits`` counts
+    the doc's n-gram occurrences (with multiplicity) that appear anywhere
+    in the benchmark set; docs or items with < n words contribute no
+    grams.  Tokenization is lowercase single-space word split, mirrored
+    exactly by decontaminate_oracle_sql."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    bwords = F.split(F.lower(F.col(bench_text_col)), " ")
+    bench_grams = (
+        benchmark.select(F.explode(_word_ngrams(bwords, n)).alias("gram"))
+        .distinct())
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(_word_ngrams(words, n)).alias("gram"))
+    hits = (doc_grams.join(F.broadcast(bench_grams), "gram")
+            .groupBy(id_col).agg(F.count("*").alias("_hits")))
+    base = docs.select(
+        F.col(id_col),
+        F.greatest(F.size(words) - (n - 1), F.lit(0)).cast("long")
+         .alias("n_ngrams"))
+    # hits is bounded by the contaminated subset; left AQE decide the
+    # join-back strategy (usually broadcast) rather than forcing it
+    return base.join(hits, id_col, "left").select(
+        id_col, "n_ngrams",
+        F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("_hits"), F.lit(0)) > 0).alias("contaminated"))
+
+
+def _ngrams_sql(words: str, n: int) -> str:
+    """DuckDB word-n-gram list over a split-words expression; empty when
+    the doc has < n words (range() is end-exclusive)."""
+    return (f"list_transform(range(1, len({words}) - {n - 2}), "
+            f"i -> array_to_string(list_slice({words}, i, i + {n - 1}),"
+            f" ' '))")
+
+
+def decontaminate_oracle_sql(docs_sql: str, bench_sql: str, *,
+                             n: int = 13) -> str:
+    """DuckDB mirror of decontaminate."""
+    w = "string_split(lower(text), ' ')"
+    return f"""
+    WITH dw AS (SELECT doc_id, {w} AS w FROM ({docs_sql})),
+    bg AS (SELECT DISTINCT unnest({_ngrams_sql('w', n)}) AS gram
+           FROM (SELECT {w} AS w FROM ({bench_sql}))),
+    dg AS (SELECT doc_id, unnest({_ngrams_sql('w', n)}) AS gram FROM dw),
+    h AS (SELECT doc_id, count(*) AS n_hits
+          FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+    SELECT dw.doc_id,
+           CAST(greatest(len(w) - {n - 1}, 0) AS BIGINT) AS n_ngrams,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM dw LEFT JOIN h USING (doc_id)"""

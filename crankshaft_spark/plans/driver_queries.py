@@ -2228,6 +2228,125 @@ def o_text_stats():
     return f"SELECT x.*, {verdict} FROM ({inner}) x"
 
 
+DECONTAM_N = 13
+
+
+def q_decontaminate(spark, sf_dir):
+    """13-gram benchmark decontamination (GPT-3-style eval-set collision
+    filter).  The benchmark set derives closed-form from the corpus
+    itself — every 37th doc contributes words 4..19 as an eval item — so
+    those docs are guaranteed contaminated and accidental 13-gram
+    collisions between other word-soup docs are astronomically unlikely
+    (~1/37 of docs flag).  Scale shape: the benchmark n-gram set is tiny
+    and BROADCAST; the corpus side never shuffles (see
+    operators/text.py decontaminate)."""
+    from crankshaft_spark.operators.text import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.lower(F.col("text")), " ")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(w, 4, 16), " ").alias("text"))
+    return decontaminate(docs, bench, n=DECONTAM_N)
+
+
+def o_decontaminate():
+    from crankshaft_spark.operators.text import decontaminate_oracle_sql
+
+    bench_sql = (
+        "SELECT doc_id AS bench_id, array_to_string(list_slice("
+        "string_split(lower(text), ' '), 4, 19), ' ') AS text "
+        f"FROM ({DOCS_SQL}) WHERE doc_id % 37 = 0")
+    return decontaminate_oracle_sql(DOCS_SQL, bench_sql, n=DECONTAM_N)
+
+
+def q_corpus_select(spark, sf_dir):
+    """Training-data selection end to end: per-source quota sample (exact
+    top-10-by-portable-u per stratum — the per-domain cap that stops any
+    host dominating the corpus) then token-budget shard packing of the
+    kept docs (1000-token output shards over the hash-shuffled order).
+    Both stages are distributed prefix/rank constructions — see
+    operators/sampling.py for the 100 TB shapes."""
+    from crankshaft_spark.operators.sampling import (
+        corpus_sample, shard_pack, weighted_sample)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tokens"))
+    samp = corpus_sample(docs, stratify_by="source", quota=10, seed=42)
+    packed = shard_pack(samp, budget=1000, seed=42)
+    # third arm: token-weighted Poisson membership (pi_i ∝ tokens,
+    # expected 100 docs over the full corpus) annotated onto the quota
+    # sample — exercises weighted_sample end to end under the oracle
+    wsel = weighted_sample(docs, target=100, weight_col="tokens",
+                           seed=42).select("doc_id", "pi")
+    return (packed.join(wsel, "doc_id", "left")
+            .select("doc_id", "source", "u", "sample_rank", "tokens",
+                    "shard_id",
+                    F.col("pi").isNotNull().alias("w_selected"),
+                    F.coalesce("pi", F.lit(0.0)).alias("pi")))
+
+
+def o_corpus_select():
+    from crankshaft_spark.operators.sampling import (
+        corpus_sample_oracle_sql, shard_pack_oracle_sql,
+        weighted_sample_oracle_sql)
+
+    docs_sql = ("SELECT doc_id, source, text, "
+                "CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens "
+                "FROM documents")
+    samp = corpus_sample_oracle_sql(
+        docs_sql, stratify_by="source", quota=10, seed=42)
+    packed = shard_pack_oracle_sql(
+        samp, budget=1000, seed=42,
+        cols="doc_id, source, u, sample_rank, tokens")
+    wsel = weighted_sample_oracle_sql(
+        docs_sql, target=100, weight_col="tokens", seed=42,
+        cols="doc_id")
+    return f"""
+    SELECT p.*, w.doc_id IS NOT NULL AS w_selected,
+           coalesce(w.pi, 0.0) AS pi
+    FROM ({packed}) p LEFT JOIN ({wsel}) w USING (doc_id)"""
+
+
+def q_media_decode(spark, sf_dir):
+    """media_metadata LEFT JOIN frame-sample rows: one row per sampled
+    video frame, one frame_no-NULL row per image/audio doc (merged from
+    the r2 media_metadata + media_frames entries to stay inside the
+    driver's 50-query budget)."""
+    meta = q_media_metadata(spark, sf_dir)
+    frames = q_media_frames(spark, sf_dir)
+    return meta.join(frames, "media_id", "left")
+
+
+def o_media_decode():
+    return f"""
+    SELECT m.*, f.frame_no
+    FROM ({o_media_metadata()}) m
+    LEFT JOIN ({o_media_frames()}) f USING (media_id)"""
+
+
+def q_moran_local_rate_bv(spark, sf_dir):
+    """Assunção–Reis rate LISA + bivariate LISA over the same point set,
+    joined on id (merged from the r2 moran_local_rate + moran_local_bv
+    entries to stay inside the driver's 50-query budget)."""
+    rate = q_moran_local_rate(spark, sf_dir).select(
+        "id", F.col("quad").alias("rate_quad"),
+        F.col("local_i").alias("rate_local_i"))
+    bv = q_moran_bv(spark, sf_dir).select(
+        "id", F.col("quad").alias("bv_quad"),
+        F.col("local_i").alias("bv_local_i"))
+    return rate.join(bv, "id")
+
+
+def o_moran_local_rate_bv():
+    return f"""
+    SELECT r.id, r.quad AS rate_quad, r.local_i AS rate_local_i,
+           b.quad AS bv_quad, b.local_i AS bv_local_i
+    FROM ({o_moran_local_rate()}) r
+    JOIN ({o_moran_bv()}) b ON r.id = b.id"""
+
+
 # -------------------------------------------------------------- catalog -----
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2261,9 +2380,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "embed_neardup": q_embed_neardup,
         "ann_ivf": q_ann_ivf,
-        "media_metadata": q_media_metadata,
-        "media_frames": q_media_frames,
+        "media_decode": q_media_decode,
         "media_real": q_media_real,
+        "decontaminate": q_decontaminate,
+        "corpus_select": q_corpus_select,
         "markov": q_markov,
         "outliers": q_outliers,
         "bins": q_bins,
@@ -2283,8 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_batch": q_sessions_batch,
         "moran_local_sim": q_moran_local_sim,
         "getis_sim": q_getis_sim,
-        "moran_local_bv": q_moran_bv,
-        "moran_local_rate": q_moran_local_rate,
+        "moran_local_rate_bv": q_moran_local_rate_bv,
         "queen_edges": q_queen_edges,
         "overlap_sum": q_overlap_sum,
         "contour_equal": q_contour,
@@ -2313,9 +2432,10 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": o_fingerprints(),
         "embed_neardup": o_embed_neardup(),
         "ann_ivf": o_ann_ivf(),
-        "media_metadata": o_media_metadata(),
-        "media_frames": o_media_frames(),
+        "media_decode": o_media_decode(),
         "media_real": o_media_real(),
+        "decontaminate": o_decontaminate(),
+        "corpus_select": o_corpus_select(),
         "markov": o_markov(),
         "outliers": o_outliers(),
         "bins": o_bins(),
@@ -2336,8 +2456,7 @@ def oracle_sql() -> dict[str, str]:
         "getis_sim": o_getis_sim(),
         "moran_local_sim": o_moran_local_sim(),
         "interp_bary": o_interp_bary(),
-        "moran_local_bv": o_moran_bv(),
-        "moran_local_rate": o_moran_local_rate(),
+        "moran_local_rate_bv": o_moran_local_rate_bv(),
         "queen_edges": o_queen_edges(),
         "overlap_sum": o_overlap_sum(),
         "contour_equal": o_contour(),

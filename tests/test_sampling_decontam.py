@@ -1,0 +1,173 @@
+"""Corpus sampling / shard packing / benchmark decontamination.
+
+Every operator here is driven by the portable md5 row-hash, so the tests
+replay the exact arithmetic in pure Python and assert equality — and
+assert parallelism invariance (results are a function of row identity,
+never of partitioning).
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _u(seed, i):
+    return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16) / 2**32
+
+
+def test_decontaminate_ngram_collisions(spark):
+    """Docs sharing any word n-gram with a benchmark item are flagged;
+    hits count doc-side multiplicity; short docs contribute no grams."""
+    from crankshaft_spark.operators.text import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),        # 'c d e' hit
+         (2, "x y z w"),          # clean
+         (3, "c d e f g"),        # hit at gram 1
+         (4, "c d e c d e"),      # 'c d e' twice -> n_hits 2
+         (5, "q")],               # < n words: 0 grams
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(0, "c d e"), (1, "p q r s")], "bench_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in decontaminate(docs, bench, n=3).collect()}
+    assert (got[1]["n_hits"], got[1]["contaminated"]) == (1, True)
+    assert (got[2]["n_hits"], got[2]["contaminated"]) == (0, False)
+    assert got[4]["n_hits"] == 2 and got[4]["n_ngrams"] == 4
+    assert got[5] == dict(doc_id=5, n_ngrams=0, n_hits=0,
+                          contaminated=False)
+
+
+def test_decontaminate_benchmark_longer_than_n(spark):
+    """A benchmark item longer than n contributes ALL its n-grams."""
+    from crankshaft_spark.operators.text import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "b c d x"), (2, "a b c y")], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(0, "a b c d e")], "bench_id long, text string")
+    got = {r["doc_id"]: r["contaminated"]
+           for r in decontaminate(docs, bench, n=3).collect()}
+    assert got == {1: True, 2: True}
+
+
+def test_corpus_sample_bernoulli(spark):
+    """Bernoulli mode keeps exactly the rows with u(seed, id) < fraction
+    — replayed row-for-row in Python; repartitioning changes nothing."""
+    from crankshaft_spark.operators.sampling import corpus_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(200)], "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in
+                 corpus_sample(docs, fraction=0.25, seed=11).collect())
+    exp = sorted(i for i in range(200) if _u(11, i) < 0.25)
+    assert got == exp
+    got7 = sorted(r["doc_id"] for r in corpus_sample(
+        docs.repartition(7), fraction=0.25, seed=11).collect())
+    assert got7 == exp
+
+
+def test_corpus_sample_stratified_quota(spark):
+    """Quota mode returns EXACTLY the top-quota-by-u rows per stratum
+    (prefilter is lossless), with 1-based sample_rank."""
+    from crankshaft_spark.operators.sampling import corpus_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)], "doc_id long, src string")
+    got = sorted((r["doc_id"], r["sample_rank"]) for r in corpus_sample(
+        docs, stratify_by="src", quota=4, seed=3).collect())
+    exp = []
+    by_s = {}
+    for i in range(60):
+        by_s.setdefault(i % 3, []).append((_u(3, i), i))
+    for s, rows in by_s.items():
+        for rank, (_, i) in enumerate(sorted(rows)[:4], 1):
+            exp.append((i, rank))
+    assert got == sorted(exp)
+
+
+def test_corpus_sample_quota_exceeds_stratum(spark):
+    """quota > stratum size keeps the whole stratum (guard path)."""
+    from crankshaft_spark.operators.sampling import corpus_sample
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, src string")
+    got = sorted(r["doc_id"] for r in corpus_sample(
+        docs, stratify_by="src", quota=5, seed=1).collect())
+    assert got == [1, 2, 3]
+
+
+def test_weighted_sample_pps(spark):
+    """Poisson PPS membership replays exactly in Python (same fixed-point
+    weights, same IEEE multiplication order); heavier rows are kept more
+    often; pi >= 1 rows always kept; partitioning changes nothing."""
+    from crankshaft_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0 + (i % 10)) for i in range(200)] + [(999, 5000.0)]
+    docs = spark.createDataFrame(rows, "doc_id long, w double")
+
+    wfp = {i: int(w * 1e6) for i, w in rows}
+    W = sum(wfp.values())
+    exp = sorted(
+        i for i, w in rows
+        if float(int(hashlib.md5(f"9:{i}".encode()).hexdigest()[:8], 16))
+        * float(W) < (20.0 * float(wfp[i])) * 2.0**32)
+    for df in (docs, docs.repartition(11)):
+        got = sorted(r["doc_id"] for r in weighted_sample(
+            df, target=20, weight_col="w", seed=9).collect())
+        assert got == exp
+    assert 999 in exp          # pi >> 1: always kept
+    # heavier strata are kept at a higher rate
+    kept = set(exp) - {999}
+    light = sum(1 for i in kept if i % 10 < 5)
+    heavy = sum(1 for i in kept if i % 10 >= 5)
+    assert heavy > light
+
+
+def test_shard_pack_matches_sequential_replay(spark):
+    """shard_id equals the greedy sequential packing over the hash-shuffled
+    order, replayed in Python; identical across parallelism and bucket
+    counts (the bucketing is an implementation detail, not a semantic)."""
+    from crankshaft_spark.operators.sampling import shard_pack
+
+    docs = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 23) for i in range(100)],
+        "doc_id long, tokens long")
+    exp = {}
+    cum = 0
+    for h, i in sorted(
+            (int(hashlib.md5(f"5:{i}".encode()).hexdigest()[:8], 16), i)
+            for i in range(100)):
+        exp[i] = cum // 150
+        cum += 10 + (i * 7) % 23
+    for df, nb in ((docs, 256), (docs.repartition(13), 8)):
+        got = {r["doc_id"]: r["shard_id"] for r in shard_pack(
+            df, budget=150, seed=5, n_buckets=nb).collect()}
+        assert got == exp
+    # shards are contiguous token ranges: every shard except the last
+    # reaches the budget before the next one starts
+    sizes = {}
+    for i, s in exp.items():
+        sizes[s] = sizes.get(s, 0) + 10 + (i * 7) % 23
+    for s in range(max(sizes)):
+        assert sizes[s] >= 150 - max(10 + (i * 7) % 23 for i in range(100))
+
+
+def test_shard_pack_single_doc_over_budget(spark):
+    """A doc larger than the budget still lands in exactly one shard and
+    pushes the next doc into a later shard."""
+    from crankshaft_spark.operators.sampling import shard_pack
+
+    docs = spark.createDataFrame(
+        [(1, 500), (2, 10), (3, 10)], "doc_id long, tokens long")
+    got = shard_pack(docs, budget=100, seed=2).collect()
+    assert len({(r["doc_id"], r["shard_id"]) for r in got}) == 3
+    order = sorted(
+        (int(hashlib.md5(f"2:{i}".encode()).hexdigest()[:8], 16), i)
+        for i in (1, 2, 3))
+    cum, exp = 0, {}
+    for _, i in order:
+        exp[i] = cum // 100
+        cum += {1: 500, 2: 10, 3: 10}[i]
+    assert {r["doc_id"]: r["shard_id"] for r in got} == exp
