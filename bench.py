@@ -79,7 +79,8 @@ def main() -> None:
     # that build (or rode a predecessor's cache).  Now: time the build
     # separately, then time edge consumers against the cached table via
     # driver_queries.set_edges_override.
-    EDGE_CONSUMERS = {"moran_local", "moran_local_rate", "getis_z", "markov"}
+    EDGE_CONSUMERS = {"moran_local", "moran_local_rate_bv", "getis_z",
+                      "markov"}
     build_best = float("inf")
     edges = None
     for _ in range(2):

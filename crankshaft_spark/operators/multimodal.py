@@ -488,13 +488,16 @@ def image_resize_features(
 
 
 def frame_sample(
-    media: DataFrame, *, every: int = 4,
+    media: DataFrame = None, *, every: int = 4, meta: DataFrame = None,
 ) -> DataFrame:
     """(media_id, frame_no) — exploded frame-sampling plan for video rows:
     one output row per sampled frame index (every ``every``-th frame).
     Frame extraction itself is the stubbed codec seam; the partition-
-    preserving explode is the real Spark plumbing."""
-    meta = decode_metadata(media)
+    preserving explode is the real Spark plumbing.  Pass ``meta`` (an
+    existing decode_metadata result) to reuse a decode the pipeline
+    already paid for instead of decoding ``media`` again."""
+    if meta is None:
+        meta = decode_metadata(media)
     vids = meta.where((F.col("kind") == "video") & F.col("ok"))
     return vids.select(
         "media_id",

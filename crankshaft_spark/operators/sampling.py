@@ -4,8 +4,13 @@ Training-data selection ops (engine-native; the reference has no corpus
 surface — public practice: per-domain quota sampling and fixed-token-budget
 output shards in C4/Dolma-style pipelines).  Everything is driven by the
 repo's portable per-row RNG (CLAUDE.md): u = conv(substring(md5(
-'seed:id'),1,8),16,10) / 2^32, derived from row IDENTITY so results are
-bit-identical at any parallelism and replayable by the DuckDB oracle.
+'seed:id:<op-tag>'),1,8),16,10) / 2^32, derived from row IDENTITY so
+results are bit-identical at any parallelism and replayable by the DuckDB
+oracle.  Each operator salts the preimage with its own tag ('sample',
+'pps', 'shard') — CLAUDE.md's axis component — so composing stages under
+ONE seed still draws independent randomness (without the tag, a quota
+sample's low-u winners would be exactly the docs a same-seed weighted
+sample keeps, and shard order would equal sample-rank order).
 
 Scale shapes:
   * Bernoulli sampling is a pure filter — no shuffle, fully pushed.
@@ -27,6 +32,8 @@ Scale shapes:
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from crankshaft_spark.operators.dedup import _h32, h32_sql
+
 __all__ = [
     "uniform_hash",
     "uniform_hash_sql",
@@ -42,19 +49,28 @@ _M = 4294967296.0
 OVERSAMPLE = 4.0
 
 
-def uniform_hash(seed, *cols) -> Column:
-    """Portable u in [0, 1): first 8 md5 hex digits of 'seed:c1:c2:...'
-    over row-identity columns.  Identical in DuckDB via
-    uniform_hash_sql — the CLAUDE.md portable-RNG recipe."""
-    h = F.md5(F.concat_ws(":", F.lit(str(seed)), *cols))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_M)
+def _hash32(seed, tag: str, *cols) -> Column:
+    """Portable 32-bit row hash over 'seed:c1:...:tag' (dedup._h32 on the
+    keyed preimage; tag is the domain-separation axis)."""
+    return _h32(F.concat_ws(":", F.lit(str(seed)), *cols, F.lit(tag)))
 
 
-def uniform_hash_sql(seed, *exprs) -> str:
-    """DuckDB mirror of uniform_hash."""
+def _hash32_sql(seed, tag: str, *exprs) -> str:
     parts = ", ".join(f"CAST({e} AS VARCHAR)" for e in exprs)
-    return (f"(('0x' || substring(md5(concat_ws(':', '{seed}', {parts})),"
-            f" 1, 8))::BIGINT / {_M})")
+    return h32_sql(f"concat_ws(':', '{seed}', {parts}, '{tag}')")
+
+
+def uniform_hash(seed, *cols, tag: str = "sample") -> Column:
+    """Portable u in [0, 1): first 8 md5 hex digits of
+    'seed:c1:c2:...:tag' over row-identity columns.  Identical in DuckDB
+    via uniform_hash_sql — the CLAUDE.md portable-RNG recipe, with the
+    operator's domain tag as the axis component."""
+    return _hash32(seed, tag, *cols).cast("double") / F.lit(_M)
+
+
+def uniform_hash_sql(seed, *exprs, tag: str = "sample") -> str:
+    """DuckDB mirror of uniform_hash."""
+    return f"({_hash32_sql(seed, tag, *exprs)} / {_M})"
 
 
 def corpus_sample(docs: DataFrame, *, seed: int = 42,
@@ -122,7 +138,7 @@ def corpus_sample_oracle_sql(docs_sql: str, *, seed: int = 42,
     u = uniform_hash_sql(seed, id_col)
     if fraction is not None:
         return f"""
-        SELECT *, round(u, 6) AS u FROM (
+        SELECT * EXCLUDE (u), round(u, 6) AS u FROM (
           SELECT *, {u} AS u FROM ({docs_sql})) WHERE u < {fraction}"""
     return f"""
     SELECT * EXCLUDE (u, sample_rank), round(u, 6) AS u, sample_rank
@@ -149,9 +165,7 @@ def weighted_sample(docs: DataFrame, *, target: int, weight_col: str,
     a broadcast one-row total — no shuffle of the corpus."""
     wfp = F.floor(F.col(weight_col) * F.lit(1e6)).cast("long")
     tot = docs.agg(F.sum(wfp).alias("_W"))
-    h = (F.conv(F.substring(
-            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col))),
-            1, 8), 16, 10).cast("long"))
+    h = _hash32(seed, "pps", F.col(id_col))
     lhs = h.cast("double") * F.col("_W").cast("double")
     rhs = (F.lit(float(target)) * wfp.cast("double")) * F.lit(_M)
     pi = F.round((F.lit(float(target)) * wfp.cast("double"))
@@ -167,8 +181,7 @@ def weighted_sample_oracle_sql(docs_sql: str, *, target: int,
                                cols: str = "*") -> str:
     """DuckDB mirror of weighted_sample — identical operand order."""
     wfp = f"CAST(floor({weight_col} * 1e6) AS BIGINT)"
-    h = (f"(('0x' || substring(md5(concat_ws(':', '{seed}', "
-         f"CAST({id_col} AS VARCHAR))), 1, 8))::BIGINT)")
+    h = _hash32_sql(seed, "pps", id_col)
     return f"""
     SELECT {cols},
            round((CAST({target} AS DOUBLE) * CAST(wfp AS DOUBLE))
@@ -195,9 +208,7 @@ def shard_pack(docs: DataFrame, *, budget: int, tokens_col: str = "tokens",
     ``n_buckets``-row table prefix-summed driver-side and broadcast
     back.  No global-order single-reducer window at any size.
     """
-    h = (F.conv(F.substring(
-            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col))),
-            1, 8), 16, 10).cast("long"))
+    h = _hash32(seed, "shard", F.col(id_col))
     t = F.col(tokens_col).cast("long")
     rows = docs.withColumn("_h", h).withColumn(
         "_b", (F.col("_h") / F.lit(int(_M) // n_buckets)).cast("long"))
@@ -228,8 +239,7 @@ def shard_pack_oracle_sql(docs_sql: str, *, budget: int,
     test scale), same hash order, same integer arithmetic.  Windowed SUM
     of BIGINTs is exact whatever the accumulation tree, so the
     segment-tree caveat (CLAUDE.md) doesn't bite."""
-    h = (f"(('0x' || substring(md5(concat_ws(':', '{seed}', "
-         f"CAST({id_col} AS VARCHAR))), 1, 8))::BIGINT)")
+    h = _hash32_sql(seed, "shard", id_col)
     return f"""
     SELECT {cols},
            (sum({tokens_col}) OVER (ORDER BY _h, {id_col}

@@ -887,14 +887,16 @@ def o_getis_sim():
 
 # --------------------------------------------------- bivariate Moran --------
 
-def q_moran_bv(spark, sf_dir):
+def q_moran_bv(spark, sf_dir, edges=None):
     from crankshaft_spark.operators.moran import moran_local_bivariate
 
     pts = customer_points(spark, sf_dir).select(
         "id", F.col("value").alias("attr1"),
         ((F.col("id") * 23) % 500).cast("double").alias("attr2"),
     )
-    res = moran_local_bivariate(pts, _edges_w(spark, sf_dir))
+    if edges is None:
+        edges = _edges_w(spark, sf_dir)
+    res = moran_local_bivariate(pts, edges)
     return res.select("id", "quad", F.round("local_i", 6).alias("local_i"))
 
 
@@ -1045,10 +1047,12 @@ def _rate_values(spark, sf_dir):
     )
 
 
-def q_moran_local_rate(spark, sf_dir):
+def q_moran_local_rate(spark, sf_dir, edges=None):
     from crankshaft_spark.operators.moran import moran_local_rate
 
-    res = moran_local_rate(_rate_values(spark, sf_dir), _edges_w(spark, sf_dir))
+    if edges is None:
+        edges = _edges_w(spark, sf_dir)
+    res = moran_local_rate(_rate_values(spark, sf_dir), edges)
     return res.select("id", "quad", F.round("local_i", 6).alias("local_i"))
 
 
@@ -2313,9 +2317,13 @@ def q_media_decode(spark, sf_dir):
     """media_metadata LEFT JOIN frame-sample rows: one row per sampled
     video frame, one frame_no-NULL row per image/audio doc (merged from
     the r2 media_metadata + media_frames entries to stay inside the
-    driver's 50-query budget)."""
-    meta = q_media_metadata(spark, sf_dir)
-    frames = q_media_frames(spark, sf_dir)
+    driver's 50-query budget).  The decode runs ONCE: both the metadata
+    arm and the frame explode read a single materialized decode_metadata
+    result (localCheckpoint) instead of synthesizing + decoding twice."""
+    from crankshaft_spark.operators.multimodal import frame_sample
+
+    meta = q_media_metadata(spark, sf_dir).localCheckpoint(eager=True)
+    frames = frame_sample(meta=meta, every=4)
     return meta.join(frames, "media_id", "left")
 
 
@@ -2329,11 +2337,17 @@ def o_media_decode():
 def q_moran_local_rate_bv(spark, sf_dir):
     """Assunção–Reis rate LISA + bivariate LISA over the same point set,
     joined on id (merged from the r2 moran_local_rate + moran_local_bv
-    entries to stay inside the driver's 50-query budget)."""
-    rate = q_moran_local_rate(spark, sf_dir).select(
+    entries to stay inside the driver's 50-query budget).  Both arms read
+    ONE materialized copy of the kNN weight table (localCheckpoint, like
+    minhash_lsh's pair reuse) — the edge build is the dominant shared
+    input and must not execute twice in one plan."""
+    edges = _edges_w(spark, sf_dir)
+    if _EDGES_OVERRIDE is None:
+        edges = edges.localCheckpoint(eager=True)
+    rate = q_moran_local_rate(spark, sf_dir, edges=edges).select(
         "id", F.col("quad").alias("rate_quad"),
         F.col("local_i").alias("rate_local_i"))
-    bv = q_moran_bv(spark, sf_dir).select(
+    bv = q_moran_bv(spark, sf_dir, edges=edges).select(
         "id", F.col("quad").alias("bv_quad"),
         F.col("local_i").alias("bv_local_i"))
     return rate.join(bv, "id")

@@ -12,8 +12,9 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def _u(seed, i):
-    return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16) / 2**32
+def _u(seed, i, tag="sample"):
+    return int(hashlib.md5(
+        f"{seed}:{i}:{tag}".encode()).hexdigest()[:8], 16) / 2**32
 
 
 def test_decontaminate_ngram_collisions(spark):
@@ -111,7 +112,7 @@ def test_weighted_sample_pps(spark):
     W = sum(wfp.values())
     exp = sorted(
         i for i, w in rows
-        if float(int(hashlib.md5(f"9:{i}".encode()).hexdigest()[:8], 16))
+        if float(int(hashlib.md5(f"9:{i}:pps".encode()).hexdigest()[:8], 16))
         * float(W) < (20.0 * float(wfp[i])) * 2.0**32)
     for df in (docs, docs.repartition(11)):
         got = sorted(r["doc_id"] for r in weighted_sample(
@@ -137,7 +138,7 @@ def test_shard_pack_matches_sequential_replay(spark):
     exp = {}
     cum = 0
     for h, i in sorted(
-            (int(hashlib.md5(f"5:{i}".encode()).hexdigest()[:8], 16), i)
+            (int(hashlib.md5(f"5:{i}:shard".encode()).hexdigest()[:8], 16), i)
             for i in range(100)):
         exp[i] = cum // 150
         cum += 10 + (i * 7) % 23
@@ -164,7 +165,7 @@ def test_shard_pack_single_doc_over_budget(spark):
     got = shard_pack(docs, budget=100, seed=2).collect()
     assert len({(r["doc_id"], r["shard_id"]) for r in got}) == 3
     order = sorted(
-        (int(hashlib.md5(f"2:{i}".encode()).hexdigest()[:8], 16), i)
+        (int(hashlib.md5(f"2:{i}:shard".encode()).hexdigest()[:8], 16), i)
         for i in (1, 2, 3))
     cum, exp = 0, {}
     for _, i in order:
