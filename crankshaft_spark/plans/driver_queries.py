@@ -453,7 +453,7 @@ def q_dedup_exact(spark, sf_dir):
     one gate entry.  URL inputs are the 8 messy closed-form variants."""
     from crankshaft_spark.operators.text import dedup_url
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     text_groups = dedup_exact(docs).select(
         F.lit("text").alias("method"), F.col("text_hash").alias("grp_key"),
         "n_copies", "keep_id",
@@ -480,8 +480,7 @@ def o_dedup_exact():
 
 
 def q_token_stats(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return token_stats(docs)
+    return token_stats(_docs(spark, sf_dir))
 
 
 def o_token_stats():
@@ -537,8 +536,7 @@ def o_quality_score():
 
 
 def q_lang_scores(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return lang_scores(docs)
+    return lang_scores(_docs(spark, sf_dir))
 
 
 def o_lang_scores():
@@ -566,10 +564,7 @@ JACCARD_DOC_LIMIT = 100
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .where(F.col("doc_id") < JACCARD_DOC_LIMIT)
-    )
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < JACCARD_DOC_LIMIT)
     return ngram_jaccard_pairs(
         docs, n=JACCARD_N, threshold=JACCARD_THRESHOLD
     )
@@ -1472,9 +1467,21 @@ DOCS_SQL = "SELECT doc_id, text FROM documents"
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    """documents(doc_id, text), fanned out to the session's parallelism
+    when the scan arrives as fewer splits.  The sf0.1 file is one ~2 MB
+    split, so without this every CPU-heavy per-row string stage
+    (shingling, n-gram explode, regexp profiling) runs in ONE task — the
+    row-ingest analogue of the spread_groups/AQE-coalescing lesson.  At
+    real scale the scan already has many splits and the branch is a
+    no-op; the repartition keys on doc_id so output stays a pure
+    function of row identity."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, "doc_id")
+    return df
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -2277,6 +2284,10 @@ def q_corpus_select(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", "text",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("tokens"))
+    # same small-scan fanout as _docs (this read also needs source)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
     samp = corpus_sample(docs, stratify_by="source", quota=10, seed=42)
     packed = shard_pack(samp, budget=1000, seed=42)
     # third arm: token-weighted Poisson membership (pi_i ∝ tokens,

@@ -8,9 +8,6 @@ never of partitioning).
 
 import hashlib
 
-import pytest
-from pyspark.sql import functions as F
-
 
 def _u(seed, i, tag="sample"):
     return int(hashlib.md5(
