@@ -115,6 +115,31 @@ def lang_scores(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", *_lang_cols(text_col))
 
 
+# normalization before hashing (public practice: case/whitespace noise
+# makes byte-exact dedup miss trivial duplicates).  Character classes are
+# written EXPLICITLY (no \s): Java \s includes \x0B where RE2's does not,
+# so the same pattern string would diverge between Spark and DuckDB.
+_CTRL_RE = "[\\x00-\\x1f]"
+_WS_RUN_RE = "  +"
+
+
+def normalize_text_expr(text: Column) -> Column:
+    """Canonical text for norm-dedup: lowercase, control chars → space,
+    whitespace runs collapsed, trimmed.  Pure regexp column algebra; the
+    oracle mirrors it token-for-token (normalize_text_sql).  Unicode NFC
+    is deliberately NOT applied — no JVM builtin exists, and a Python UDF
+    in the hash path would be the slow path; documents needing NFC should
+    be normalized at ingest."""
+    t = F.regexp_replace(F.lower(text), _CTRL_RE, " ")
+    return F.trim(F.regexp_replace(t, _WS_RUN_RE, " "))
+
+
+def normalize_text_sql(expr: str) -> str:
+    """DuckDB mirror of normalize_text_expr."""
+    return (f"trim(regexp_replace(regexp_replace(lower({expr}), "
+            f"'{_CTRL_RE}', ' ', 'g'), '{_WS_RUN_RE}', ' ', 'g'))")
+
+
 def dedup_exact(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """Exact dedup groups: (text_hash, n_copies, keep_id) — hash-groupBy
     keyed on md5(text), keep the smallest doc_id per group."""

@@ -449,9 +449,15 @@ def _messy_url_sql() -> str:
 
 def q_dedup_exact(spark, sf_dir):
     """Exact text-hash dedup groups UNION canonical-URL dedup groups
-    (method marker) — the two key-normalization halves of crawl dedup in
-    one gate entry.  URL inputs are the 8 messy closed-form variants."""
-    from crankshaft_spark.operators.text import dedup_url
+    UNION normalized-text dedup groups (method marker) — the three
+    key-normalization halves of crawl dedup in one gate entry.  URL
+    inputs are the 8 messy closed-form variants; the norm arm hashes
+    normalize_text_expr over closed-form case/whitespace-noised text
+    (upper-cased every 3rd doc, double-spaced every 3rd+1), so its
+    groups are coarser than a byte-exact hash of the same noisy input
+    would be."""
+    from crankshaft_spark.operators.text import (
+        dedup_url, normalize_text_expr)
 
     docs = _docs(spark, sf_dir)
     text_groups = dedup_exact(docs).select(
@@ -463,12 +469,34 @@ def q_dedup_exact(spark, sf_dir):
         F.lit("url").alias("method"), F.col("canon_url").alias("grp_key"),
         "n_copies", "keep_id",
     )
-    return text_groups.unionByName(url_groups)
+    # norm arm input: consecutive doc pairs share one base text (anchor
+    # join on doc_id - doc_id%2) with per-parity noise — upper-case vs
+    # doubled spaces — so normalization merges each pair into ONE group
+    # where a byte-exact hash of the same noisy input would not
+    d = F.col("doc_id")
+    base = docs.select(F.col("doc_id").alias("aid"),
+                       F.col("text").alias("atext"))
+    noisy_src = (docs.select("doc_id", (d - d % 2).alias("aid"))
+                     .join(base, "aid"))
+    noisy = F.when(F.col("doc_id") % 2 == 0, F.upper(F.col("atext"))) \
+             .otherwise(F.replace(F.col("atext"), F.lit(" "), F.lit("  ")))
+    norm_groups = (
+        noisy_src.select("doc_id",
+                         F.md5(normalize_text_expr(noisy)).alias("grp_key"))
+        .groupBy("grp_key")
+        .agg(F.count("*").alias("n_copies"),
+             F.min("doc_id").alias("keep_id"))
+        .select(F.lit("norm").alias("method"), "grp_key", "n_copies",
+                "keep_id"))
+    return text_groups.unionByName(url_groups).unionByName(norm_groups)
 
 
 def o_dedup_exact():
-    from crankshaft_spark.operators.text import canonical_url_sql
+    from crankshaft_spark.operators.text import (
+        canonical_url_sql, normalize_text_sql)
 
+    noisy = ("CASE WHEN a.doc_id % 2 = 0 THEN upper(b.text) "
+             "ELSE replace(b.text, ' ', '  ') END")
     return f"""SELECT 'text' AS method, md5(text) AS grp_key,
                       count(*) AS n_copies, min(doc_id) AS keep_id
                FROM documents GROUP BY 2
@@ -476,7 +504,14 @@ def o_dedup_exact():
                SELECT 'url' AS method, {canonical_url_sql('url')} AS grp_key,
                       count(*) AS n_copies, min(doc_id) AS keep_id
                FROM (SELECT doc_id, {_messy_url_sql()} AS url
-                     FROM documents) GROUP BY 2"""
+                     FROM documents) GROUP BY 2
+               UNION ALL
+               SELECT 'norm' AS method,
+                      md5({normalize_text_sql(noisy)}) AS grp_key,
+                      count(*) AS n_copies, min(a.doc_id) AS keep_id
+               FROM documents a
+               JOIN documents b ON b.doc_id = a.doc_id - (a.doc_id % 2)
+               GROUP BY 2"""
 
 
 def q_token_stats(spark, sf_dir):

@@ -323,3 +323,20 @@ def test_corpus_filter_reasons(spark):
     assert got[3] == (False, "dup_lines")
     assert got[4] == (True, "ok")
     assert got[5] == (False, "low_quality")
+
+
+def test_normalize_text_semantics(spark):
+    """Case folds, control chars become spaces, whitespace runs collapse,
+    ends trim — so trivially-noised copies hash to one norm-dedup group
+    while byte-exact hashing keeps them apart."""
+    from crankshaft_spark.operators.text import normalize_text_expr
+
+    docs = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " hello\tworld\n"),
+         (4, "hello\x00world"), (5, "different")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in docs.select(
+        "doc_id", normalize_text_expr(F.col("text")).alias("n")).collect()}
+    assert got[1] == got[2] == got[3] == "hello world"
+    assert got[4] == "hello world"
+    assert got[5] == "different"
