@@ -389,6 +389,31 @@ def fingerprints_oracle_sql(docs_sql: str, *, k: int = FP_K,
     SELECT doc_id, pos, fp FROM wmin WHERE fp = m"""
 
 
+def _stored_rdd_ids(sc) -> set:
+    """Ids of RDDs currently holding storage blocks (best-effort)."""
+    try:
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    except Exception:
+        return set()
+
+
+def _release_rdds(sc, ids) -> None:
+    """Best-effort release of localCheckpoint storage blocks.  Neither
+    DataFrame.unpersist() nor dropping the Python reference frees them
+    promptly (measured: blocks survive both plus an explicit JVM GC),
+    but the SparkContext's persistent-RDD registry can unpersist by id.
+    Failure here only delays cleanup to the ContextCleaner, so swallow
+    everything."""
+    try:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+    except Exception:
+        pass
+
+
 def dedup_components(
     docs: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id",
     max_rounds: int = 50,
@@ -434,8 +459,11 @@ def dedup_components(
     # self-joins reference the label subtree several times per level) and
     # analysis time explodes after a few rounds (measured: round 4 at
     # sf0.1 took 157 s with persist, constant ~2 s with the checkpoint).
+    sc = docs.sparkSession.sparkContext
+    seen = _stored_rdd_ids(sc)
     labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint(
         eager=True)
+    prev_ids = _stored_rdd_ids(sc) - seen
     for _ in range(max_rounds):
         prop = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -459,15 +487,23 @@ def dedup_components(
                         F.least(F.col("c.lbl"), F.col("j.jlbl"))
                          .alias("lbl"))
             )
+        before = _stored_rdd_ids(sc)
         new = cur.localCheckpoint(eager=False)
         changed = (
             new.join(labels.withColumnRenamed("lbl", "plbl"), "id")
             .where(F.col("lbl") != F.col("plbl")).count()
         )
+        # the count materialized new's checkpoint; the PREVIOUS round's
+        # label blocks are now dead — release them deterministically
+        # instead of waiting on the ContextCleaner
+        new_ids = _stored_rdd_ids(sc) - before
+        _release_rdds(sc, prev_ids)
+        prev_ids = new_ids
         labels = new
         if changed == 0:
             break
     else:
+        _release_rdds(sc, prev_ids)
         edges.unpersist()
         raise ValueError(
             f"dedup_components did not converge in {max_rounds} rounds")
@@ -489,6 +525,7 @@ def dedup_components(
     # for a deterministic batch op, and the output is one small row per
     # doc.
     rows = out.localCheckpoint(eager=True)
+    _release_rdds(sc, prev_ids)   # final label round, consumed by `rows`
     edges.unpersist()
     return rows
 

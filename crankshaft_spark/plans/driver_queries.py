@@ -453,9 +453,9 @@ def q_dedup_exact(spark, sf_dir):
     key-normalization halves of crawl dedup in one gate entry.  URL
     inputs are the 8 messy closed-form variants; the norm arm hashes
     normalize_text_expr over closed-form case/whitespace-noised text
-    (upper-cased every 3rd doc, double-spaced every 3rd+1), so its
-    groups are coarser than a byte-exact hash of the same noisy input
-    would be."""
+    (consecutive doc pairs share a base text: even ids upper-cased, odd
+    ids double-spaced), so normalization merges each pair into one group
+    where a byte-exact hash of the same noisy input would not."""
     from crankshaft_spark.operators.text import (
         dedup_url, normalize_text_expr)
 
@@ -1501,22 +1501,38 @@ def o_interp_bary():
 DOCS_SQL = "SELECT doc_id, text FROM documents"
 
 
-def _docs(spark, sf_dir):
-    """documents(doc_id, text), fanned out to the session's parallelism
-    when the scan arrives as fewer splits.  The sf0.1 file is one ~2 MB
+#: (sf_dir, parallelism) -> whether the documents scan needs fanning out;
+#: probing split count plans the scan a second time, so decide once per
+#: session shape rather than per catalog query.
+_FANOUT_CACHE: dict = {}
+
+
+def _fan_out(df, key_col: str, cache_key=None):
+    """Repartition a small scan to the session's parallelism when it
+    arrives as fewer splits.  Single-file test-scale parquet is ONE ~2 MB
     split, so without this every CPU-heavy per-row string stage
     (shingling, n-gram explode, regexp profiling) runs in ONE task — the
     row-ingest analogue of the spread_groups/AQE-coalescing lesson.  At
-    real scale the scan already has many splits and the branch is a
-    no-op; the repartition keys on doc_id so output stays a pure
-    function of row identity."""
+    real scale the scan already has many splits and this is a no-op; the
+    repartition keys on row identity so results never depend on
+    partitioning."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    key = (cache_key, par) if cache_key is not None else None
+    need = _FANOUT_CACHE.get(key)
+    if need is None:
+        need = df.rdd.getNumPartitions() < par
+        if key is not None:
+            _FANOUT_CACHE[key] = need
+    return df.repartition(par, key_col) if need else df
+
+
+def _docs(spark, sf_dir):
+    """documents(doc_id, text), fanned out via _fan_out."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par, "doc_id")
-    return df
+    return _fan_out(df, "doc_id", cache_key=f"{sf_dir}/documents")
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -2319,10 +2335,7 @@ def q_corpus_select(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", "text",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("tokens"))
-    # same small-scan fanout as _docs (this read also needs source)
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par, "doc_id")
+    docs = _fan_out(docs, "doc_id", cache_key=f"{sf_dir}/documents")
     samp = corpus_sample(docs, stratify_by="source", quota=10, seed=42)
     packed = shard_pack(samp, budget=1000, seed=42)
     # third arm: token-weighted Poisson membership (pi_i ∝ tokens,
