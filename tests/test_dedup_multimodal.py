@@ -125,6 +125,11 @@ def test_frame_sample_plan(spark):
     for mid, frames in got.items():
         assert meta[mid]["kind"] == "video"
         assert frames == list(range(0, meta[mid]["dim0"], 4))
+    # decode-reuse path: passing a pre-decoded meta frame yields the
+    # identical frame set without re-decoding the media column
+    reused = frame_sample(meta=decode_metadata(media), every=4)
+    assert sorted((r["media_id"], r["frame_no"]) for r in reused.collect()) \
+        == sorted((m, f) for m, fr in got.items() for f in fr)
 
 
 def test_real_codec_roundtrip(spark):
