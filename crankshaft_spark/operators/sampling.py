@@ -25,8 +25,8 @@ Scale shapes:
   * Shard packing needs a global prefix sum.  One global orderBy window
     is a single-reducer plan, so the tokens are range-bucketed by the
     hash's high bits (order-preserving), prefix-summed WITHIN each bucket
-    by a partitioned window, and stitched with per-bucket offsets — the
-    offsets table is n_buckets rows (driver-side, bounded by constant).
+    by a partitioned window, and stitched with per-bucket offsets — an
+    n_buckets-row table whose own window stage is bounded by constant.
 """
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -204,9 +204,9 @@ def shard_pack(docs: DataFrame, *, budget: int, tokens_col: str = "tokens",
 
     Distributed prefix sum: the hash is range-bucketed (order-
     preserving high bits) into ``n_buckets``; within-bucket cumulative
-    sums come from a PARTITIONED window; bucket offsets are an
-    ``n_buckets``-row table prefix-summed driver-side and broadcast
-    back.  No global-order single-reducer window at any size.
+    sums come from a PARTITIONED window; bucket offsets come from a
+    window over the ``n_buckets``-row totals table (bounded by constant)
+    and broadcast back.  No unbounded single-reducer window at any size.
     """
     h = _hash32(seed, "shard", F.col(id_col))
     t = F.col(tokens_col).cast("long")
