@@ -766,3 +766,61 @@ def decontaminate_oracle_sql(docs_sql: str, bench_sql: str, *,
            CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
            coalesce(h.n_hits, 0) > 0 AS contaminated
     FROM dw LEFT JOIN h USING (doc_id)"""
+
+
+# ----------------------------------------------------- doc chunking --------
+# Context-window preparation: training runs consume fixed-token chunks, not
+# whole documents.  Chunking is pure column algebra (sequence + transform +
+# slice), exploded to one row per chunk — no Python, no shuffle.
+
+
+def chunk_docs(docs: DataFrame, *, size: int, stride: int = None,
+               text_col: str = "text", id_col: str = "doc_id",
+               keep_cols=()) -> DataFrame:
+    """(doc_id, chunk_id, chunk_text, chunk_tokens[, keep_cols…]) — split
+    each doc's whitespace tokens into ``size``-token windows whose starts
+    advance by ``stride`` (default ``size``, i.e. disjoint; stride < size
+    gives overlapping windows).  The final window may be short; a doc
+    shorter than one window yields exactly one chunk, so no document is
+    dropped.  ``keep_cols`` names input columns carried through to every
+    chunk row (same projection, no join).  Chunk count is exact integer
+    arithmetic mirrored by chunk_oracle_sql:
+    n = (max(k - size, 0) + stride - 1) div stride + 1."""
+    stride = stride or size
+    words = F.split(F.col(text_col), " ")
+    k = F.size(words)
+    extra = F.greatest(k - size, F.lit(0))
+    n = F.floor((extra + (stride - 1)) / stride).cast("long") + 1
+    starts = F.transform(
+        F.sequence(F.lit(0), (n - 1).cast("int")),
+        lambda i: i * stride + 1)
+    chunked = docs.select(
+        F.col(id_col), *keep_cols, words.alias("_w"),
+        F.posexplode(starts).alias("chunk_id", "_s"))
+    piece = F.slice(F.col("_w"), F.col("_s"), size)
+    return chunked.select(
+        id_col, "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("chunk_tokens"),
+        *keep_cols)
+
+
+def chunk_oracle_sql(docs_sql: str, *, size: int, stride: int = None,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     keep_cols: str = "") -> str:
+    """DuckDB mirror of chunk_docs (integer division semantics match:
+    both operands are non-negative BIGINTs).  ``keep_cols`` is a SQL
+    column list fragment carried through, e.g. ", source, u"."""
+    stride = stride or size
+    w = f"string_split({text_col}, ' ')"
+    n = (f"(greatest(len({w}) - {size}, 0) + {stride - 1}) // {stride}"
+         f" + 1")
+    return f"""
+    SELECT {id_col}, CAST(i AS INT) AS chunk_id,
+           array_to_string(list_slice(w, i * {stride} + 1,
+                                      i * {stride} + {size}), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(w, i * {stride} + 1, i * {stride} + {size}))
+                AS BIGINT) AS chunk_tokens{keep_cols}
+    FROM (SELECT *, {w} AS w FROM ({docs_sql})),
+         LATERAL unnest(range(0, {n})) g(i)"""

@@ -2331,21 +2331,31 @@ def q_corpus_select(spark, sf_dir):
     operators/sampling.py for the 100 TB shapes."""
     from crankshaft_spark.operators.sampling import (
         corpus_sample, shard_pack, weighted_sample)
+    from crankshaft_spark.operators.text import chunk_docs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", "text",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("tokens"))
     docs = _fan_out(docs, "doc_id", cache_key=f"{sf_dir}/documents")
     samp = corpus_sample(docs, stratify_by="source", quota=10, seed=42)
-    packed = shard_pack(samp, budget=1000, seed=42)
+    # context-window chunking of the kept docs (overlapping windows),
+    # then pack CHUNKS into fixed-token shards keyed on a composite
+    # chunk_key (chunk_id bounded far below the 1024 multiplier)
+    chunks = chunk_docs(samp, size=40, stride=30,
+                        keep_cols=("source", "u", "sample_rank"))
+    chunks = chunks.withColumn(
+        "chunk_key", F.col("doc_id") * 1024 + F.col("chunk_id"))
+    packed = shard_pack(chunks, budget=200, tokens_col="chunk_tokens",
+                        id_col="chunk_key", seed=42)
     # third arm: token-weighted Poisson membership (pi_i ∝ tokens,
-    # expected 100 docs over the full corpus) annotated onto the quota
-    # sample — exercises weighted_sample end to end under the oracle
+    # expected 100 docs over the full corpus) annotated per doc —
+    # exercises weighted_sample end to end under the oracle
     wsel = weighted_sample(docs, target=100, weight_col="tokens",
                            seed=42).select("doc_id", "pi")
     return (packed.join(wsel, "doc_id", "left")
-            .select("doc_id", "source", "u", "sample_rank", "tokens",
-                    "shard_id",
+            .select("doc_id", "chunk_id", "source", "u", "sample_rank",
+                    "chunk_tokens",
+                    F.md5("chunk_text").alias("chunk_hash"), "shard_id",
                     F.col("pi").isNotNull().alias("w_selected"),
                     F.coalesce("pi", F.lit(0.0)).alias("pi")))
 
@@ -2354,15 +2364,22 @@ def o_corpus_select():
     from crankshaft_spark.operators.sampling import (
         corpus_sample_oracle_sql, shard_pack_oracle_sql,
         weighted_sample_oracle_sql)
+    from crankshaft_spark.operators.text import chunk_oracle_sql
 
     docs_sql = ("SELECT doc_id, source, text, "
                 "CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens "
                 "FROM documents")
     samp = corpus_sample_oracle_sql(
         docs_sql, stratify_by="source", quota=10, seed=42)
+    chunks = chunk_oracle_sql(samp, size=40, stride=30,
+                              keep_cols=", source, u, sample_rank")
+    chunks = (f"SELECT *, doc_id * 1024 + chunk_id AS chunk_key "
+              f"FROM ({chunks})")
     packed = shard_pack_oracle_sql(
-        samp, budget=1000, seed=42,
-        cols="doc_id, source, u, sample_rank, tokens")
+        chunks, budget=200, tokens_col="chunk_tokens", id_col="chunk_key",
+        seed=42,
+        cols=("doc_id, chunk_id, source, u, sample_rank, chunk_tokens, "
+              "md5(chunk_text) AS chunk_hash"))
     wsel = weighted_sample_oracle_sql(
         docs_sql, target=100, weight_col="tokens", seed=42,
         cols="doc_id")

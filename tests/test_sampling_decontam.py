@@ -169,3 +169,23 @@ def test_shard_pack_single_doc_over_budget(spark):
         exp[i] = cum // 100
         cum += {1: 500, 2: 10, 3: 10}[i]
     assert {r["doc_id"]: r["shard_id"] for r in got} == exp
+
+
+def test_chunk_docs_windows(spark):
+    """Overlapping windows advance by stride, the tail may be short, docs
+    shorter than one window yield exactly one chunk, and keep_cols ride
+    through without a join."""
+    from crankshaft_spark.operators.text import chunk_docs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g", "s1"), (2, "x y", "s2")],
+        "doc_id long, text string, src string")
+    got = sorted(tuple(r) for r in chunk_docs(
+        docs, size=3, stride=2, keep_cols=("src",)).collect())
+    assert got == [
+        (1, 0, "a b c", 3, "s1"), (1, 1, "c d e", 3, "s1"),
+        (1, 2, "e f g", 3, "s1"), (2, 0, "x y", 2, "s2")]
+    # disjoint default stride
+    got2 = sorted((r["doc_id"], r["chunk_id"], r["chunk_text"])
+                  for r in chunk_docs(docs, size=4).collect())
+    assert got2 == [(1, 0, "a b c d"), (1, 1, "e f g"), (2, 0, "x y")]
