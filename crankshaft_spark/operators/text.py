@@ -789,15 +789,16 @@ def chunk_docs(docs: DataFrame, *, size: int, stride: int = None,
     stride = stride or size
     words = F.split(F.col(text_col), " ")
     k = F.size(words)
-    extra = F.greatest(k - size, F.lit(0))
-    n = F.floor((extra + (stride - 1)) / stride).cast("long") + 1
-    starts = F.transform(
-        F.sequence(F.lit(0), (n - 1).cast("int")),
-        lambda i: i * stride + 1)
+    # exact integer ceil-division: numer - numer%stride is a multiple of
+    # stride, so the double division is exact for any magnitude (a raw
+    # floor(a/b) could diverge from the oracle's BIGINT // in ulp range)
+    numer = F.greatest(k - size, F.lit(0)) + (stride - 1)
+    n = ((numer - numer % stride) / stride).cast("long") + 1
     chunked = docs.select(
         F.col(id_col), *keep_cols, words.alias("_w"),
-        F.posexplode(starts).alias("chunk_id", "_s"))
-    piece = F.slice(F.col("_w"), F.col("_s"), size)
+        F.explode(F.sequence(F.lit(0), (n - 1).cast("int")))
+         .alias("chunk_id"))
+    piece = F.slice(F.col("_w"), F.col("chunk_id") * stride + 1, size)
     return chunked.select(
         id_col, "chunk_id",
         F.array_join(piece, " ").alias("chunk_text"),
@@ -813,8 +814,7 @@ def chunk_oracle_sql(docs_sql: str, *, size: int, stride: int = None,
     column list fragment carried through, e.g. ", source, u"."""
     stride = stride or size
     w = f"string_split({text_col}, ' ')"
-    n = (f"(greatest(len({w}) - {size}, 0) + {stride - 1}) // {stride}"
-         f" + 1")
+    n = f"(greatest(len(w) - {size}, 0) + {stride - 1}) // {stride} + 1"
     return f"""
     SELECT {id_col}, CAST(i AS INT) AS chunk_id,
            array_to_string(list_slice(w, i * {stride} + 1,

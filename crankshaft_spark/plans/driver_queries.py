@@ -2325,10 +2325,12 @@ def o_decontaminate():
 def q_corpus_select(spark, sf_dir):
     """Training-data selection end to end: per-source quota sample (exact
     top-10-by-portable-u per stratum — the per-domain cap that stops any
-    host dominating the corpus) then token-budget shard packing of the
-    kept docs (1000-token output shards over the hash-shuffled order).
-    Both stages are distributed prefix/rank constructions — see
-    operators/sampling.py for the 100 TB shapes."""
+    host dominating the corpus), context-window chunking of the kept docs
+    (40-token windows advancing by 30, overlap included), then 200-token
+    shard packing of the CHUNKS over the hash-shuffled order, with the
+    token-weighted PPS membership annotated per doc.  Every stage is a
+    distributed prefix/rank/explode construction — see
+    operators/sampling.py and text.chunk_docs for the 100 TB shapes."""
     from crankshaft_spark.operators.sampling import (
         corpus_sample, shard_pack, weighted_sample)
     from crankshaft_spark.operators.text import chunk_docs
