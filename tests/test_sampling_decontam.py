@@ -189,3 +189,92 @@ def test_chunk_docs_windows(spark):
     got2 = sorted((r["doc_id"], r["chunk_id"], r["chunk_text"])
                   for r in chunk_docs(docs, size=4).collect())
     assert got2 == [(1, 0, "a b c d"), (1, 1, "e f g"), (2, 0, "x y")]
+
+
+# ---- property-based invariants (hypothesis; few examples — each one is
+# ---- a Spark round-trip) ---------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(st.sampled_from("alpha beta gamma delta eps".split()),
+                  min_size=1, max_size=25)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.data())
+def test_chunk_docs_properties(spark, data):
+    """Disjoint chunking reconstructs every doc exactly; every chunk but
+    the last per doc is full-size; chunk count matches the formula."""
+    from crankshaft_spark.operators.text import chunk_docs
+
+    docs = [(i, " ".join(data.draw(_words))) for i in range(12)]
+    size = data.draw(st.integers(1, 8))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in chunk_docs(df, size=size).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["chunk_tokens"]))
+    for i, text in docs:
+        chunks = sorted(got[i])
+        k = len(text.split(" "))
+        want_n = (max(k - size, 0) + size - 1) // size + 1
+        assert len(chunks) == want_n
+        assert " ".join(c[1] for c in chunks) == text
+        for cid, _, ct in chunks[:-1]:
+            assert ct == size
+        assert [c[0] for c in chunks] == list(range(want_n))
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.data())
+def test_shard_pack_properties(spark, data):
+    """Every input doc lands in exactly one shard; when no doc exceeds
+    the budget, shard ids are a contiguous 0..max range and every shard
+    except the last is filled to at least budget - max(tokens) + 1.
+    (An over-budget doc legitimately jumps past whole budget windows —
+    ids may gap; that case is pinned by
+    test_shard_pack_single_doc_over_budget.)"""
+    from crankshaft_spark.operators.sampling import shard_pack
+
+    n = data.draw(st.integers(5, 40))
+    toks = [data.draw(st.integers(1, 50)) for _ in range(n)]
+    budget = data.draw(st.integers(max(toks) + 1, 120 + max(toks)))
+    df = spark.createDataFrame(list(enumerate(toks)),
+                               "doc_id long, tokens long")
+    rows = shard_pack(df, budget=budget, seed=3).collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(n))
+    sizes = {}
+    for r in rows:
+        sizes[r["shard_id"]] = sizes.get(r["shard_id"], 0) + \
+            toks[r["doc_id"]]
+    assert sorted(sizes) == list(range(max(sizes) + 1))
+    # tight fill bound: a doc entering shard s has cum_before within
+    # max(toks)-1 of the shard's start, so every non-final shard holds
+    # at least budget - max(toks) + 1 tokens
+    for s in range(max(sizes)):
+        assert sizes[s] >= budget - max(toks) + 1
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.data())
+def test_corpus_sample_quota_properties(spark, data):
+    """Per-stratum kept count is exactly min(quota, stratum size) and
+    ranks are 1..count."""
+    from crankshaft_spark.operators.sampling import corpus_sample
+
+    n = data.draw(st.integers(4, 50))
+    n_strata = data.draw(st.integers(1, 5))
+    quota = data.draw(st.integers(1, 6))
+    seed = data.draw(st.integers(0, 99))
+    df = spark.createDataFrame(
+        [(i, f"s{i % n_strata}") for i in range(n)],
+        "doc_id long, src string")
+    got = {}
+    for r in corpus_sample(df, stratify_by="src", quota=quota,
+                           seed=seed).collect():
+        got.setdefault(r["src"], []).append(r["sample_rank"])
+    for s in range(n_strata):
+        size_s = len([i for i in range(n) if i % n_strata == s])
+        ranks = sorted(got.get(f"s{s}", []))
+        assert ranks == list(range(1, min(quota, size_s) + 1))
