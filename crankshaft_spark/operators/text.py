@@ -824,3 +824,88 @@ def chunk_oracle_sql(docs_sql: str, *, size: int, stride: int = None,
                 AS BIGINT) AS chunk_tokens{keep_cols}
     FROM (SELECT *, {w} AS w FROM ({docs_sql})),
          LATERAL unnest(range(0, {n})) g(i)"""
+
+
+# ------------------------------------------------ duplicated spans ---------
+# Substring-level duplication signal (public practice: Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better" — repeated
+# spans, not just whole-doc copies, degrade training).  The exact
+# suffix-array construction is replaced by the standard distributed
+# materialization: fixed-length token windows, hashed and counted
+# globally; a window occurring >= min_count times anywhere in the corpus
+# marks its token range as duplicated.  Window explode + one map-side-
+# combinable count shuffle + one join back — the same scale class as the
+# fingerprint/minhash families.
+
+
+def dup_spans(docs: DataFrame, *, n: int = 8, min_count: int = 2,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_windows, n_dup_windows, dup_tokens, dup_span_frac) —
+    per-doc coverage of globally-repeated ``n``-token windows.
+    ``dup_tokens`` merges overlapping duplicated windows (two windows
+    starting 1 apart cover n+1 tokens, not 2n): with sorted window
+    starts s_1..s_m, coverage = n + sum(min(n, s_{i+1} - s_i)) — exact
+    integer arithmetic, mirrored by dup_spans_oracle_sql.  Docs shorter
+    than n words have zero windows and frac 0."""
+    words = F.split(F.col(text_col), " ")
+    grams = docs.select(
+        F.col(id_col), F.size(words).alias("_k"),
+        F.posexplode(_word_ngrams(words, n)).alias("pos", "gram"))
+    dup = (grams.groupBy("gram").agg(F.count("*").alias("_c"))
+                .where(F.col("_c") >= min_count).select("gram"))
+    occ = grams.join(dup, "gram")
+    ss = F.array_sort(F.collect_list("pos"))
+    agg = occ.groupBy(id_col).agg(ss.alias("_ss"))
+    diffs = F.zip_with(
+        F.slice(F.col("_ss"), 1, F.size("_ss") - 1),
+        F.slice(F.col("_ss"), 2, F.size("_ss") - 1),
+        lambda a, b: F.least(F.lit(n), b - a))
+    agg = agg.select(
+        id_col,
+        F.size("_ss").cast("long").alias("n_dup_windows"),
+        (F.aggregate(diffs, F.lit(0), lambda acc, x: acc + x) + n)
+         .cast("long").alias("dup_tokens"))
+    base = docs.select(
+        F.col(id_col), F.size(words).cast("long").alias("_k"),
+        F.greatest(F.size(words) - (n - 1), F.lit(0)).cast("long")
+         .alias("n_windows"))
+    return (base.join(agg, id_col, "left")
+            .select(id_col, "n_windows",
+                    F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+                     .alias("n_dup_windows"),
+                    F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                     .alias("dup_tokens"),
+                    F.round(F.coalesce("dup_tokens", F.lit(0))
+                            / F.col("_k"), 6).alias("dup_span_frac")))
+
+
+def dup_spans_oracle_sql(docs_sql: str, *, n: int = 8,
+                         min_count: int = 2) -> str:
+    """DuckDB mirror of dup_spans.  posexplode is 0-based in Spark, so
+    the unnested range index is used directly as pos."""
+    w = "string_split(text, ' ')"
+    grams = (f"SELECT doc_id, i - 1 AS pos, "
+             f"array_to_string(list_slice(w, i, i + {n - 1}), ' ') AS gram"
+             f" FROM (SELECT doc_id, {w} AS w FROM ({docs_sql})),"
+             f" LATERAL unnest(range(1, len(w) - {n - 2})) g(i)")
+    return f"""
+    WITH grams AS ({grams}),
+    dup AS (SELECT gram FROM grams GROUP BY gram
+            HAVING count(*) >= {min_count}),
+    occ AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+    agg AS (
+      SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_dup_windows,
+             CAST(coalesce(list_sum(list_transform(
+                    range(1, len(ss)),
+                    i -> least({n}, ss[i + 1] - ss[i]))), 0) + {n}
+                  AS BIGINT) AS dup_tokens
+      FROM (SELECT doc_id, list(pos ORDER BY pos) AS ss
+            FROM occ GROUP BY doc_id)),
+    base AS (SELECT doc_id, len({w}) AS k,
+                    greatest(len({w}) - {n - 1}, 0) AS n_windows
+             FROM ({docs_sql}))
+    SELECT b.doc_id, CAST(b.n_windows AS BIGINT) AS n_windows,
+           coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+           coalesce(a.dup_tokens, 0) AS dup_tokens,
+           round(coalesce(a.dup_tokens, 0) / b.k, 6) AS dup_span_frac
+    FROM base b LEFT JOIN agg a USING (doc_id)"""

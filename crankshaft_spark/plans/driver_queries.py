@@ -2222,13 +2222,23 @@ def q_text_stats(spark, sf_dir):
     repetition input derives line structure closed-form: every ' table '
     becomes a newline (plain string replace, identical in both engines)."""
     from crankshaft_spark.operators.text import (
-        corpus_keep_expr, pii_cols, repetition_stats, text_profile)
+        corpus_keep_expr, dup_spans, pii_cols, repetition_stats,
+        text_profile)
 
     docs = _docs(spark, sf_dir)
     lined = docs.select(
         "doc_id",
         F.replace(F.col("text"), F.lit(" table "), F.lit("\n"))
          .alias("text"))
+    # duplicated-span arm: plant a shared 10-word boilerplate on every
+    # 4th doc (identical concat in the oracle) so cross-doc repeated
+    # 8-token windows exist; word-soup docs share none accidentally
+    boiler = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(BOILERPLATE))
+             .otherwise(F.lit(""))).alias("text"))
     # PII arm: the synthetic docs carry no contact info, so append some
     # closed-form (identical concat in the oracle) — email+IP on every
     # doc, a phone on every third.  pii_cols is projection algebra, so it
@@ -2243,6 +2253,7 @@ def q_text_stats(spark, sf_dir):
     joined = (
         text_profile(docs, extra_cols=pii_cols(pii_text))
         .join(repetition_stats(lined), "doc_id")
+        .join(dup_spans(boiler, n=8), "doc_id")
     )
     # final pipeline verdict over the signals above (adds a projection,
     # not a scan); dup-line/top-gram rules read the lined variant's
@@ -2261,10 +2272,14 @@ def q_text_stats(spark, sf_dir):
 
 def o_text_stats():
     from crankshaft_spark.operators.text import (
-        corpus_keep_sql, pii_oracle_sql, repetition_oracle_sql)
+        corpus_keep_sql, dup_spans_oracle_sql, pii_oracle_sql,
+        repetition_oracle_sql)
 
     lined_sql = ("SELECT doc_id, replace(text, ' table ', chr(10)) AS text "
                  f"FROM ({DOCS_SQL})")
+    boiler_sql = (
+        "SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 THEN "
+        f"'{BOILERPLATE}' ELSE '' END AS text FROM ({DOCS_SQL})")
     pii_src_sql = (
         "SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)"
         " || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
@@ -2276,13 +2291,15 @@ def o_text_stats():
     SELECT t.*, b.n_words, b.n_numbers, b.n_marks, b.n_bpe_tokens,
            q.n_chars, q.stopword_ratio, q.space_ratio, q.quality,
            l.* EXCLUDE (doc_id), r.* EXCLUDE (doc_id),
-           p.* EXCLUDE (doc_id)
+           p.* EXCLUDE (doc_id), ds.* EXCLUDE (doc_id)
     FROM ({o_token_stats()}) t
     JOIN ({o_token_bpe()}) b ON t.doc_id = b.doc_id
     JOIN ({o_quality_score()}) q ON t.doc_id = q.doc_id
     JOIN ({o_lang_scores()}) l ON t.doc_id = l.doc_id
     JOIN ({repetition_oracle_sql(lined_sql)}) r ON t.doc_id = r.doc_id
-    JOIN ({pii_oracle_sql(pii_src_sql)}) p ON t.doc_id = p.doc_id"""
+    JOIN ({pii_oracle_sql(pii_src_sql)}) p ON t.doc_id = p.doc_id
+    JOIN ({dup_spans_oracle_sql(boiler_sql, n=8)}) ds
+      ON t.doc_id = ds.doc_id"""
     verdict = corpus_keep_sql(
         quality="x.quality", predicted_lang="x.predicted_lang",
         dup_line_frac="x.dup_line_frac", top2gram_frac="x.top2gram_frac",
@@ -2291,6 +2308,11 @@ def o_text_stats():
 
 
 DECONTAM_N = 13
+
+#: shared suffix planted on every 4th doc for the duplicated-span arm
+#: (10 words -> three full 8-token windows repeated corpus-wide)
+BOILERPLATE = (" subscribe now for daily updates delivered straight to"
+               " your inbox")
 
 
 def q_decontaminate(spark, sf_dir):

@@ -340,3 +340,34 @@ def test_normalize_text_semantics(spark):
     assert got[1] == got[2] == got[3] == "hello world"
     assert got[4] == "hello world"
     assert got[5] == "different"
+
+
+def test_dup_spans_coverage(spark):
+    """Globally-repeated n-token windows mark their ranges; overlapping
+    windows merge (coverage counts tokens once); within-doc repeats
+    count; short docs have zero windows."""
+    from crankshaft_spark.operators.text import dup_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"),             # shares a..h
+         (2, "z a b c d e f g h q r s"),
+         (3, "u v w x y p m k l t"),             # unique
+         (4, "a b c d e f g h a b c d e f g h"), # internal repeat
+         (5, "short one")],                      # < n words
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in dup_spans(docs, n=8).collect()}
+    assert got[1]["n_dup_windows"] == 1 and got[1]["dup_tokens"] == 8
+    assert got[1]["dup_span_frac"] == 0.8
+    assert got[2]["dup_tokens"] == 8
+    assert got[3]["n_dup_windows"] == 0 and got[3]["dup_span_frac"] == 0.0
+    assert got[4]["dup_tokens"] == 16 and got[4]["dup_span_frac"] == 1.0
+    assert got[5] == dict(doc_id=5, n_windows=0, n_dup_windows=0,
+                          dup_tokens=0, dup_span_frac=0.0)
+    # two overlapping dup windows cover n+1 tokens, not 2n: make pos 0
+    # and pos 1 both duplicated via a second doc sharing both windows
+    docs2 = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i k")],
+        "doc_id long, text string")
+    got2 = {r["doc_id"]: r.asDict()
+            for r in dup_spans(docs2, n=8).collect()}
+    assert got2[1]["n_dup_windows"] == 2 and got2[1]["dup_tokens"] == 9
