@@ -849,7 +849,7 @@ def dup_spans(docs: DataFrame, *, n: int = 8, min_count: int = 2,
     than n words have zero windows and frac 0."""
     words = F.split(F.col(text_col), " ")
     grams = docs.select(
-        F.col(id_col), F.size(words).alias("_k"),
+        F.col(id_col),
         F.posexplode(_word_ngrams(words, n)).alias("pos", "gram"))
     dup = (grams.groupBy("gram").agg(F.count("*").alias("_c"))
                 .where(F.col("_c") >= min_count).select("gram"))
@@ -889,7 +889,7 @@ def dup_spans_oracle_sql(docs_sql: str, *, n: int = 8,
              f" FROM (SELECT doc_id, {w} AS w FROM ({docs_sql})),"
              f" LATERAL unnest(range(1, len(w) - {n - 2})) g(i)")
     return f"""
-    WITH grams AS ({grams}),
+    WITH grams AS MATERIALIZED ({grams}),
     dup AS (SELECT gram FROM grams GROUP BY gram
             HAVING count(*) >= {min_count}),
     occ AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
