@@ -909,3 +909,18 @@ def dup_spans_oracle_sql(docs_sql: str, *, n: int = 8,
            coalesce(a.dup_tokens, 0) AS dup_tokens,
            round(coalesce(a.dup_tokens, 0) / b.k, 6) AS dup_span_frac
     FROM base b LEFT JOIN agg a USING (doc_id)"""
+
+
+def contaminated_expr(text: Column, bench_grams, *, n: int = 13) -> Column:
+    """Stateless per-row contamination flag for STREAMING ingest: the
+    benchmark n-gram set is pinned as a LITERAL array (eval sets are
+    bounded — thousands to ~10^5 grams; beyond that use the batch
+    decontaminate's broadcast join), and the doc's n-gram array is
+    checked with arrays_overlap.  Pure projection — no state, no
+    shuffle — so it composes into a readStream pipeline, unlike the
+    batch operator whose per-doc hit COUNTS need an aggregation.
+    Matches decontaminate's `contaminated` column exactly for the same
+    benchmark set."""
+    words = F.split(F.lower(text), " ")
+    lits = F.array(*[F.lit(g) for g in bench_grams])
+    return F.arrays_overlap(_word_ngrams(words, n), lits)

@@ -419,3 +419,55 @@ def test_stream_dedup_plan_materializes_hashes_once(spark):
                                watermark="1 hour")
             ._jdf.queryExecution().optimizedPlan().toString())
     assert plan.count("md5") <= 4, plan
+
+
+def test_streaming_contamination_flag(spark, tmp_path):
+    """contaminated_expr is a stateless projection, so it runs inside a
+    readStream pipeline and agrees row-for-row with the batch
+    decontaminate operator over the same benchmark set."""
+    import os
+
+    from crankshaft_spark.operators.text import (
+        contaminated_expr, decontaminate)
+
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, "the quick brown fox jumps over it"), (2, "clean words only")],
+        [(3, "a quick brown fox jumps far away"), (4, "other clean text")],
+    ]
+    bench = spark.createDataFrame(
+        [(0, "quick brown fox jumps")], "bench_id long, text string")
+    grams = [r["g"] for r in bench.selectExpr(
+        "explode(split(lower(text), ' ')) x").agg(
+        F.collect_list("x").alias("w")).selectExpr(
+        "explode(transform(sequence(1, size(w) - 2), "
+        "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))) g").collect()]
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for i, chunk in enumerate(batches):
+        scratch = str(tmp_path / f"s{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            scratch)
+        part = next(f for f in os.listdir(scratch)
+                    if f.startswith("part-") and f.endswith(".parquet"))
+        dst = f"{src}/b{i}.parquet"
+        os.rename(os.path.join(scratch, part), dst)
+        os.utime(dst, (1e9 + i, 1e9 + i))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.select(
+            "doc_id",
+            contaminated_expr(F.col("text"), grams, n=3).alias("c"))
+         .writeStream.format("memory").queryName("contam_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["c"]
+           for r in spark.sql("SELECT * FROM contam_stream").collect()}
+
+    batch = {r["doc_id"]: r["contaminated"] for r in decontaminate(
+        spark.createDataFrame([r for b in batches for r in b], schema),
+        bench, n=3).collect()}
+    assert got == batch
+    assert got[1] is True and got[2] is False
