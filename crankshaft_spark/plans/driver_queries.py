@@ -2222,14 +2222,11 @@ def q_text_stats(spark, sf_dir):
     repetition input derives line structure closed-form: every ' table '
     becomes a newline (plain string replace, identical in both engines)."""
     from crankshaft_spark.operators.text import (
-        corpus_keep_expr, dup_spans, pii_cols, repetition_stats,
+        corpus_keep_expr, dup_spans, pii_cols, repetition_cols,
         text_profile)
 
     docs = _docs(spark, sf_dir)
-    lined = docs.select(
-        "doc_id",
-        F.replace(F.col("text"), F.lit(" table "), F.lit("\n"))
-         .alias("text"))
+    lined_text = F.replace(F.col("text"), F.lit(" table "), F.lit("\n"))
     # duplicated-span arm: plant a shared 10-word boilerplate on every
     # 4th doc (identical concat in the oracle) so cross-doc repeated
     # 8-token windows exist; word-soup docs share none accidentally
@@ -2250,9 +2247,12 @@ def q_text_stats(spark, sf_dir):
         F.lit("."), ((d * 7) % 256).cast("string"),
         F.when(d % 3 == 0, F.lit(" call 555-123-4567"))
          .otherwise(F.lit("")))
+    # profile + PII + repetition are ALL per-row column algebra now, so
+    # they ride ONE scan; only the dup_spans arm (inherently a cross-doc
+    # window-count aggregate) keeps its own scan + join
     joined = (
-        text_profile(docs, extra_cols=pii_cols(pii_text))
-        .join(repetition_stats(lined), "doc_id")
+        text_profile(docs, extra_cols=[*pii_cols(pii_text),
+                                       *repetition_cols(lined_text)])
         .join(dup_spans(boiler, n=8), "doc_id")
     )
     # final pipeline verdict over the signals above (adds a projection,
