@@ -706,13 +706,13 @@ def corpus_keep_sql(*, quality: str, predicted_lang: str,
 
 def corpus_filter(docs: DataFrame, *, text_col: str = "text",
                   id_col: str = "doc_id", **thresholds) -> DataFrame:
-    """(doc_id, keep, reason) — standalone convenience over raw docs:
-    computes the needed signals (one profile scan + one repetition
-    aggregate) and applies corpus_keep_expr."""
-    prof = docs.select(
-        F.col(id_col), *_quality_cols(text_col), *_lang_cols(text_col))
-    rep = repetition_stats(docs, text_col=text_col, id_col=id_col)
-    joined = prof.join(rep, id_col)
+    """(doc_id, keep, reason) — standalone convenience over raw docs.
+    Every input signal (quality, lang, repetition) is per-row column
+    algebra, so the whole verdict is ONE projection over one scan — no
+    joins, no shuffle, streaming-safe."""
+    joined = docs.select(
+        F.col(id_col), *_quality_cols(text_col), *_lang_cols(text_col),
+        *repetition_cols(F.col(text_col)))
     keep, reason = corpus_keep_expr(
         quality=F.col("quality"),
         predicted_lang=F.col("predicted_lang"),

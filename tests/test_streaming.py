@@ -471,3 +471,48 @@ def test_streaming_contamination_flag(spark, tmp_path):
         bench, n=3).collect()}
     assert got == batch
     assert got[1] is True and got[2] is False
+
+
+def test_streaming_corpus_filter(spark, tmp_path):
+    """corpus_filter is a single projection (all signals per-row array
+    algebra), so the keep/drop verdict runs inside a readStream pipeline
+    and agrees row-for-row with the batch form."""
+    import os
+
+    from crankshaft_spark.operators.text import corpus_filter
+
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, "tiny"),
+         (2, "the cat and the dog of the house sat on the mat and the "
+             "bird flew over the green field near the old river")],
+        [(3, "el gato la casa de la ciudad el perro come en la casa "
+             "grande de la ciudad vieja junto a la plaza")],
+    ]
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for i, chunk in enumerate(batches):
+        scratch = str(tmp_path / f"s{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            scratch)
+        part = next(f for f in os.listdir(scratch)
+                    if f.startswith("part-") and f.endswith(".parquet"))
+        dst = f"{src}/b{i}.parquet"
+        os.rename(os.path.join(scratch, part), dst)
+        os.utime(dst, (1e9 + i, 1e9 + i))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (corpus_filter(stream, min_quality=0.2)
+         .writeStream.format("memory").queryName("filter_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in spark.sql("SELECT * FROM filter_stream").collect()}
+    batch = {r["doc_id"]: (r["keep"], r["reason"]) for r in corpus_filter(
+        spark.createDataFrame([r for b in batches for r in b], schema),
+        min_quality=0.2).collect()}
+    assert got == batch
+    assert got[1] == (False, "low_quality")
+    assert got[2] == (True, "ok")
+    assert got[3] == (False, "lang")
