@@ -450,21 +450,21 @@ def dedup_url(pages: DataFrame, *, url_col: str = "url",
 # than the paper's character-weighted variants.
 
 def _word_ngrams(words: Column, n: int) -> Column:
-    """Array of word n-grams, [] when the doc has < n words.  The size
-    guard matters: Spark sequence(1, k) with k < 1 generates DESCENDING
-    (CLAUDE.md round-1 lesson)."""
-    def gram(i: Column) -> Column:
-        parts = []
-        for j in range(n):
-            if parts:
-                parts.append(F.lit(" "))
-            parts.append(F.element_at(words, i + j))
-        return F.concat(*parts)
-
-    return F.when(
-        F.size(words) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(words) - (n - 1)), gram),
-    ).otherwise(F.array().cast("array<string>"))
+    """Array of word n-grams, [] when the doc has < n words.  Built by
+    zip_with-folding the n shifted slices of the array, NOT by indexing
+    `words` inside a transform lambda: HOF lambda bodies get no common-
+    subexpression elimination, so element_at(words, i) re-evaluates the
+    whole `words` expression per ACCESS — O(tokens^2) per row when the
+    caller passes an inline split() (measured 74x at 4k tokens).  The
+    slices evaluate `words` O(n) times total and the fold lambdas touch
+    only their own arguments.  greatest(.., 0) doubles as the short-doc
+    guard (slice length 0 -> empty array)."""
+    m = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.slice(words, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(grams, F.slice(words, j + 1, m),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    return grams
 
 
 def _dup_frac(arr: Column) -> Column:
@@ -544,7 +544,9 @@ def repetition_stats(docs: DataFrame, *, text_col: str = "text",
     array algebra (repetition_cols) — one projection, zero shuffles;
     values identical to the r3 explode + groupBy construction (exact
     integer counts either way), which the unchanged DuckDB oracle still
-    mirrors."""
+    mirrors.  One output row PER INPUT ROW: unlike the old aggregate
+    form, a repeated doc_id yields one row per occurrence rather than a
+    single pooled row (doc_id is expected unique upstream)."""
     return docs.select(F.col(id_col), *repetition_cols(F.col(text_col)))
 
 
@@ -940,7 +942,10 @@ def contaminated_expr(text: Column, bench_grams, *, n: int = 13) -> Column:
     shuffle — so it composes into a readStream pipeline, unlike the
     batch operator whose per-doc hit COUNTS need an aggregation.
     Matches decontaminate's `contaminated` column exactly for the same
-    benchmark set."""
+    benchmark set: both sides are lowercased here (the batch operator
+    lowercases the benchmark text before building grams), so mixed-case
+    gram lists can't silently miss.  The caller must build grams with
+    the same ``n`` and single-space tokenization."""
     words = F.split(F.lower(text), " ")
-    lits = F.array(*[F.lit(g) for g in bench_grams])
+    lits = F.array(*[F.lit(g.lower()) for g in bench_grams])
     return F.arrays_overlap(_word_ngrams(words, n), lits)
