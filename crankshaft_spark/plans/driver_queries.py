@@ -2323,15 +2323,32 @@ def q_decontaminate(spark, sf_dir):
     collisions between other word-soup docs are astronomically unlikely
     (~1/37 of docs flag).  Scale shape: the benchmark n-gram set is tiny
     and BROADCAST; the corpus side never shuffles (see
-    operators/text.py decontaminate)."""
-    from crankshaft_spark.operators.text import decontaminate
+    operators/text.py decontaminate).
+
+    Also exercises the STREAMING path: `stream_flag` is computed by
+    contaminated_expr (the stateless literal-array projection used in
+    readStream ingest) over the same benchmark gram set — collecting
+    that set to the driver is bounded by eval-set size, the same bound
+    the streaming operator documents.  The oracle pins stream_flag ==
+    contaminated, so the gate catches any divergence between the
+    broadcast-join and literal-arrays_overlap constructions."""
+    from crankshaft_spark.operators.text import (
+        _word_ngrams, contaminated_expr, decontaminate)
 
     docs = _docs(spark, sf_dir)
     w = F.split(F.lower(F.col("text")), " ")
     bench = docs.filter(F.col("doc_id") % 37 == 0).select(
         F.col("doc_id").alias("bench_id"),
         F.array_join(F.slice(w, 4, 16), " ").alias("text"))
-    return decontaminate(docs, bench, n=DECONTAM_N)
+    bw = F.split(F.lower(F.col("text")), " ")
+    grams = [r.g for r in bench.select(
+        F.explode(_word_ngrams(bw, DECONTAM_N)).alias("g"))
+        .distinct().collect()]
+    flags = docs.select(
+        "doc_id",
+        contaminated_expr(F.col("text"), grams, n=DECONTAM_N)
+        .alias("stream_flag"))
+    return decontaminate(docs, bench, n=DECONTAM_N).join(flags, "doc_id")
 
 
 def o_decontaminate():
@@ -2341,7 +2358,11 @@ def o_decontaminate():
         "SELECT doc_id AS bench_id, array_to_string(list_slice("
         "string_split(lower(text), ' '), 4, 19), ' ') AS text "
         f"FROM ({DOCS_SQL}) WHERE doc_id % 37 = 0")
-    return decontaminate_oracle_sql(DOCS_SQL, bench_sql, n=DECONTAM_N)
+    inner = decontaminate_oracle_sql(DOCS_SQL, bench_sql, n=DECONTAM_N)
+    # stream_flag is SPECIFIED identical to `contaminated`; the Spark
+    # side computes it via the independent contaminated_expr projection,
+    # so a hash mismatch here means the streaming path diverged.
+    return (f"SELECT x.*, x.contaminated AS stream_flag FROM ({inner}) x")
 
 
 def q_corpus_select(spark, sf_dir):

@@ -472,6 +472,17 @@ def test_streaming_contamination_flag(spark, tmp_path):
     assert got == batch
     assert got[1] is True and got[2] is False
 
+    # mixed-case literals: the expr lowercases its gram list (the batch
+    # operator lowercases the benchmark side), so case can't silently
+    # drop every match
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], schema)
+    upper = all_docs.select(
+        "doc_id",
+        contaminated_expr(
+            F.col("text"), [g.upper() for g in grams], n=3).alias("c"))
+    assert {r["doc_id"]: r["c"] for r in upper.collect()} == batch
+
 
 def test_streaming_corpus_filter(spark, tmp_path):
     """corpus_filter is a single projection (all signals per-row array
