@@ -98,34 +98,42 @@ def corpus_sample(docs: DataFrame, *, seed: int = 42,
         raise ValueError("need fraction, or stratify_by and quota")
 
     s = F.col(stratify_by)
-    cand = docs.withColumn("u", u)
+    # NULL is a legitimate stratum (unknown source/domain) — SQL GROUP BY
+    # and PARTITION BY both treat it as its own group, but an equi-JOIN
+    # key drops it, so the stratum-table joins below key on a prefixed
+    # non-null surrogate ('n' for NULL, 'v:<value>' otherwise — the
+    # prefix makes collision with a real value impossible).
+    sk = F.when(s.isNull(), F.lit("n")).otherwise(
+        F.concat(F.lit("v:"), s.cast("string")))
+    cand = docs.withColumn("u", u).withColumn("_sk", sk)
     # prefilter: u uniform => the top-quota u's almost surely sit below
     # OVERSAMPLE*quota/n_s; the per-stratum flag table below makes the
     # 'almost' exact.  Three passes over the input total (counts,
     # survivor counts, final filter) — all joins are stratum-keyed
     # against per-stratum tables (one row per stratum; AQE picks
     # broadcast when they're small).
-    counts = cand.groupBy(stratify_by).agg(F.count("*").alias("_n"))
+    counts = cand.groupBy("_sk").agg(F.count("*").alias("_n"))
     counts = counts.withColumn(
         "_thr",
         F.least(F.lit(1.0), F.lit(OVERSAMPLE * quota) / F.col("_n")))
     # guard: a stratum whose survivor count fell below min(quota, n)
     # skips the prefilter entirely (never triggers in practice with
     # OVERSAMPLE=4; keeps the result EXACTLY top-quota-by-u regardless)
-    svc = (cand.join(counts, stratify_by)
-               .groupBy(stratify_by)
+    svc = (cand.join(counts, "_sk")
+               .groupBy("_sk")
                .agg(F.sum((F.col("u") < F.col("_thr")).cast("long"))
                      .alias("_k"),
                     F.first("_n").alias("_n"), F.first("_thr").alias("_thr")))
     flags = svc.withColumn(
         "_fallback", F.col("_k") < F.least(F.lit(quota), F.col("_n")))
-    keep = (cand.join(flags, stratify_by)
+    keep = (cand.join(flags, "_sk")
                 .filter((F.col("u") < F.col("_thr")) | F.col("_fallback"))
                 .select(*cand.columns))
-    w = Window.partitionBy(s).orderBy("u", id_col)
+    w = Window.partitionBy("_sk").orderBy("u", id_col)
     return (keep.withColumn("sample_rank", F.row_number().over(w))
                 .filter(F.col("sample_rank") <= quota)
-                .withColumn("u", F.round("u", 6)))
+                .withColumn("u", F.round("u", 6))
+                .drop("_sk"))
 
 
 def corpus_sample_oracle_sql(docs_sql: str, *, seed: int = 42,
@@ -161,15 +169,23 @@ def weighted_sample(docs: DataFrame, *, target: int, weight_col: str,
     inclusion test  h < pi * 2^32  is cross-multiplied into products of
     integer-derived doubles written in the SAME operand order as the
     oracle (IEEE multiplication is deterministic given identical
-    operands).  Rows with pi >= 1 are always kept.  Pure filter against
-    a broadcast one-row total — no shuffle of the corpus."""
-    wfp = F.floor(F.col(weight_col) * F.lit(1e6)).cast("long")
+    operands).  Rows with pi >= 1 are always kept.  Negative weights are
+    clamped to 0 (never sampled, never deflate other rows' pi); if every
+    weight clamps to 0 the result is empty and the guarded pi division
+    never runs (Spark 4 ANSI would otherwise raise DIVIDE_BY_ZERO).
+    Two passes over the input by construction — the one-row total must
+    be known before the filter can evaluate (broadcast back; the corpus
+    itself never shuffles)."""
+    wfp = F.greatest(
+        F.floor(F.col(weight_col) * F.lit(1e6)).cast("long"), F.lit(0))
     tot = docs.agg(F.sum(wfp).alias("_W"))
     h = _hash32(seed, "pps", F.col(id_col))
     lhs = h.cast("double") * F.col("_W").cast("double")
     rhs = (F.lit(float(target)) * wfp.cast("double")) * F.lit(_M)
-    pi = F.round((F.lit(float(target)) * wfp.cast("double"))
-                 / F.col("_W").cast("double"), 6)
+    pi = F.when(
+        F.col("_W") > 0,
+        F.round((F.lit(float(target)) * wfp.cast("double"))
+                / F.col("_W").cast("double"), 6))
     return (docs.crossJoin(F.broadcast(tot))
                 .filter(lhs < rhs)
                 .select(*docs.columns, pi.alias("pi")))
@@ -178,14 +194,19 @@ def weighted_sample(docs: DataFrame, *, target: int, weight_col: str,
 def weighted_sample_oracle_sql(docs_sql: str, *, target: int,
                                weight_col: str, seed: int = 42,
                                id_col: str = "doc_id",
-                               cols: str = "*") -> str:
-    """DuckDB mirror of weighted_sample — identical operand order."""
-    wfp = f"CAST(floor({weight_col} * 1e6) AS BIGINT)"
+                               cols: str = "* EXCLUDE (wfp, h, _W)"
+                               ) -> str:
+    """DuckDB mirror of weighted_sample — identical operand order and
+    the same clamp/guard.  The default ``cols`` excludes the internal
+    helper columns so the default output matches the Spark contract
+    (input columns + pi)."""
+    wfp = f"greatest(CAST(floor({weight_col} * 1e6) AS BIGINT), 0)"
     h = _hash32_sql(seed, "pps", id_col)
     return f"""
     SELECT {cols},
-           round((CAST({target} AS DOUBLE) * CAST(wfp AS DOUBLE))
-                 / CAST(_W AS DOUBLE), 6) AS pi
+           CASE WHEN _W > 0 THEN
+             round((CAST({target} AS DOUBLE) * CAST(wfp AS DOUBLE))
+                   / CAST(_W AS DOUBLE), 6) END AS pi
     FROM (SELECT *, {wfp} AS wfp, {h} AS h FROM ({docs_sql})),
          (SELECT sum({wfp}) AS _W FROM ({docs_sql}))
     WHERE CAST(h AS DOUBLE) * CAST(_W AS DOUBLE)
@@ -216,7 +237,15 @@ def shard_pack(docs: DataFrame, *, budget: int, tokens_col: str = "tokens",
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     rows = rows.withColumn("_cum_in_b", F.sum(t).over(w))
     # per-bucket offsets: the totals table is <= n_buckets rows, so its
-    # global-order window is a bounded single-reducer stage by design
+    # global-order window is a bounded single-reducer stage by design.
+    # The totals branch re-traverses the input lineage (two consumers of
+    # `rows`, and exchange reuse can't fire because column pruning gives
+    # the branches different exchanges) — deliberately so: the pruned
+    # recompute carries only (id, tokens) [no text], map-side partial
+    # aggregation collapses it to ~n_buckets rows per task BEFORE its
+    # exchange, and the alternatives are worse (persisting the corpus,
+    # deriving totals from the windowed max — which pays the window
+    # sort twice — or a wide join back by id).
     woff = (Window.orderBy("_b")
                   .rowsBetween(Window.unboundedPreceding, -1))
     odf = (rows.groupBy("_b").agg(F.sum(t).alias("_s"))
@@ -234,11 +263,13 @@ def shard_pack(docs: DataFrame, *, budget: int, tokens_col: str = "tokens",
 def shard_pack_oracle_sql(docs_sql: str, *, budget: int,
                           tokens_col: str = "tokens",
                           id_col: str = "doc_id", seed: int = 42,
-                          cols: str = "*") -> str:
+                          cols: str = "* EXCLUDE (_h)") -> str:
     """DuckDB mirror of shard_pack: one global window (the oracle runs at
     test scale), same hash order, same integer arithmetic.  Windowed SUM
     of BIGINTs is exact whatever the accumulation tree, so the
-    segment-tree caveat (CLAUDE.md) doesn't bite."""
+    segment-tree caveat (CLAUDE.md) doesn't bite.  The default ``cols``
+    excludes the internal hash so the default output matches the Spark
+    contract (input columns + shard_id)."""
     h = _hash32_sql(seed, "shard", id_col)
     return f"""
     SELECT {cols},

@@ -96,6 +96,49 @@ def test_corpus_sample_quota_exceeds_stratum(spark):
     assert got == [1, 2, 3]
 
 
+def test_corpus_sample_null_stratum(spark):
+    """NULL is its own stratum (SQL GROUP BY / PARTITION BY semantics —
+    what the DuckDB oracle computes): quota applies to it like any other,
+    and NULL-stratum rows are never silently dropped by the internal
+    stratum-table equi-joins."""
+    from crankshaft_spark.operators.sampling import corpus_sample
+
+    docs = spark.createDataFrame(
+        [(i, None if i % 2 == 0 else "a") for i in range(40)],
+        "doc_id long, src string")
+    got = corpus_sample(docs, stratify_by="src", quota=3, seed=5).collect()
+    by_s = {}
+    for r in got:
+        by_s.setdefault(r["src"], []).append(r["doc_id"])
+    assert set(by_s) == {None, "a"}
+    for s, members in by_s.items():
+        pool = [i for i in range(40)
+                if (i % 2 == 0) == (s is None)]
+        exp = [i for _, i in sorted((_u(5, i), i) for i in pool)[:3]]
+        assert sorted(members) == sorted(exp)
+
+
+def test_weighted_sample_clamps_negative_weights(spark):
+    """Negative weights clamp to 0: never sampled and never deflating
+    other rows' inclusion probability; all-nonpositive input yields an
+    empty result instead of an ANSI divide-by-zero."""
+    from crankshaft_spark.operators.sampling import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, -50.0), (3, 10.0)], "doc_id long, w double")
+    pos = weighted_sample(docs.filter("w > 0"), target=2,
+                          weight_col="w", seed=7)
+    mixed = weighted_sample(docs, target=2, weight_col="w", seed=7)
+    assert (sorted(r["doc_id"] for r in mixed.collect())
+            == sorted(r["doc_id"] for r in pos.collect()))
+    assert all(r["doc_id"] != 2 for r in mixed.collect())
+
+    allneg = spark.createDataFrame(
+        [(1, -1.0), (2, 0.0)], "doc_id long, w double")
+    assert weighted_sample(allneg, target=2, weight_col="w",
+                           seed=7).count() == 0
+
+
 def test_weighted_sample_pps(spark):
     """Poisson PPS membership replays exactly in Python (same fixed-point
     weights, same IEEE multiplication order); heavier rows are kept more
