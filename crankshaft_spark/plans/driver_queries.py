@@ -121,12 +121,6 @@ def o_spatial_lag():
     GROUP BY k.id"""
 
 
-def q_moran_local(spark, sf_dir):
-    pts = customer_points(spark, sf_dir)
-    res = moran_local(pts.select("id", "value"), _edges_w(spark, sf_dir))
-    return res.select("id", "quad", F.round("local_i", 6).alias("local_i"))
-
-
 def o_moran_local():
     return f"""{_KNN_CTE},
     stats AS (SELECT avg(value) AS mu, count(*) AS n FROM pts),
@@ -143,15 +137,6 @@ def o_moran_local():
                 ELSE 'HL' END AS quad,
            round((stats.n - 1) * z.z * l.lz / den.den, 6) AS local_i
     FROM z JOIN lagz l ON z.id = l.id, stats, den"""
-
-
-def q_moran_global(spark, sf_dir):
-    pts = customer_points(spark, sf_dir)
-    res = moran_global(pts.select("id", "value"), _edges_w(spark, sf_dir))
-    return res.select(
-        F.round("moran_i", 6).alias("moran_i"),
-        F.round("expected_i", 6).alias("expected_i"),
-    )
 
 
 def o_moran_global():
@@ -232,32 +217,15 @@ def o_markov_classes():
     FROM long JOIN brk ON long.t = brk.t"""
 
 
-def q_outlier_static(spark, sf_dir):
-    from crankshaft_spark.operators.outliers import outlier_static
-
-    pts = customer_points(spark, sf_dir)
-    return outlier_static(pts.select("id", "value"), threshold=5000.0)
-
-
 def o_outlier_static():
     return f"""{_PTS_CTE}
     SELECT id, value > 5000.0 AS is_outlier FROM pts"""
-
-
-def q_outlier_stddev(spark, sf_dir):
-    pts = customer_points(spark, sf_dir)
-    return outlier_stddev(pts.select("id", "value"), num_deviations=2.0)
 
 
 def o_outlier_stddev():
     return f"""{_PTS_CTE},
     s AS (SELECT avg(value) AS mu, stddev_samp(value) AS sd FROM pts)
     SELECT id, abs((value - mu) / sd) > 2.0 AS is_outlier FROM pts, s"""
-
-
-def q_outlier_percent(spark, sf_dir):
-    pts = customer_points(spark, sf_dir)
-    return outlier_percent(pts.select("id", "value"), outlier_fraction=1.5)
 
 
 def o_outlier_percent():
@@ -267,12 +235,6 @@ def o_outlier_percent():
     FROM pts, s"""
 
 
-def q_bins_equal(spark, sf_dir):
-    pts = customer_points(spark, sf_dir)
-    res = equal_interval_bins(pts, value_col="value", breaks=7)
-    return res.select("bin", F.round("break_value", 6).alias("break_value"))
-
-
 def o_bins_equal():
     return f"""{_PTS_CTE},
     s AS (SELECT min(value) AS lo, max(value) AS hi FROM pts)
@@ -280,12 +242,6 @@ def o_bins_equal():
            round(CASE WHEN i = 7 THEN hi
                       ELSE lo + i * (hi - lo) / 7.0 END, 6) AS break_value
     FROM s, (SELECT unnest(range(1, 8)) AS i)"""
-
-
-def q_bins_quantile(spark, sf_dir):
-    pts = customer_points(spark, sf_dir)
-    res = quantile_bins(pts, value_col="value", breaks=5)
-    return res.select("bin", F.round("break_value", 6).alias("break_value"))
 
 
 def o_bins_quantile():
@@ -302,7 +258,12 @@ def o_bins_quantile():
       FROM (SELECT unnest(range(1, 5)) AS i), (SELECT any_value(n) AS n FROM ranked)
     )
     SELECT bin, round(avg(v), 6) AS break_value
-    FROM t JOIN ranked ON ranked.r = t.tr OR (t.two AND ranked.r = t.tr + 1)
+    FROM (
+      SELECT t.bin, ranked.v FROM t JOIN ranked ON ranked.r = t.tr
+      UNION ALL
+      SELECT t.bin, ranked.v FROM t JOIN ranked ON ranked.r = t.tr + 1
+      WHERE t.two
+    )
     GROUP BY bin
     UNION ALL
     SELECT 5 AS bin, round(max(value), 6) AS break_value FROM pts"""
@@ -451,7 +412,8 @@ def q_dedup_exact(spark, sf_dir):
     """Exact text-hash dedup groups UNION canonical-URL dedup groups
     UNION normalized-text dedup groups (method marker) — the three
     key-normalization halves of crawl dedup in one gate entry.  URL
-    inputs are the 8 messy closed-form variants; the norm arm hashes
+    inputs are the _MESSY_URL_VARIANTS closed-form variants; the norm
+    arm hashes
     normalize_text_expr over closed-form case/whitespace-noised text
     (consecutive doc pairs share a base text: even ids upper-cased, odd
     ids double-spaced), so normalization merges each pair into one group
@@ -514,10 +476,6 @@ def o_dedup_exact():
                GROUP BY 2"""
 
 
-def q_token_stats(spark, sf_dir):
-    return token_stats(_docs(spark, sf_dir))
-
-
 def o_token_stats():
     return """SELECT doc_id,
        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
@@ -527,22 +485,10 @@ def o_token_stats():
     FROM documents"""
 
 
-def q_token_bpe(spark, sf_dir):
-    from crankshaft_spark.operators.text import bpe_token_stats
-
-    return bpe_token_stats(_docs(spark, sf_dir))
-
-
 def o_token_bpe():
     from crankshaft_spark.operators.text import bpe_token_stats_oracle_sql
 
     return bpe_token_stats_oracle_sql(DOCS_SQL)
-
-
-def q_quality_score(spark, sf_dir):
-    from crankshaft_spark.operators.text import quality_score
-
-    return quality_score(_docs(spark, sf_dir))
 
 
 def o_quality_score():
@@ -568,10 +514,6 @@ def o_quality_score():
                       * least(1.0, CAST(n_chars AS DOUBLE) / 200.0)
                  END, 6) AS quality
     FROM m"""
-
-
-def q_lang_scores(spark, sf_dir):
-    return lang_scores(_docs(spark, sf_dir))
 
 
 def o_lang_scores():
@@ -631,7 +573,11 @@ ANN_K = 10
 
 def q_ann_cosine(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    row = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    if row is None:
+        raise ValueError(f"{sf_dir}/embeddings.parquet has no vec_id=0 "
+                         "probe row")
+    probe = row[0]
     res = cosine_topk(
         emb.where(F.col("vec_id") != 0), [float(v) for v in probe], k=ANN_K
     )
@@ -1097,16 +1043,6 @@ def o_moran_local_rate():
     FROM rz JOIN rlagz l ON rz.id = l.id, rstats, rden"""
 
 
-def q_moran_global_rate(spark, sf_dir):
-    from crankshaft_spark.operators.moran import moran_global_rate
-
-    res = moran_global_rate(_rate_values(spark, sf_dir), _edges_w(spark, sf_dir))
-    return res.select(
-        F.round("moran_i", 6).alias("moran_i"),
-        F.round("expected_i", 6).alias("expected_i"),
-    )
-
-
 def o_moran_global_rate():
     return f"""{_RATE_CTE}
     SELECT round(sum(rz.z * l.lz) / any_value(rden.den), 6) AS moran_i,
@@ -1114,31 +1050,9 @@ def o_moran_global_rate():
     FROM rz JOIN rlagz l ON rz.id = l.id, rstats, rden"""
 
 
-def q_moran_hotspots(spark, sf_dir):
-    from crankshaft_spark.operators.moran import moran_hotspots
-
-    pts = customer_points(spark, sf_dir)
-    res = moran_hotspots(
-        moran_local(pts.select("id", "value"), _edges_w(spark, sf_dir))
-    )
-    return res.select("id", "quad", F.round("local_i", 6).alias("local_i"))
-
-
-def o_moran_hotspots():
-    return f"SELECT * FROM ({o_moran_local()}) WHERE quad IN ('HH', 'HL')"
-
-
 # -------------------------------------------------------- more bins ---------
 
 HT_BREAKS = 4
-
-
-def q_bins_headtails(spark, sf_dir):
-    from crankshaft_spark.operators.binning import headtails_bins
-
-    pts = customer_points(spark, sf_dir)
-    res = headtails_bins(pts, value_col="value", breaks=HT_BREAKS)
-    return res.select("bin", F.round("break_value", 6).alias("break_value"))
 
 
 def o_bins_headtails():
@@ -1669,12 +1583,6 @@ def o_media_metadata():
     FROM m"""
 
 
-def q_media_frames(spark, sf_dir):
-    from crankshaft_spark.operators.multimodal import frame_sample, synth_media
-
-    return frame_sample(synth_media(spark, n=MEDIA_N, seed=42), every=4)
-
-
 def q_media_real(spark, sf_dir):
     """REAL container decode: stdlib PNG (zlib inflate + 5-filter scanline
     reconstruction + CRC walk) and WAV (RIFF/PCM16) codecs over real-format
@@ -1902,7 +1810,7 @@ knn AS (
              ORDER BY (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) ASC,
                       b.id ASC) AS rk
     FROM unk a JOIN train b ON true
-  ) WHERE rk <= {{bw}}
+  ) WHERE rk <= {bw}
 ),
 hh AS (SELECT id, max(d) * 1.0000001 AS h FROM knn GROUP BY id),
 ed AS (
@@ -1943,11 +1851,9 @@ sol AS (
 uo AS (SELECT id, row_number() OVER (ORDER BY id) AS o FROM unk),
 xo AS (SELECT row_number() OVER (ORDER BY id) AS o, f1, f2
        FROM train)
-SELECT s.id, round(s.b1, {{round_dp}}) AS b1,
-       round(s.b0 + x.f1*s.b1 + x.f2*s.b2, {{round_dp}}) AS predicted
-FROM sol s JOIN uo ON uo.id = s.id JOIN xo x ON x.o = uo.o""".format(
-        bw=bw, round_dp=round_dp, CUSTOMER_POINTS_SQL="{CUSTOMER_POINTS_SQL}"
-    ).replace("{CUSTOMER_POINTS_SQL}", CUSTOMER_POINTS_SQL)
+SELECT s.id, round(s.b1, {round_dp}) AS b1,
+       round(s.b0 + x.f1*s.b1 + x.f2*s.b2, {round_dp}) AS predicted
+FROM sol s JOIN uo ON uo.id = s.id JOIN xo x ON x.o = uo.o"""
 
 
 
@@ -1959,13 +1865,8 @@ def q_kmeans_spatial(spark, sf_dir):
     replayable in DuckDB."""
     from crankshaft_spark.operators.kmeans import kmeans_lloyd_best
 
-    cust = load_table(spark, sf_dir, "customer")
-    pts = cust.select(
-        F.col("c_custkey").alias("id"),
-        ((F.col("c_custkey") * 9973) % 24000).cast("double").alias("x"),
-        ((F.col("c_custkey") * 7919) % 9600).cast("double").alias("y"),
-    )
-    return kmeans_lloyd_best(pts, k=KM_K, iters=KM_ITERS, n_init=3, seed=42)
+    return kmeans_lloyd_best(_km_pts(spark, sf_dir), k=KM_K,
+                             iters=KM_ITERS, n_init=3, seed=42)
 
 
 def o_kmeans_spatial():
@@ -1996,17 +1897,23 @@ _KM_PTS_SQL = (
 )
 
 
-def q_kmeans_assign(spark, sf_dir):
-    """Deterministic Lloyd assignment — the oracle-checked kmeans surface."""
-    from crankshaft_spark.operators.kmeans import kmeans_lloyd
-
+def _km_pts(spark, sf_dir):
+    """The Spark half of _KM_PTS_SQL — one definition for every kmeans
+    entry, so the arithmetic that must stay bit-identical to the oracle
+    can't drift per entry."""
     cust = load_table(spark, sf_dir, "customer")
-    pts = cust.select(
+    return cust.select(
         F.col("c_custkey").alias("id"),
         ((F.col("c_custkey") * 9973) % 24000).cast("double").alias("x"),
         ((F.col("c_custkey") * 7919) % 9600).cast("double").alias("y"),
     )
-    res = kmeans_lloyd(pts, k=KM_K, iters=KM_ITERS)
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """Deterministic Lloyd assignment — the oracle-checked kmeans surface."""
+    from crankshaft_spark.operators.kmeans import kmeans_lloyd
+
+    res = kmeans_lloyd(_km_pts(spark, sf_dir), k=KM_K, iters=KM_ITERS)
     return res.select("id", "cluster")
 
 
@@ -2023,13 +1930,8 @@ def q_kmeans_silhouette(spark, sf_dir):
     semantics (the pyspark.ml entry stays rows-only)."""
     from crankshaft_spark.operators.kmeans import kmeans_lloyd_silhouette
 
-    cust = load_table(spark, sf_dir, "customer")
-    pts = cust.select(
-        F.col("c_custkey").alias("id"),
-        ((F.col("c_custkey") * 9973) % 24000).cast("double").alias("x"),
-        ((F.col("c_custkey") * 7919) % 9600).cast("double").alias("y"),
-    )
-    return kmeans_lloyd_silhouette(pts, k=KM_K, iters=KM_ITERS)
+    return kmeans_lloyd_silhouette(_km_pts(spark, sf_dir), k=KM_K,
+                                   iters=KM_ITERS)
 
 
 def o_kmeans_silhouette():
@@ -2341,9 +2243,18 @@ def q_decontaminate(spark, sf_dir):
         F.col("doc_id").alias("bench_id"),
         F.array_join(F.slice(w, 4, 16), " ").alias("text"))
     bw = F.split(F.lower(F.col("text")), " ")
+    # bounded driver collect: eval-set n-grams, capped explicitly so a
+    # benchmark table that accidentally scales with the corpus fails
+    # loudly instead of materializing unbounded rows on the driver
+    # (CLAUDE.md driver-collect invariant)
+    _GRAM_CAP = 100_000
     grams = [r.g for r in bench.select(
         F.explode(_word_ngrams(bw, DECONTAM_N)).alias("g"))
-        .distinct().collect()]
+        .distinct().limit(_GRAM_CAP + 1).collect()]
+    if len(grams) > _GRAM_CAP:
+        raise ValueError(
+            f"benchmark n-gram set exceeds {_GRAM_CAP} — too large for "
+            "the literal-array streaming path; use batch decontaminate")
     flags = docs.select(
         "doc_id",
         contaminated_expr(F.col("text"), grams, n=DECONTAM_N)
@@ -2385,11 +2296,15 @@ def q_corpus_select(spark, sf_dir):
     samp = corpus_sample(docs, stratify_by="source", quota=10, seed=42)
     # context-window chunking of the kept docs (overlapping windows),
     # then pack CHUNKS into fixed-token shards keyed on a composite
-    # chunk_key (chunk_id bounded far below the 1024 multiplier)
+    # chunk_key.  The 2^20 multiplier keeps keys collision-free up to
+    # ~31M tokens per doc (chunk_id < 2^20 at stride 30) while
+    # doc_id * 2^20 stays far under BIGINT even at 10^12 docs; 1024
+    # would have collided doc n's chunk 1024 with doc n+1's chunk 0
+    # for any >=30k-token document.
     chunks = chunk_docs(samp, size=40, stride=30,
                         keep_cols=("source", "u", "sample_rank"))
     chunks = chunks.withColumn(
-        "chunk_key", F.col("doc_id") * 1024 + F.col("chunk_id"))
+        "chunk_key", F.col("doc_id") * (1 << 20) + F.col("chunk_id"))
     packed = shard_pack(chunks, budget=200, tokens_col="chunk_tokens",
                         id_col="chunk_key", seed=42)
     # third arm: token-weighted Poisson membership (pi_i ∝ tokens,
@@ -2418,7 +2333,7 @@ def o_corpus_select():
         docs_sql, stratify_by="source", quota=10, seed=42)
     chunks = chunk_oracle_sql(samp, size=40, stride=30,
                               keep_cols=", source, u, sample_rank")
-    chunks = (f"SELECT *, doc_id * 1024 + chunk_id AS chunk_key "
+    chunks = (f"SELECT *, doc_id * {1 << 20} + chunk_id AS chunk_key "
               f"FROM ({chunks})")
     packed = shard_pack_oracle_sql(
         chunks, budget=200, tokens_col="chunk_tokens", id_col="chunk_key",
@@ -2491,7 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # combined entries above rather than dropped.  Least-battle-tested
     # entries (geometry-local ops, dedup/ANN family) sit right after the ML
     # block so any future truncation hits long-stable entries first.
-    return {
+    out = {
         "knn_edges": q_knn_edges,
         "spatial_lag": q_spatial_lag,
         "moran_local": q_moran_local_combined,
@@ -2543,6 +2458,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_sum": q_overlap_sum,
         "contour_equal": q_contour,
     }
+    # self-enforce the driver's 50-query budget: a 51st entry would be
+    # silently invisible to the round gate (observed in rounds 1 and 2)
+    assert len(out) <= 50, (
+        f"catalog has {len(out)} entries but the round driver checks "
+        "only the first 50 — consolidate before adding more")
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
