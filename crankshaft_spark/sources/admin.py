@@ -1,12 +1,15 @@
 """Deterministic synthetic admin polygons (version: adminv1).
 
 A perturbed-grid partition of the lon/lat plane: grid nodes every 20 deg are
-jittered by +/-4 deg (closed-form integer arithmetic, values offset by .005
-so no synthesised point coordinate — always a 2-decimal value — ever lands
-exactly on a polygon edge's vertex latitude), and each grid square becomes
-one convex quadrilateral.  The quads tile the plane with no gaps/overlaps,
-so every page geocode falls in exactly one polygon; convexity is asserted at
-generation time because the PIP interior-cell shortcut relies on it.
+jittered by +/-4 deg (closed-form integer arithmetic), and each grid square
+becomes one convex quadrilateral.  The quads tile the plane with no
+gaps/overlaps, so every page geocode falls in exactly one polygon;
+convexity is asserted at generation time because the PIP interior-cell
+shortcut relies on it.  Points ON a vertex latitude are possible (the
+perturbation grid has 0.005 granularity, so half the jittered vertices land
+on 2-decimal values) and are handled by the half-open crossing rule, which
+both engines apply with identical operand order — NOT by any
+no-coincidence guarantee.
 
 Plays the role of the reference's fixture polygon layers
 (/root/reference/src/pg/test/fixtures/getis_data.sql — stl_hom multipolygons)
@@ -27,7 +30,7 @@ _STEP = 20.0
 
 def _pert(i: int, j: int, salt: int) -> float:
     m = ((i * 73856093) ^ (j * 19349663) ^ (salt * 83492791)) % 1601
-    return (m - 800) / 200.0 + 0.005   # in (-3.995, 4.005]
+    return (m - 800) / 200.0 + 0.005   # in [-3.995, 4.005]
 
 
 @lru_cache(maxsize=1)
@@ -43,19 +46,18 @@ def _nodes() -> dict[tuple[int, int], tuple[float, float]]:
 
 
 def _convex(ring: list[tuple[float, float]]) -> bool:
+    """Orientation-tolerant convexity — SAME degenerate-case semantics as
+    operators.pip._is_convex (collinear triples, cr == 0, are accepted
+    under either orientation), so the generation-time assert and the
+    PIP interior-cell shortcut can't drift apart."""
     n = len(ring)
-    sign = 0
+    crs = []
     for k in range(n):
         x0, y0 = ring[k]
         x1, y1 = ring[(k + 1) % n]
         x2, y2 = ring[(k + 2) % n]
-        cr = (x1 - x0) * (y2 - y1) - (y1 - y0) * (x2 - x1)
-        s = 1 if cr > 0 else -1
-        if sign == 0:
-            sign = s
-        elif s != sign:
-            return False
-    return True
+        crs.append((x1 - x0) * (y2 - y1) - (y1 - y0) * (x2 - x1))
+    return all(c >= 0 for c in crs) or all(c <= 0 for c in crs)
 
 
 @lru_cache(maxsize=1)
@@ -73,7 +75,14 @@ def admin_polygons() -> list[tuple[int, list[tuple[float, float]]]]:
 
 
 def admin_edges_sql() -> str:
-    """VALUES literal of polygon edges for the DuckDB oracle ray-caster."""
+    """VALUES literal of polygon edges for the DuckDB oracle ray-caster.
+
+    Coordinates are CAST to DOUBLE: DuckDB types bare VALUES float
+    literals DECIMAL (CLAUDE.md), which would make the oracle's crossing
+    arithmetic decimal-exact instead of IEEE-double and break the
+    bit-identical contract with the engine's ray cast.  repr() emits the
+    shortest round-tripping decimal, so DECIMAL-parse -> DOUBLE-cast
+    recovers the exact source double."""
     rows = []
     for pid, ring in admin_polygons():
         for k in range(len(ring)):
@@ -81,7 +90,9 @@ def admin_edges_sql() -> str:
             x2, y2 = ring[(k + 1) % len(ring)]
             rows.append(f"({pid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
     return (
-        "(SELECT * FROM (VALUES " + ", ".join(rows)
+        "(SELECT poly_id, CAST(ex1 AS DOUBLE) AS ex1,"
+        " CAST(ey1 AS DOUBLE) AS ey1, CAST(ex2 AS DOUBLE) AS ex2,"
+        " CAST(ey2 AS DOUBLE) AS ey2 FROM (VALUES " + ", ".join(rows)
         + ") AS e(poly_id, ex1, ey1, ex2, ey2))"
     )
 

@@ -103,7 +103,10 @@ def synth_webpages(
     top host) or ``"zipf"`` (geometric — top host owns ~50% of pages; skew
     stress path for scalebench, not oracle-checked).
     """
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if skew not in ("mild", "zipf"):
+        raise ValueError(f"unknown skew profile {skew!r}")
+    from crankshaft_spark.sources.derived import load_table
+    d = load_table(spark, sf_dir, "documents")
     if multiplier > 1:
         # Partitioning is driven by the REPLICA axis with the (small) doc
         # payload broadcast: each of defaultParallelism×2 tasks synthesises
@@ -120,8 +123,6 @@ def synth_webpages(
         ).drop("__rep")
     else:
         d = d.repartition(spark.sparkContext.defaultParallelism)
-    if skew not in ("mild", "zipf"):
-        raise ValueError(f"unknown skew profile {skew!r}")
     doc_id = F.col("doc_id")
     host = _host_id_zipf(doc_id) if skew == "zipf" else _host_id(doc_id)
     url = F.concat(
@@ -165,21 +166,26 @@ def extract_text(pages: DataFrame, html_col: str = "html",
 
 
 #: DuckDB-parity SQL for the synthesised page table (same integer math).
+#: host_id is computed ONCE via DuckDB's lateral column-alias reuse — the
+#: mixing constants that must stay bit-identical to _host_id have a single
+#: SQL site instead of four hand-maintained copies.
 WEBPAGES_SQL = f"""
-    SELECT doc_id AS page_id,
-           'https://host' || CAST(((doc_id * 2654435761) % 4294967296)
-               % (1 + (doc_id * 40503) % 64) AS VARCHAR)
-               || '.example.org/page/' || CAST(doc_id AS VARCHAR) AS url,
-           TIMESTAMP '{_EPOCH}' + to_seconds((doc_id * 97) % 31536000) AS warc_ts,
-           text,
-           lang,
-           ((doc_id * 2654435761) % 4294967296)
-               % (1 + (doc_id * 40503) % 64) AS host_id,
-           (-171.0 + CAST((((doc_id * 2654435761) % 4294967296)
-                 % (1 + (doc_id * 40503) % 64) * 8863) % 342 AS DOUBLE))
-             + (CAST((doc_id * 6151) % 400 AS DOUBLE) / 100.0 - 2.0) AS lon,
-           (-78.0 + CAST((((doc_id * 2654435761) % 4294967296)
-                 % (1 + (doc_id * 40503) % 64) * 9901) % 156 AS DOUBLE))
-             + (CAST((doc_id * 7607) % 400 AS DOUBLE) / 100.0 - 2.0) AS lat
-    FROM documents
+    SELECT page_id, url, warc_ts, text, lang, host_id, lon, lat FROM (
+      SELECT doc_id AS page_id,
+             ((doc_id * 2654435761) % 4294967296)
+                 % (1 + (doc_id * 40503) % 64) AS host_id,
+             'https://host' || CAST(host_id AS VARCHAR)
+                 || '.example.org/page/' || CAST(doc_id AS VARCHAR) AS url,
+             TIMESTAMP '{_EPOCH}'
+                 + to_seconds((doc_id * 97) % 31536000) AS warc_ts,
+             text,
+             lang,
+             (-171.0 + CAST((host_id * 8863) % 342 AS DOUBLE))
+               + (CAST((doc_id * 6151) % 400 AS DOUBLE) / 100.0 - 2.0)
+               AS lon,
+             (-78.0 + CAST((host_id * 9901) % 156 AS DOUBLE))
+               + (CAST((doc_id * 7607) % 400 AS DOUBLE) / 100.0 - 2.0)
+               AS lat
+      FROM documents
+    )
 """
