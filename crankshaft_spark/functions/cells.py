@@ -69,7 +69,11 @@ def ring_cells_expr(cell: Column, ring) -> Column:
     ``ring`` may be a Python int (constant offset array, the codegen-
     friendly form) or a Column for per-row rings (nested sequence/
     transform — same offset math, one implementation of the cell-ring
-    contract).
+    contract).  PRECONDITION for the Column form: ring must be non-null —
+    sequence(-r, r) of a NULL r yields a NULL array, so a downstream
+    explode silently emits ZERO rows for that input row (it vanishes
+    from candidate joins instead of erroring); coalesce or filter NULL
+    radii upstream.
     """
     if isinstance(ring, int):
         offsets = [

@@ -38,4 +38,6 @@ def haversine_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colu
         F.sin(dlat / 2) * F.sin(dlat / 2)
         + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
     )
-    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+    # near-antipodal points can push a to 1 + 1ulp (measured); clamp so
+    # asin never sees > 1.0 and returns NaN on a less-forgiving libm
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))

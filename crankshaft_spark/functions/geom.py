@@ -161,7 +161,14 @@ def convex_hull(pts: np.ndarray) -> np.ndarray:
 # -------------------------------------------------- clipping / halfplanes ---
 
 def clip_halfplane(ring: np.ndarray, a: float, b: float, c: float) -> np.ndarray:
-    """Sutherland-Hodgman step: keep the region a·x + b·y + c >= 0."""
+    """Sutherland-Hodgman step: keep the region a·x + b·y + c >= 0.
+
+    A vertex EXACTLY on the clip line (val == 0) is emitted twice — once
+    by the vi >= 0 branch and once as the t=0 crossing — the textbook
+    S-H behavior, which the DuckDB voronoi oracle mirrors branch for
+    branch; dedup here without changing the oracle would break value
+    parity.  Downstream consumers treat repeated consecutive vertices as
+    zero-length edges (area/centroid unaffected)."""
     if len(ring) == 0:
         return ring
     out: list[tuple[float, float]] = []
@@ -200,18 +207,12 @@ def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
 
 
 # ------------------------------------------------------------ delaunay ------
-
-def _in_circumcircle(pts: np.ndarray, tri: tuple[int, int, int], p: np.ndarray) -> bool:
-    a, b, c = pts[tri[0]], pts[tri[1]], pts[tri[2]]
-    # normalize to CCW so the determinant sign is meaningful
-    if np.cross(b - a, c - a) < 0:
-        b, c = c, b
-    m = np.array([
-        [a[0] - p[0], a[1] - p[1], (a[0] - p[0]) ** 2 + (a[1] - p[1]) ** 2],
-        [b[0] - p[0], b[1] - p[1], (b[0] - p[0]) ** 2 + (b[1] - p[1]) ** 2],
-        [c[0] - p[0], c[1] - p[1], (c[0] - p[0]) ** 2 + (c[1] - p[1]) ** 2],
-    ])
-    return float(np.linalg.det(m)) > 0
+# NOTE: the in-circle predicate is inlined in delaunay() as a cofactor
+# expansion whose operation order the DuckDB oracle mirrors exactly; do
+# NOT add a np.linalg.det-based variant (LU factorization diverges in
+# ulps from the expansion on near-cocircular points and would silently
+# break triangulation parity — a ready-made helper of that shape was
+# deleted for this reason).
 
 
 def delaunay(pts: np.ndarray) -> np.ndarray:
@@ -276,23 +277,19 @@ def delaunay(pts: np.ndarray) -> np.ndarray:
     return out if len(out) else np.empty((0, 3), dtype=int)
 
 
-def circumcenter(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    """Circumcircle center of a triangle — the reference derives Voronoi
-    vertices exactly this way (_Find_Circle, 09_voronoi.sql:188-232)."""
-    d = 2.0 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
-    if abs(d) < 1e-300:
-        return (a + b + c) / 3.0
-    ux = ((a @ a) * (b[1] - c[1]) + (b @ b) * (c[1] - a[1]) + (c @ c) * (a[1] - b[1])) / d
-    uy = ((a @ a) * (c[0] - b[0]) + (b @ b) * (a[0] - c[0]) + (c @ c) * (b[0] - a[0])) / d
-    return np.array([ux, uy])
-
-
 def voronoi_cells(pts: np.ndarray, bound: np.ndarray) -> list[np.ndarray]:
     """Voronoi cell polygon per input point, clipped to convex ``bound``.
 
     Cell_i = ∩_j halfplane(closer to i than j) ∩ bound — equivalent to the
     reference's Delaunay-dual construction (09_voronoi.sql:6-170) without
-    the degenerate-topology cases.  Neighbors are visited in distance
+    the degenerate-topology cases (the reference's circumcenter dual,
+    _Find_Circle at 09_voronoi.sql:188-232, is deliberately NOT offered
+    here: its arithmetic has no DuckDB mirror).  COINCIDENT DUPLICATE
+    points each receive the identical cell of their shared location (the
+    self-bisector is a degenerate no-op, every other bisector clips
+    normally); with duplicates present the cells are therefore not a
+    partition and per-row area sums double-count — dedup upstream if a
+    partition is required.  Neighbors are visited in distance
     order with the standard security-radius cut: once every remaining q has
     d(p, q) > 2·max-vertex-distance of the current cell, no further point
     can clip it — typical cells finish after O(#Voronoi-neighbors) clips
