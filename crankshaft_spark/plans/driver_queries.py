@@ -410,8 +410,9 @@ def _messy_url_sql() -> str:
 
 def q_dedup_exact(spark, sf_dir):
     """Exact text-hash dedup groups UNION canonical-URL dedup groups
-    UNION normalized-text dedup groups (method marker) — the three
-    key-normalization halves of crawl dedup in one gate entry.  URL
+    UNION normalized-text dedup groups UNION the streaming-dedup batch
+    twin's kept representatives (method marker) — four arms of crawl
+    dedup in one gate entry.  URL
     inputs are the _MESSY_URL_VARIANTS closed-form variants; the norm
     arm hashes
     normalize_text_expr over closed-form case/whitespace-noised text
@@ -450,7 +451,26 @@ def q_dedup_exact(spark, sf_dir):
              F.min("doc_id").alias("keep_id"))
         .select(F.lit("norm").alias("method"), "grp_key", "n_copies",
                 "keep_id"))
-    return text_groups.unionByName(url_groups).unionByName(norm_groups)
+    # fourth arm: the streaming dedup module's BATCH twin.  Event times
+    # are unique epoch-micros derived from doc_id, so the operator's
+    # min-by-(ts, row-hash) representative reduces to min-by-ts =
+    # min(doc_id) per text group — the xxhash64 tie-break (not DuckDB-
+    # replayable) is provably never reached and the arm is exactly
+    # oracle-able.  NULL-text rows pass through per the module NULL
+    # policy (one output row each, NULL grp_key).
+    from crankshaft_spark.streaming.dedup import stream_dedup_exact
+
+    pages = docs.select(
+        "doc_id", "text",
+        F.timestamp_micros(F.lit(1_600_000_000_000_000)
+                           + F.col("doc_id")).alias("warc_ts"))
+    stream_groups = stream_dedup_exact(
+        pages, key_cols=("text",), ts="warc_ts").select(
+        F.lit("stream").alias("method"), F.md5("text").alias("grp_key"),
+        F.lit(1).cast("long").alias("n_copies"),
+        F.col("doc_id").alias("keep_id"))
+    return (text_groups.unionByName(url_groups)
+            .unionByName(norm_groups).unionByName(stream_groups))
 
 
 def o_dedup_exact():
@@ -473,7 +493,18 @@ def o_dedup_exact():
                       count(*) AS n_copies, min(a.doc_id) AS keep_id
                FROM documents a
                JOIN documents b ON b.doc_id = a.doc_id - (a.doc_id % 2)
-               GROUP BY 2"""
+               GROUP BY 2
+               UNION ALL
+               -- stream arm: unique per-doc event times make the batch
+               -- twin's min-by-(ts, hash) representative = min(doc_id);
+               -- NULL-text rows pass through one-for-one (module policy)
+               SELECT 'stream' AS method, md5(text) AS grp_key,
+                      CAST(1 AS BIGINT) AS n_copies, min(doc_id) AS keep_id
+               FROM documents WHERE text IS NOT NULL GROUP BY 2
+               UNION ALL
+               SELECT 'stream' AS method, NULL AS grp_key,
+                      CAST(1 AS BIGINT) AS n_copies, doc_id AS keep_id
+               FROM documents WHERE text IS NULL"""
 
 
 def o_token_stats():

@@ -24,10 +24,12 @@ Semantics vs the batch family (operators/dedup.py, operators/text.py):
   not an approximation of it.
 
 NULL policy: a row whose dedup key is undefined (every key column NULL,
-or NULL text in the near path) is PASSED THROUGH, never deduplicated —
-unknown content is not "equal" to other unknown content, and a NULL key
-under SQL distinct semantics would silently collapse every
-extraction-failed page into one survivor.
+or NULL text in the near path) OR whose event time is NULL is PASSED
+THROUGH, never deduplicated — unknown content is not "equal" to other
+unknown content, a NULL key under SQL distinct semantics would silently
+collapse every extraction-failed page into one survivor, and a NULL
+event time has no watermark expiry horizon (its state row would evict
+at the first watermark advance, silently re-admitting re-crawls).
 
 Plan-shape invariants (pytest-asserted by counting md5 nodes in the
 optimized plan):
@@ -67,10 +69,17 @@ def _dedup_on_key(pages: DataFrame, key: Column, defined: Column, *,
     """First in-horizon row per key among rows where ``defined`` holds;
     rows failing ``defined`` pass through.  ``defined`` must be a cheap
     never-NULL predicate equivalent to the key being well-defined (see the
-    module plan-shape invariants).  Batch fallback keeps the deterministic
-    minimum of (event time, row hash) per key — NOT dropDuplicates'
-    arbitrary partition-order representative, which would violate the
-    repo's bit-identical-at-any-parallelism invariant."""
+    module plan-shape invariants).  Rows with a NULL event time also pass
+    through, in BOTH forms: dropDuplicatesWithinWatermark has no defined
+    expiry horizon for a NULL event time (state would evict at the first
+    watermark advance, silently re-admitting NULL-ts re-crawls), so the
+    NULL policy treats a missing timestamp like a missing key and the
+    batch fallback mirrors it to keep the twins aligned.  Batch fallback
+    keeps the deterministic minimum of (event time, row hash) per key —
+    NOT dropDuplicates' arbitrary partition-order representative, which
+    would violate the repo's bit-identical-at-any-parallelism
+    invariant."""
+    defined = defined & F.col(ts).isNotNull()
     wm = pages.withWatermark(ts, watermark)
     with_key = wm.where(defined).withColumn("_dk", key)
     pass_through = wm.where(~defined)
@@ -135,12 +144,17 @@ def stream_dedup_near(
     """
     staged = pages.withColumn("_hxs", shingle_hashes_expr(text_col, n=n))
     sig = simhash_from_hashes(F.col("_hxs"))
+    if keep_signature:
+        # derive the key from the materialized signature column — it is
+        # multi-referenced (key + output) and non-cheap, so
+        # CollapseProject keeps it and the 32-vote fold runs once per
+        # row instead of once for the key and once for the column
+        staged = staged.withColumn("_simhash", sig)
+        sig = F.col("_simhash")
     key = F.coalesce(
         sig.cast("string"),
         F.concat(F.lit("short:"), F.md5(F.col(text_col))),
     )
-    if keep_signature:
-        staged = staged.withColumn("_simhash", sig)
     out = _dedup_on_key(
         staged, key, F.col(text_col).isNotNull(), ts=ts, watermark=watermark
     ).drop("_hxs")

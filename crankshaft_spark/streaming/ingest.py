@@ -48,9 +48,15 @@ def stream_cell_density(
     → (window, cell, n_pages, n_hosts): the streaming twin of the batch
     pipeline's cellagg stage; append-mode compatible (aggregation closes
     when the watermark passes the window end).
+
+    NULL event times are filtered first: F.window(NULL) forms a NULL
+    window whose end the watermark can never pass, so in append mode
+    those groups would never emit AND their state rows would never be
+    evicted — a silent state leak for the lifetime of the query.
     """
     return (
-        pages.withWatermark("warc_ts", watermark)
+        pages.where(F.col("warc_ts").isNotNull())
+        .withWatermark("warc_ts", watermark)
         .withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), cell_size))
         .groupBy(F.window("warc_ts", window), F.col("cell"))
         .agg(

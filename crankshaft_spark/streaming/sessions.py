@@ -36,8 +36,16 @@ def sessionize(
 
     ``closed_by`` is 'gap' (a later event opened a new session) or
     'timeout' (watermark passed the open session's end + gap).
+
+    NULL event times are filtered before the stateful operator — the
+    same rule as sessionize_batch.  Without the filter a single NULL ts
+    reaches the state function as NaT (int64-min microseconds), poisons
+    the open session's boundaries, and the first emission raises
+    OutOfBoundsDatetime, terminating the whole streaming query; the
+    watermark late-filter does NOT drop NULL event times.
     """
     gap_us = gap_seconds * 1_000_000
+    events = events.where(events["ts"].isNotNull())
 
     def fn(key, pdfs, state: GroupState):
         user = key[0]
