@@ -26,10 +26,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from crankshaft_spark import get_session  # noqa: E402
 from crankshaft_spark.plans import driver_queries  # noqa: E402
 from crankshaft_spark.plans.pipeline import hotspot_pipeline  # noqa: E402
 from crankshaft_spark.sources.webpages import synth_webpages  # noqa: E402
+
+
+def materialize(df) -> None:
+    """Force EVERY column of every row to be computed.
+
+    .count() lets Catalyst prune aggregate values and unreferenced
+    columns out of the timed plan (CLAUDE.md) — a flagship count was
+    measuring the pipeline WITHOUT its quality/Gi* expression work.
+    bit_xor of a row hash over all columns defeats pruning while keeping
+    the driver-side result one row (no collect of large outputs)."""
+    df.agg(F.bit_xor(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])))
+           ).collect()
 
 HEADLINE = [
     "knn_edges", "moran_local", "moran_local_rate_bv", "getis_z", "markov",
@@ -56,10 +70,12 @@ def main() -> None:
     pages = synth_webpages(spark, sf_dir, multiplier=mult)
     n_pages = pages.count()
     # one untimed warmup run: JIT/codegen/Arrow startup are per-JVM
-    # constants, not throughput (same protocol as tools/scalebench.py)
-    hotspot_pipeline(spark, sf_dir, pages=pages).count()
+    # constants, not throughput (same protocol as tools/scalebench.py);
+    # timed action materializes all columns (scalebench's timed run
+    # collect()s for the same reason — row-identity assertions)
+    materialize(hotspot_pipeline(spark, sf_dir, pages=pages))
     t0 = time.time()
-    hotspot_pipeline(spark, sf_dir, pages=pages).count()
+    materialize(hotspot_pipeline(spark, sf_dir, pages=pages))
     pipeline_sec = time.time() - t0
 
     # -- headline operator queries ------------------------------------------
@@ -99,7 +115,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            qs[name](spark, sf_dir).count()
+            materialize(qs[name](spark, sf_dir))
             best = min(best, time.time() - t0)
             if cached:
                 # clearCache drops the weight table too — re-pin it

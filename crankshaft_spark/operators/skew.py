@@ -60,9 +60,13 @@ def two_level_agg(
 
     def recombine(name: str, a: Column) -> Column:
         # kind detection on the TOP-LEVEL aggregate only (a substring match
-        # would misclassify e.g. sum(array_min(...))); non-decomposable
-        # aggregates like avg are rejected — re-summing per-salt means
-        # would silently return salts x the true mean
+        # would misclassify e.g. sum(array_min(...))).  WHITELIST, not
+        # fallback: only sum/count/min/max decompose over salts.  A
+        # silent sum-recombine of anything else — count(DISTINCT ...)
+        # (per-salt distinct counts overlap across salts), avg wrapped
+        # in round() (bypassing a bare-avg check), percentiles — returns
+        # plausible wrong numbers, the worst failure mode a skew helper
+        # can have.
         expr = str(a._jc)  # noqa: SLF001
         col = F.col(f"_p_{name}")
         if expr.startswith("avg(") or expr.startswith("mean("):
@@ -74,7 +78,19 @@ def two_level_agg(
             return F.min(col).alias(name)
         if expr.startswith("max("):
             return F.max(col).alias(name)
-        return F.sum(col).alias(name)
+        if expr.startswith("sum(") or expr.startswith("count("):
+            if "DISTINCT" in expr:
+                raise ValueError(
+                    f"aggregate {name!r} is DISTINCT — per-salt distinct "
+                    "sets overlap across salts; use the two-key trick "
+                    "(groupBy(key, value) partial) instead"
+                )
+            return F.sum(col).alias(name)
+        raise ValueError(
+            f"aggregate {name!r} ({expr.split('(')[0]}) is not in the "
+            "decomposable whitelist (sum/count/min/max); recombining it "
+            "with sum would silently return wrong results"
+        )
 
     return partial.groupBy(*keys).agg(
         *[recombine(name, a) for name, a in aggs.items()]

@@ -46,8 +46,14 @@ class StageRunner:
         mpath = os.path.join(path, MANIFEST)
         full_token = f"{self.version}:{token}"
         if os.path.exists(mpath):
-            with open(mpath) as fh:
-                manifest = json.load(fh)
+            # resume must DEGRADE to recompute on any mismatch — including
+            # a manifest truncated by a crash mid-write; a JSONDecodeError
+            # here would brick the stage until manual cleanup
+            try:
+                with open(mpath) as fh:
+                    manifest = json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                manifest = {}
             if manifest.get("token") == full_token:
                 self.metrics[name] = {**manifest, "resumed": True}
                 return self.spark.read.parquet(path)
@@ -77,7 +83,11 @@ class StageRunner:
             "schema": out.schema.simpleString(),
             "wall_s": round(time.time() - t0, 3),
         }
-        with open(mpath, "w") as fh:
+        # atomic publish: a crash mid-dump must leave either no manifest
+        # (stage recomputes) or a complete one — never a truncated file
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(manifest, fh)
+        os.replace(tmp, mpath)
         self.metrics[name] = {**manifest, "resumed": False}
         return out

@@ -33,7 +33,6 @@ from pyspark.sql import functions as F
 from crankshaft_spark.functions.cells import CELL_M, cell_expr, cell_sql
 from crankshaft_spark.operators.getis import getis_gstar
 from crankshaft_spark.operators.pip import pip_join
-from crankshaft_spark.operators.weights import row_standardize
 from crankshaft_spark.plans.checkpoint import StageRunner
 from crankshaft_spark.sources.admin import admin_polygons, pip_oracle_sql
 from crankshaft_spark.sources.webpages import (
@@ -74,15 +73,15 @@ def queen_cell_edges(cells: DataFrame, cell_col: str = "cell") -> DataFrame:
 
 
 def quality_features(pages: DataFrame) -> DataFrame:
-    """Language-model-style quality screens as pure column math.
-
-    n_tokens (whitespace), alpha ratio, mean token length — the text-quality
-    scoring surface a training-data pipeline needs, kept in codegen.
+    """Language-model-style quality screen as pure column math (alpha
+    ratio), kept in codegen.  Deliberately minimal: nothing downstream
+    consumes a token count, and the full token/quality scoring surface
+    (no split materialization, oracle-mirrored) lives in
+    operators/text.py — don't re-derive it here.
     """
     txt = F.col("extracted_text")
-    n_tok = F.size(F.split(txt, r"\s+"))
     n_alpha = F.length(F.regexp_replace(txt, r"[^A-Za-z]", ""))
-    return pages.withColumn("n_tokens", n_tok).withColumn(
+    return pages.withColumn(
         "quality",
         (n_alpha.cast("double") / F.greatest(F.length(txt), F.lit(1))),
     )
@@ -98,9 +97,13 @@ def hotspot_pipeline(
     """End-to-end: crawl table -> per-cell Gi* hotspot classification.
 
     Returns (cell, n_pages, n_hosts, avg_quality, z_score, p_value, label)
-    with label in {hot, cold, none} at the 5% two-sided level.  ``pages``
-    overrides the input table (e.g. a multiplied bench table or a real
-    Iceberg scan); default is the sf_dir synthesis.
+    with label in {hot, cold, none} at the 5% two-sided level.  An
+    occupied cell with NO occupied queen-neighbor (isolated cluster)
+    still gets its rollup row, with NULL z_score/p_value and label
+    'none' — Gi* is undefined at zero neighbors, but dropping the cell
+    (the pre-r3-final behavior) silently lost its page counts.
+    ``pages`` overrides the input table (e.g. a multiplied bench table
+    or a real Iceberg scan); default is the sf_dir synthesis.
     """
     r = runner or StageRunner(spark, None)
     # pages_token identifies any `pages` override (input path, multiplier);
@@ -118,7 +121,7 @@ def hotspot_pipeline(
     feats = r.stage(
         "features",
         lambda: quality_features(extract_text(pages)).select(
-            "page_id", "host_id", "lon", "lat", "n_tokens", "quality"
+            "page_id", "host_id", "lon", "lat", "quality"
         ),
         token,
     )
@@ -147,15 +150,16 @@ def hotspot_pipeline(
     cells = r.stage("cellagg", _cellagg, token)
 
     def _gistar() -> DataFrame:
-        edges = row_standardize(
-            queen_cell_edges(cells, "agg_cell").select("id", "nbr")
-        )
+        # binary queen adjacency straight into Gi*: getis_gstar applies
+        # its own (deg+1) standardization and ignores any weight column,
+        # so a row_standardize here would be a misleading no-op
+        edges = queen_cell_edges(cells, "agg_cell")
         vals = cells.select(
             F.col("agg_cell").alias("id"), F.col("n_pages").cast("double").alias("value")
         )
         g = getis_gstar(vals, edges)
         return (
-            cells.join(g, cells.agg_cell == g.id)
+            cells.join(g, cells.agg_cell == g.id, "left")
             .select(
                 F.col("agg_cell").alias("cell"),
                 "n_pages", "n_hosts",
@@ -221,8 +225,8 @@ def hotspot_oracle_sql() -> str:
                  * (t.n - 1 - d.deg) / (t.n - 2)
                  / (((d.deg + 1) * t.ysum) * ((d.deg + 1) * t.ysum))
                ) AS zs
-      FROM cells c JOIN deg d ON c.cell = d.id
-      JOIN nbrsum ns ON c.cell = ns.id, tot t
+      FROM cells c LEFT JOIN deg d ON c.cell = d.id
+      LEFT JOIN nbrsum ns ON c.cell = ns.id, tot t
     )
     SELECT cell, n_pages, n_hosts, round(avg_quality, 6) AS avg_quality,
            round(zs, 6) AS z_score,
