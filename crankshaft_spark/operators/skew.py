@@ -22,6 +22,14 @@ AQE does not rewrite.
 The salt must be DETERMINISTIC per row (derived from row identity, never
 rand()) so results are identical at any parallelism — the same rule as
 every seeded operator in this engine.
+
+Gate coverage: the two-level aggregation SHAPE is driver-gate-exercised
+through the flagship hotspot_pipeline's cellagg stage (its (cell, host)
+partial is the two-key instantiation, value-hash-oracled end to end);
+these generic helpers themselves are pytest-covered
+(tests/test_skew_submit.py) and carry no separate catalog entry — the
+catalog sits at the driver's hard 50-entry budget (driver_queries.py),
+and a second salted-agg entry would duplicate the flagship's coverage.
 """
 
 from __future__ import annotations
