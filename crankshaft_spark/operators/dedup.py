@@ -75,8 +75,17 @@ def minhash_lsh_pairs(
 
     shingle→minhash→band→bucket-join: docs collide iff one full band of
     r = k/bands signature slots matches; est_jaccard = (#matching slots)/k
-    is the unbiased Jaccard estimate.  The band join is the only shuffle.
+    is the unbiased Jaccard estimate.  The banding is ONE posexploded
+    (band_index, band_key) table feeding a single composite-key
+    equi-join — the simhash_pairs r2 rewrite (its per-band self-join
+    union re-ran the post-shuffle signature work once per band).
     """
+    if k % bands:
+        raise ValueError(
+            f"k={k} not divisible by bands={bands}: truncating r = k//bands "
+            "silently drops the tail signature slots from every band and "
+            "shifts the LSH S-curve — pick bands | k"
+        )
     sig = minhash_signatures(docs, text_col=text_col, n=n, k=k, id_col=id_col)
     r = k // bands
     band_keys = [
@@ -84,25 +93,21 @@ def minhash_lsh_pairs(
         for band in range(bands)
     ]
     banded = sig.select(
-        id_col, *[bk.alias(f"band{b}") for b, bk in enumerate(band_keys)],
+        id_col,
+        F.posexplode(F.array(*band_keys)).alias("_band", "_key"),
         *[F.col(f"mh{j}") for j in range(k)],
     )
-    pairs = None
     left = banded.select(
-        F.col(id_col).alias("a"),
-        *[F.col(f"band{b}").alias(f"lb{b}") for b in range(bands)],
+        F.col(id_col).alias("a"), "_band", "_key",
         *[F.col(f"mh{j}").alias(f"la{j}") for j in range(k)],
     )
     right = banded.select(
-        F.col(id_col).alias("b"),
-        *[F.col(f"band{b}").alias(f"rb{b}") for b in range(bands)],
+        F.col(id_col).alias("b"), "_band", "_key",
         *[F.col(f"mh{j}").alias(f"ra{j}") for j in range(k)],
     )
-    for b in range(bands):
-        p = left.join(right, F.col(f"lb{b}") == F.col(f"rb{b}")).where(
-            F.col("a") < F.col("b")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = left.join(right, ["_band", "_key"]).where(
+        F.col("a") < F.col("b")
+    )
     matches = sum(
         (F.when(F.col(f"la{j}") == F.col(f"ra{j}"), 1).otherwise(0)
          for j in range(k)),
@@ -317,8 +322,15 @@ def simhash_oracle_sql(docs_sql: str, *, n: int = 4,
         f"CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END"
         for i in range(SIMHASH_BITS)
     )
-    chunk_join = " OR ".join(
-        f"(x.simhash >> {4 * c}) & 15 = (y.simhash >> {4 * c}) & 15"
+    # per-chunk equi-joins unioned + DISTINCT — an OR of chunk equalities
+    # plans as an O(n^2) nested-loop self-join in DuckDB (CLAUDE.md; same
+    # fix minhash_oracle_sql already applies)
+    chunk_arms = " UNION ALL ".join(
+        f"""SELECT x.doc_id AS a, y.doc_id AS b,
+             x.simhash AS sa, y.simhash AS sb
+           FROM s x JOIN s y
+             ON (x.simhash >> {4 * c}) & 15 = (y.simhash >> {4 * c}) & 15
+           WHERE x.doc_id < y.doc_id"""
         for c in range(8)
     )
     return f"""
@@ -328,12 +340,12 @@ def simhash_oracle_sql(docs_sql: str, *, n: int = 4,
       FROM d, LATERAL unnest(range(1, greatest(length(text) - {n - 2}, 1))) AS g(i)
     ),
     sums AS (SELECT doc_id, {sum_cols} FROM sh GROUP BY doc_id),
-    s AS (SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM sums)
-    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-           CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
-    FROM s x JOIN s y ON ({chunk_join})
-    WHERE x.doc_id < y.doc_id
-      AND bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}"""
+    s AS (SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM sums),
+    pairs AS (
+      SELECT DISTINCT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      FROM ({chunk_arms})
+    )
+    SELECT a, b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
 
 
 def fingerprints(
@@ -348,7 +360,12 @@ def fingerprints(
 
     t = F.col(text_col)
     grams = (
-        docs.select(
+        # length >= k guard BEFORE the sequence: Spark sequence(1, m)
+        # with m < 1 generates DESCENDING (CLAUDE.md round-1 lesson), so
+        # an unguarded short/empty text would mint phantom fingerprints
+        # at positions <= 0 (h32 of '' colliding across all short docs)
+        # that the oracle's empty range() never emits
+        docs.where(F.length(t) >= k).select(
             F.col(id_col),
             F.explode(F.sequence(F.lit(1), F.length(t) - (k - 1))).alias("pos"),
             t.alias("_t"),
@@ -389,10 +406,18 @@ def fingerprints_oracle_sql(docs_sql: str, *, k: int = FP_K,
     SELECT doc_id, pos, fp FROM wmin WHERE fp = m"""
 
 
-def _stored_rdd_ids(sc) -> set:
-    """Ids of RDDs currently holding storage blocks (best-effort)."""
+def _checkpointed_rdd_ids(df) -> set:
+    """Id of the RDD backing a (materialized) localCheckpoint'd DataFrame.
+
+    Read off the DataFrame's own LogicalRDD plan node — NEVER by diffing
+    global RDD-storage state: a before/after diff of
+    sc.getRDDStorageInfo() captures blocks persisted CONCURRENTLY by any
+    other thread/query on the shared session, and releasing those
+    mid-flight kills the other query (localCheckpoint truncates lineage,
+    so its blocks cannot be recomputed).  Best-effort: an empty set just
+    defers cleanup to the ContextCleaner."""
     try:
-        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+        return {df._jdf.queryExecution().analyzed().rdd().id()}
     except Exception:
         return set()
 
@@ -460,10 +485,9 @@ def dedup_components(
     # analysis time explodes after a few rounds (measured: round 4 at
     # sf0.1 took 157 s with persist, constant ~2 s with the checkpoint).
     sc = docs.sparkSession.sparkContext
-    seen = _stored_rdd_ids(sc)
     labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint(
         eager=True)
-    prev_ids = _stored_rdd_ids(sc) - seen
+    prev_ids = _checkpointed_rdd_ids(labels)
     for _ in range(max_rounds):
         prop = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -487,7 +511,6 @@ def dedup_components(
                         F.least(F.col("c.lbl"), F.col("j.jlbl"))
                          .alias("lbl"))
             )
-        before = _stored_rdd_ids(sc)
         new = cur.localCheckpoint(eager=False)
         changed = (
             new.join(labels.withColumnRenamed("lbl", "plbl"), "id")
@@ -496,7 +519,7 @@ def dedup_components(
         # the count materialized new's checkpoint; the PREVIOUS round's
         # label blocks are now dead — release them deterministically
         # instead of waiting on the ContextCleaner
-        new_ids = _stored_rdd_ids(sc) - before
+        new_ids = _checkpointed_rdd_ids(new)
         _release_rdds(sc, prev_ids)
         prev_ids = new_ids
         labels = new

@@ -498,7 +498,12 @@ def frame_sample(
     already paid for instead of decoding ``media`` again."""
     if meta is None:
         meta = decode_metadata(media)
-    vids = meta.where((F.col("kind") == "video") & F.col("ok"))
+    # dim0 > 0 guard: a structurally-valid header can still declare zero
+    # frames, and sequence(0, -1, +every) throws IllegalArgumentException
+    # — one malformed blob would abort the job instead of being skipped,
+    # violating the module's per-row error-channel contract
+    vids = meta.where(
+        (F.col("kind") == "video") & F.col("ok") & (F.col("dim0") > 0))
     return vids.select(
         "media_id",
         F.explode(

@@ -74,6 +74,39 @@ def test_fingerprints_shared_for_dups(spark, docs):
     assert not (by_doc[1] & by_doc[6])
 
 
+def test_fingerprints_short_text_emits_nothing(spark):
+    """Texts shorter than k (incl. empty/NULL) yield ZERO fingerprint
+    rows — the unguarded sequence went DESCENDING and minted phantom
+    rows at positions <= 0 whose h32('') collided across all short
+    docs (and diverged from the oracle's empty range())."""
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, None), (4, "long enough text here")],
+        "doc_id long, text string")
+    rows = fingerprints(docs, k=8, w=4).collect()
+    assert {r["doc_id"] for r in rows} == {4}
+    assert all(r["pos"] >= 1 for r in rows)
+
+
+def test_minhash_rejects_nondividing_bands(spark, docs):
+    """k % bands != 0 silently truncated r = k//bands, dropping tail
+    signature slots from every band — now a loud error."""
+    import pytest
+    with pytest.raises(ValueError, match="not divisible"):
+        minhash_lsh_pairs(docs, k=16, bands=5)
+
+
+def test_frame_sample_zero_frame_video_skipped(spark):
+    """A structurally-valid video blob declaring dim0=0 is skipped, not
+    a job-killing IllegalArgumentException from sequence(0, -1, +n)."""
+    import struct
+
+    from crankshaft_spark.operators.multimodal import MAGIC, frame_sample
+    blob = MAGIC + struct.pack(">III", 2, 0, 5)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, media binary")
+    assert frame_sample(media, every=4).count() == 0
+
+
 def test_embedding_neardup(spark):
     rng = np.random.RandomState(0)
     base = rng.randn(64)
