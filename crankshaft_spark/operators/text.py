@@ -64,12 +64,21 @@ def _quality_cols(text_col: str):
     n_chars = F.length(t)
     n_spaces = n_chars - F.length(F.replace(t, F.lit(" "), F.lit("")))
     n_tokens = n_spaces + 1
+    # stopword markers are counted on the UNPADDED text here (a marker
+    # ' the ' cannot match at position 0), while _lang_cols pads with
+    # spaces and does count sentence-initial/final markers — a deliberate
+    # asymmetry pinned by both oracles; unify only by changing BOTH
+    # engines' expressions together.
     stop_hits = sum(
         (_occurrences(t, w) for ws in LANG_MARKERS.values() for w in ws),
         F.lit(0.0),
     )
-    stopword_ratio = stop_hits / n_tokens
-    space_ratio = n_spaces.cast("double") / n_chars
+    stopword_ratio = stop_hits / n_tokens   # n_tokens = n_spaces+1 >= 1
+    # n_chars == 0 -> 0.0: an unguarded division raises DIVIDE_BY_ZERO
+    # under Spark 4 ANSI on any empty-string doc (NULL text stays NULL
+    # via the otherwise branch's NULL propagation)
+    space_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        n_spaces.cast("double") / n_chars)
     # NULL text scores 0.0 (contentless), NOT NULL: Spark's least() skips
     # NULL operands, so without the explicit guard a NULL doc would score
     # a perfect 1.0 (least(1.0, NULL) = 1.0) and sail through filters.
@@ -140,17 +149,36 @@ def normalize_text_sql(expr: str) -> str:
             f"'{_CTRL_RE}', ' ', 'g'), '{_WS_RUN_RE}', ' ', 'g'))")
 
 
-def dedup_exact(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
-    """Exact dedup groups: (text_hash, n_copies, keep_id) — hash-groupBy
-    keyed on md5(text), keep the smallest doc_id per group."""
-    return (
-        docs.select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
-        .groupBy("text_hash")
+def _key_dedup_groups(keyed: DataFrame, key: str, id_col: str) -> DataFrame:
+    """Hash-groupBy dedup groups with the NULL policy the streaming twin
+    pins (streaming/dedup.py): a NULL key means UNKNOWN content, and
+    unknown is not equal to other unknown — grouping NULLs together
+    would mark every extraction-failed doc a copy of the others and a
+    keep-only-keep_id pipeline would delete all but one.  NULL-key rows
+    become singleton groups (n_copies=1, keep_id=their own id)."""
+    grouped = (
+        keyed.where(F.col(key).isNotNull())
+        .groupBy(key)
         .agg(
             F.count("*").alias("n_copies"),
-            F.min("doc_id").alias("keep_id"),
+            F.min(id_col).alias("keep_id"),
         )
     )
+    singles = keyed.where(F.col(key).isNull()).select(
+        key,
+        F.lit(1).cast("long").alias("n_copies"),
+        F.col(id_col).alias("keep_id"),
+    )
+    return grouped.unionByName(singles)
+
+
+def dedup_exact(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: (text_hash, n_copies, keep_id) — hash-groupBy
+    keyed on md5(text), keep the smallest doc_id per group; NULL-text
+    docs are singleton groups (see _key_dedup_groups)."""
+    keyed = docs.select(
+        "doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+    return _key_dedup_groups(keyed, "text_hash", "doc_id")
 
 
 def shingles(docs: DataFrame, *, text_col: str = "text", n: int = 4,
@@ -161,15 +189,16 @@ def shingles(docs: DataFrame, *, text_col: str = "text", n: int = 4,
     runs on DuckDB via generate_series for oracle parity.
     """
     t = F.col(text_col)
-    # greatest(...) guard: sequence(1, 0) would generate a DESCENDING
-    # sequence in Spark, minting phantom shingles for texts shorter than n
-    # (the oracle's generate_series is empty there)
+    # the length >= n filter IS the descending-sequence guard: Spark
+    # sequence(1, m) with m < 1 generates DESCENDING, minting phantom
+    # shingles for short texts (the oracle's generate_series is empty
+    # there) — every surviving row has length - (n-1) >= 1
     return (
         docs.where(F.length(t) >= n)
         .select(
             F.col(id_col),
             F.explode(
-                F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+                F.sequence(F.lit(1), F.length(t) - (n - 1))
             ).alias("i"),
             t.alias("_t"),
         )
@@ -431,15 +460,11 @@ def canonical_url_sql(url_expr: str) -> str:
 def dedup_url(pages: DataFrame, *, url_col: str = "url",
               id_col: str = "doc_id") -> DataFrame:
     """Canonical-URL dedup groups: (canon_url, n_copies, keep_id) — the URL
-    twin of ``dedup_exact`` (same hash-groupBy shape, canonicalize first)."""
-    return (
-        pages.select(id_col, canonical_url_expr(url_col).alias("canon_url"))
-        .groupBy("canon_url")
-        .agg(
-            F.count("*").alias("n_copies"),
-            F.min(id_col).alias("keep_id"),
-        )
-    )
+    twin of ``dedup_exact`` (same hash-groupBy shape, canonicalize first;
+    NULL URLs are singleton groups, see _key_dedup_groups)."""
+    keyed = pages.select(
+        id_col, canonical_url_expr(url_col).alias("canon_url"))
+    return _key_dedup_groups(keyed, "canon_url", id_col)
 
 
 # ------------------------------------------------ repetition quality -----
@@ -671,15 +696,19 @@ def corpus_keep_expr(*, quality, predicted_lang, dup_line_frac,
     existing columns (from text_profile / repetition_stats), so composing
     this into a profiling query adds a projection, not a scan.  Reason is
     the first failing rule in pinned order (low_quality, lang, dup_lines,
-    repetitive), 'ok' otherwise.  NULL signals fail their rule (a NULL
-    quality or language is a drop, never a silent keep): a NULL-text doc
-    has quality NULL and is dropped as low_quality."""
+    repetitive), 'ok' otherwise.  EVERY NULL signal fails its rule (a
+    NULL quality, language, or repetition fraction is a drop, never a
+    silent keep — e.g. a doc missing from a LEFT-joined repetition table
+    must not sail through); a NULL-text doc scores quality 0.0
+    (contentless, see _quality_cols) and is dropped as low_quality."""
     reason = (
         F.when(quality.isNull() | (quality < min_quality), "low_quality")
         .when(~F.coalesce(predicted_lang.isin(*lang_allow), F.lit(False)),
               "lang")
-        .when(dup_line_frac > max_dup_line_frac, "dup_lines")
-        .when(top2gram_frac > max_top2gram_frac, "repetitive")
+        .when(dup_line_frac.isNull() | (dup_line_frac > max_dup_line_frac),
+              "dup_lines")
+        .when(top2gram_frac.isNull() | (top2gram_frac > max_top2gram_frac),
+              "repetitive")
         .otherwise("ok")
     )
     return (reason == "ok").alias("keep"), reason.alias("reason")
@@ -699,8 +728,10 @@ def corpus_keep_sql(*, quality: str, predicted_lang: str,
         f" THEN 'low_quality' "
         f"WHEN NOT coalesce({predicted_lang} IN ({allow}), false)"
         f" THEN 'lang' "
-        f"WHEN {dup_line_frac} > {max_dup_line_frac} THEN 'dup_lines' "
-        f"WHEN {top2gram_frac} > {max_top2gram_frac} THEN 'repetitive' "
+        f"WHEN {dup_line_frac} IS NULL OR {dup_line_frac} >"
+        f" {max_dup_line_frac} THEN 'dup_lines' "
+        f"WHEN {top2gram_frac} IS NULL OR {top2gram_frac} >"
+        f" {max_top2gram_frac} THEN 'repetitive' "
         f"ELSE 'ok' END"
     )
     return f"({reason} = 'ok') AS keep, {reason} AS reason"
@@ -873,6 +904,15 @@ def dup_spans(docs: DataFrame, *, n: int = 8, min_count: int = 2,
     grams = docs.select(
         F.col(id_col),
         F.posexplode(_word_ngrams(words, n)).alias("pos", "gram"))
+    # the grams subtree is traversed twice (dup aggregate + occ join) —
+    # deliberate: the aggregate side map-side-combines to ~|distinct
+    # grams| rows before its exchange, so re-running the explode costs
+    # CPU only, while the single-pass alternative (count over
+    # Window.partitionBy(gram)) would SHUFFLE the full gram stream to
+    # sort it — at corpus scale the repeated projection is cheaper than
+    # shuffling every gram occurrence.  (The DuckDB oracle materializes
+    # its grams CTE instead — 0267a9e — because DuckDB re-INLINES plain
+    # CTEs per reference; different engines, different right answer.)
     dup = (grams.groupBy("gram").agg(F.count("*").alias("_c"))
                 .where(F.col("_c") >= min_count).select("gram"))
     occ = grams.join(dup, "gram")
@@ -944,8 +984,10 @@ def contaminated_expr(text: Column, bench_grams, *, n: int = 13) -> Column:
     Matches decontaminate's `contaminated` column exactly for the same
     benchmark set: both sides are lowercased here (the batch operator
     lowercases the benchmark text before building grams), so mixed-case
-    gram lists can't silently miss.  The caller must build grams with
+    gram lists can't silently miss, and NULL text flags false like the
+    batch operator (not NULL — an unguarded NULL would silently drop
+    those rows from a ~flag filter).  The caller must build grams with
     the same ``n`` and single-space tokenization."""
-    words = F.split(F.lower(text), " ")
+    words = F.split(F.lower(F.coalesce(text, F.lit(""))), " ")
     lits = F.array(*[F.lit(g.lower()) for g in bench_grams])
     return F.arrays_overlap(_word_ngrams(words, n), lits)

@@ -479,14 +479,23 @@ def o_dedup_exact():
 
     noisy = ("CASE WHEN a.doc_id % 2 = 0 THEN upper(b.text) "
              "ELSE replace(b.text, ' ', '  ') END")
+    # NULL keys are singleton groups in both url/text arms — the
+    # operators' _key_dedup_groups policy (vacuous on the gate data,
+    # which has no NULL text, but kept definitionally identical)
     return f"""SELECT 'text' AS method, md5(text) AS grp_key,
                       count(*) AS n_copies, min(doc_id) AS keep_id
-               FROM documents GROUP BY 2
+               FROM documents WHERE text IS NOT NULL GROUP BY 2
                UNION ALL
-               SELECT 'url' AS method, {canonical_url_sql('url')} AS grp_key,
+               SELECT 'text' AS method, NULL AS grp_key,
+                      CAST(1 AS BIGINT) AS n_copies, doc_id AS keep_id
+               FROM documents WHERE text IS NULL
+               UNION ALL
+               SELECT 'url' AS method, grp_key,
                       count(*) AS n_copies, min(doc_id) AS keep_id
-               FROM (SELECT doc_id, {_messy_url_sql()} AS url
-                     FROM documents) GROUP BY 2
+               FROM (SELECT doc_id, {canonical_url_sql('url')} AS grp_key
+                     FROM (SELECT doc_id, {_messy_url_sql()} AS url
+                           FROM documents))
+               WHERE grp_key IS NOT NULL GROUP BY 2
                UNION ALL
                SELECT 'norm' AS method,
                       md5({normalize_text_sql(noisy)}) AS grp_key,
@@ -539,7 +548,9 @@ def o_quality_score():
     )
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
            round(stop_hits / (n_spaces + 1), 6) AS stopword_ratio,
-           round(CAST(n_spaces AS DOUBLE) / n_chars, 6) AS space_ratio,
+           round(CASE WHEN n_chars = 0 THEN 0.0
+                      ELSE CAST(n_spaces AS DOUBLE) / n_chars END, 6)
+             AS space_ratio,
            round(CASE WHEN n_chars IS NULL OR n_chars < 20 THEN 0.0
                  ELSE least(1.0, stop_hits / (n_spaces + 1) * 4.0)
                       * least(1.0, CAST(n_chars AS DOUBLE) / 200.0)

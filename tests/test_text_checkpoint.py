@@ -37,6 +37,16 @@ def test_quality_score_short_text_zero(spark):
     assert got[2]["quality"] > 0.3           # stopword-rich, long enough
 
 
+def test_quality_score_empty_and_null_text(spark):
+    """Empty text must not DIVIDE_BY_ZERO under ANSI (space_ratio guard);
+    NULL text keeps NULL ratios and quality 0.0."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in quality_score(df).collect()}
+    assert got[1]["space_ratio"] == 0.0 and got[1]["quality"] == 0.0
+    assert got[2]["space_ratio"] is None and got[2]["quality"] == 0.0
+
+
 def test_lang_scores_detects_language(spark):
     df = spark.createDataFrame(
         [
@@ -62,6 +72,19 @@ def test_dedup_exact_groups(spark):
     )
     got = {r["keep_id"]: r["n_copies"] for r in dedup_exact(df).collect()}
     assert got == {1: 2, 3: 1}
+
+
+def test_dedup_exact_null_text_singletons(spark):
+    """NULL-text docs are NOT copies of each other: each is its own
+    singleton group (a keep-only-keep_id pipeline must not delete all
+    but one textless doc) — the streaming twin's NULL policy."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "x")],
+        "doc_id long, text string")
+    rows = dedup_exact(df).collect()
+    got = {r["keep_id"]: (r["n_copies"], r["text_hash"]) for r in rows}
+    assert got[3] == (2, got[3][1]) and got[3][1] is not None
+    assert got[1] == (1, None) and got[2] == (1, None)
 
 
 def test_ngram_jaccard_identical_is_one(spark):
