@@ -1,7 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``entry(spark)`` runs the flagship spatial pipeline (derived points →
-exact kNN spatial weights → Getis-Ord Gi* hotspot z-scores) on sf0.001.
+``entry(spark)`` runs the flagship spatial pipeline (synthesized crawl
+pages → PIP tile assignment → cell rollup → queen-contiguity weights →
+Getis-Ord Gi* hotspot z-scores) on sf0.001.
 ``queries()``/``oracle_sql()`` expose every implemented operator from
 SURVEY.md §2 with a DuckDB-checkable ANSI-SQL oracle; the catalog lives in
 crankshaft_spark.plans.driver_queries.

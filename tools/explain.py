@@ -1,13 +1,15 @@
 """Dump formatted physical plans for headline operators (plan-quality audit).
 
-Usage: python tools/explain.py [query ...] — writes plans/<name>.txt per
-query and prints a one-line summary of plan health markers:
-codegen spans, broadcast joins, exchanges (shuffles), Python UDF stages.
+Usage: python tools/explain.py [query ...] — writes /tmp/plans/<name>.txt
+per query and prints a one-line summary of plan health markers:
+codegen spans (distinct WholeStageCodegen ids), broadcast joins, SHUFFLE
+exchanges (Broadcast/Reused excluded), Python UDF stages.
 """
 
 from __future__ import annotations
 
 import io
+import re
 import os
 import sys
 from contextlib import redirect_stdout
@@ -39,10 +41,15 @@ def main():
         plan = buf.getvalue()
         with open(f"/tmp/plans/{name}.txt", "w") as fh:
             fh.write(plan)
-        n_codegen = plan.count("codegen id")
+        # distinct span ids, not per-operator annotations (one 6-operator
+        # span carries 6 'codegen id' lines); shuffle exchanges only —
+        # bare .count('Exchange') also matches BroadcastExchange (the
+        # DESIRED join shape) and ReusedExchange, overcounting shuffles
+        n_codegen = len(set(re.findall(r"codegen id : (\d+)", plan)))
         n_bhj = plan.count("BroadcastHashJoin")
         n_smj = plan.count("SortMergeJoin")
-        n_ex = plan.count("Exchange")
+        n_ex = (plan.count("Exchange") - plan.count("BroadcastExchange")
+                - plan.count("ReusedExchange"))
         n_py = plan.count("ArrowEvalPython") + plan.count("MapInPandas") \
             + plan.count("FlatMapGroupsInPandas") + plan.count("BatchEvalPython")
         print(f"{name}: codegen={n_codegen} bhj={n_bhj} smj={n_smj} "

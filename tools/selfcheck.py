@@ -62,6 +62,14 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # a misspelled filter name must fail loudly: silently matching
+    # nothing would print 'FAILURES: none' and exit 0 — a false pass of
+    # the parity gate
+    unknown = set(only or []) - set(qs)
+    if unknown:
+        raise SystemExit(
+            f"unknown query name(s): {sorted(unknown)} — "
+            f"valid: {sorted(qs)}")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
