@@ -650,19 +650,39 @@ def o_ann_cosine():
 # -------------------------------------------- web-page pipeline (north rule) --
 
 def q_page_extract(spark, sf_dir):
-    """Byte-identical text extraction from raw html (north-rule invariant)."""
+    """Byte-identical text extraction from raw html (north-rule invariant).
+
+    Two arms: ``html`` extracts straight from the synthesised page table;
+    ``warc`` first round-trips the pages through Common-Crawl-layout WARC
+    files (JVM record expression → per-record gzip members → the real
+    sources/warc.py parser) and extracts from the parsed records.  The
+    round trip is the identity on (url, warc_ts, html), so one closed-form
+    oracle covers both arms — any framing/compression/parse defect breaks
+    the value hash.
+    """
+    from crankshaft_spark.sources.warc import warc_roundtrip_pages
     from crankshaft_spark.sources.webpages import extract_text, synth_webpages
 
     pages = synth_webpages(spark, sf_dir)
-    return extract_text(pages).select(
-        "page_id", "url", F.col("extracted_text").alias("text")
+    html_arm = extract_text(pages).select(
+        "page_id", "url", F.col("extracted_text").alias("text"),
+        F.lit("html").alias("src"),
     )
+    warc_arm = extract_text(
+        warc_roundtrip_pages(spark, sf_dir).filter("ok")
+    ).select(
+        "page_id", "url", F.col("extracted_text").alias("text"),
+        F.lit("warc").alias("src"),
+    )
+    return html_arm.unionByName(warc_arm)
 
 
 def o_page_extract():
     from crankshaft_spark.sources.webpages import WEBPAGES_SQL
 
-    return f"SELECT page_id, url, text FROM ({WEBPAGES_SQL})"
+    return f"""SELECT page_id, url, text, 'html' AS src FROM ({WEBPAGES_SQL})
+    UNION ALL
+    SELECT page_id, url, text, 'warc' AS src FROM ({WEBPAGES_SQL})"""
 
 
 def q_pip_assign(spark, sf_dir):

@@ -1,11 +1,11 @@
-"""Additive-only public-API drift gate.
+"""Public-API gates: additive-only release compat + exact drift sync.
 
 Analogue of the reference's release compatibility check
-(/root/reference/check-compatibility.sh:50-108): the released function
+(/root/reference/check-compatibility.sh:50-108): the recorded callable
 signatures live in tests/fixtures/api_surface.json; the dev tree may ADD
-functions/parameters-with-defaults but never drop or reshape released ones.
-Regenerate the manifest deliberately with ``python tools/api_surface.py
---write`` when cutting a release.
+functions/parameters-with-defaults but never drop or reshape recorded ones
+(release gate), and even additions must land as a reviewed manifest diff
+(drift gate) — regenerate with ``python tools/api_surface.py --write``.
 """
 
 import json
@@ -23,6 +23,16 @@ def test_surface_is_backwards_compatible():
     assert released, "manifest missing/empty — run tools/api_surface.py --write"
     problems = api_surface.compare(released, current)
     assert not problems, "\n".join(problems)
+
+
+def test_surface_is_in_sync():
+    released = json.loads(api_surface.MANIFEST.read_text())
+    drifts = api_surface.drift(released, api_surface.public_surface())
+    assert not drifts, (
+        "public API drifted from tests/fixtures/api_surface.json — if "
+        "intended, run `python tools/api_surface.py --write`:\n"
+        + "\n".join(drifts)
+    )
 
 
 def test_compare_flags_breaks():

@@ -1,4 +1,4 @@
-"""Public API surface snapshot + additive-only compatibility check.
+"""Public API surface: one manifest, two gates (release compat + drift).
 
 The engine's analogue of the reference's release gate
 (/root/reference/check-compatibility.sh:50-108): crankshaft snapshots the
@@ -6,17 +6,26 @@ deployed release's function signatures (name, result type, argument list)
 into ``release_function_signatures``, installs the dev version, and fails
 if any released signature was DROPPED or CHANGED — new functions are fine.
 
-Here the released surface is ``tests/fixtures/api_surface.json``: every
-public function in ``crankshaft_spark`` with its parameter list.  Running
-``python tools/api_surface.py --write`` regenerates the manifest (do this
-when deliberately cutting a release); ``tests/test_api_compat.py`` enforces
-the same additive-only rule against it on every test run:
+Here the surface is ``tests/fixtures/api_surface.json``: every public
+function and class in ``crankshaft_spark`` with its structured parameter
+list.  ``tests/test_api_compat.py`` enforces TWO rules against it on every
+test run:
 
-  * a recorded function may not disappear;
-  * a recorded parameter may not be removed or renamed;
-  * positional parameter ORDER is frozen (old positional calls must work);
-  * a parameter that had a default may not lose it;
-  * NEW parameters must carry defaults (old call sites stay valid).
+1. **Release compatibility** (the check-compatibility.sh semantic,
+   additive-only):
+
+   * a recorded callable may not disappear;
+   * a recorded parameter may not be removed or renamed;
+   * positional parameter ORDER is frozen (old positional calls must work);
+   * a parameter that had a default may not lose it;
+   * NEW parameters must carry defaults (old call sites stay valid).
+
+2. **Drift sync** (exact): the live tree must equal the manifest, so even a
+   pure addition is a deliberate, reviewed diff of the manifest — regenerate
+   with ``python tools/api_surface.py --write``.
+
+(Consolidates the former tools/api_manifest.py exact-drift harness and this
+additive-only checker into one tool over one manifest.)
 """
 
 from __future__ import annotations
@@ -35,8 +44,12 @@ if str(_REPO) not in sys.path:  # runnable from any cwd, like the other tools
 MANIFEST = _REPO / "tests" / "fixtures" / "api_surface.json"
 
 #: modules never part of the public surface: the spark-submit script has
-#: import-time argparse wiring, and pycache dirs aren't modules at all.
-_SKIP = ("crankshaft_spark.__main__",)
+#: import-time argparse wiring; the round-driver catalog's contract
+#: (queries()/oracle_sql()) is exercised by the driver itself, not callers.
+_SKIP = (
+    "crankshaft_spark.__main__",
+    "crankshaft_spark.plans.driver_queries",
+)
 
 
 def _iter_modules():
@@ -51,11 +64,13 @@ def _iter_modules():
 
 def public_surface() -> dict:
     """{qualified_name: [[param, kind, has_default], ...]} for every public
-    function defined in the package (not re-exported from elsewhere)."""
+    function and class defined in the package (not re-exported from
+    elsewhere); a class is recorded by its constructor parameters."""
     surface = {}
     for mod in _iter_modules():
         for name, obj in sorted(vars(mod).items()):
-            if name.startswith("_") or not inspect.isfunction(obj):
+            if name.startswith("_") or not (
+                    inspect.isfunction(obj) or inspect.isclass(obj)):
                 continue
             if obj.__module__ != mod.__name__:
                 continue  # re-export; recorded under its defining module
@@ -68,6 +83,19 @@ def public_surface() -> dict:
                 for p in sig.parameters.values()
             ]
     return surface
+
+
+def drift(released: dict, current: dict) -> list[str]:
+    """Exact-sync differences in both directions (empty = manifest current)."""
+    lines = []
+    for k in sorted(set(released) - set(current)):
+        lines.append(f"REMOVED  {k}")
+    for k in sorted(set(current) - set(released)):
+        lines.append(f"ADDED    {k}")
+    for k in sorted(set(released) & set(current)):
+        if released[k] != current[k]:
+            lines.append(f"CHANGED  {k}: {released[k]} -> {current[k]}")
+    return lines
 
 
 def compare(released: dict, current: dict) -> list[str]:
@@ -107,16 +135,18 @@ def main(argv: list[str]) -> int:
     current = public_surface()
     if "--write" in argv:
         MANIFEST.write_text(json.dumps(current, indent=1, sort_keys=True) + "\n")
-        print(f"wrote {len(current)} public functions -> {MANIFEST}")
+        print(f"wrote {len(current)} public callables -> {MANIFEST}")
         return 0
     released = json.loads(MANIFEST.read_text())
     problems = compare(released, current)
-    added = sorted(set(current) - set(released))
-    print(f"released surface: {len(released)} functions; "
-          f"current: {len(current)} ({len(added)} new)")
+    drifts = drift(released, current)
+    print(f"manifest surface: {len(released)} callables; "
+          f"current: {len(current)}")
     for p in problems:
         print("INCOMPATIBLE:", p)
-    return 1 if problems else 0
+    for d in drifts:
+        print("DRIFT:", d)
+    return 1 if problems or drifts else 0
 
 
 if __name__ == "__main__":
