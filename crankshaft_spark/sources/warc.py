@@ -18,9 +18,11 @@ concatenated members transparently, which is all this sandbox needs.
 
 Scale shape (100 TB crawl): ``spark.read.format("binaryFile")`` assigns one
 WARC file per task — crawl files are sized for that (~1 GiB gzipped).  The
-parser is a *generator over a file-like stream*, so resident memory is
-O(largest record), never O(file): the gzip members inflate lazily through
-``GzipFile`` as the generator consumes them.  Parsing itself is necessarily
+parser is a *generator over a file-like stream*: gzip members inflate
+lazily through ``GzipFile`` as the generator is drained, and the Arrow
+stage drains it in bounded batches — so decompressed data never exceeds
+O(batch) while only the *compressed* blob is file-resident (inherent to
+the binaryFile source, which materializes the content column per file).  Parsing itself is necessarily
 Python (binary framing, no JVM expression form) but Arrow-batched
 ``mapInPandas`` — one Python crossing per file, not per record, the same
 contract as operators/multimodal.py.
@@ -42,6 +44,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -188,10 +191,13 @@ def parse_warc_stream(stream):
             yield {"record_offset": start, "ok": False,
                    "err": f"truncated_payload:{len(payload)}/{length}"}
             return
-        # consume the record separator (tolerate EOF right at the end)
+        # consume the record separator; a short read here means EOF, so a
+        # trailer truncated mid-separator must not discard a record whose
+        # declared payload arrived complete
         sep = stream.read(4)
         offset += len(sep)
-        if sep not in (b"\r\n\r\n", b""):
+        if not (sep == b"\r\n\r\n"
+                or (len(sep) < 4 and b"\r\n\r\n".startswith(sep))):
             yield {"record_offset": start, "ok": False,
                    "err": f"bad_separator:{sep!r}"}
             return
@@ -245,7 +251,9 @@ def parse_file_bytes(name: str, blob: bytes):
     try:
         for rec in parse_warc_stream(stream):
             yield {**base, **rec}
-    except (OSError, EOFError, ValueError) as exc:  # gzip corruption etc.
+    # gzip header corruption is OSError (BadGzipFile) but a corrupt DEFLATE
+    # payload under a valid header raises zlib.error, which is neither
+    except (OSError, EOFError, ValueError, zlib.error) as exc:
         yield {**base, "record_offset": -1, "ok": False,
                "err": f"stream_error:{exc}"}
 
@@ -267,14 +275,19 @@ def parse_warc_files(files: DataFrame, path_col: str = "path",
 
     def run(pdfs):
         for pdf in pdfs:
-            rows: list[dict] = []
             for name, blob in zip(pdf[path_col], pdf[content_col]):
-                rows.extend(parse_file_bytes(name, bytes(blob)))
-                if len(rows) >= 2048:  # bound the Arrow batch, not the file
+                # drain the generator incrementally: decompressed records
+                # never accumulate beyond one Arrow batch (the compressed
+                # blob itself is resident — inherent to the binaryFile
+                # source, which materializes the content column per file)
+                rows: list[dict] = []
+                for rec in parse_file_bytes(name, bytes(blob)):
+                    rows.append(rec)
+                    if len(rows) >= 512:
+                        yield _records_frame(rows)
+                        rows = []
+                if rows:
                     yield _records_frame(rows)
-                    rows = []
-            if rows:
-                yield _records_frame(rows)
 
     return files.select(path_col, content_col).mapInPandas(
         run, schema=RECORD_SCHEMA)
@@ -327,8 +340,10 @@ def warc_roundtrip_pages(spark: SparkSession, sf_dir: str,
     parsed = recs.groupBy("file_id").applyInPandas(
         assemble_and_parse, schema=RECORD_SCHEMA)
     return parsed.select(
-        F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
-         .alias("page_id"),
+        # nullif: regexp_extract misses as '' and ANSI cast(''→long) throws;
+        # a corrupt url must surface as NULL page_id, not a task failure
+        F.nullif(F.regexp_extract("url", r"/page/(\d+)$", 1), F.lit(""))
+         .cast("long").alias("page_id"),
         "url",
         F.to_timestamp("warc_date", _DATE_FMT).alias("warc_ts"),
         "html", "http_status", "ok", "err",

@@ -72,9 +72,13 @@ def test_error_channel_never_raises():
     nolen = (b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")
     out = _parse(nolen)
     assert out[0]["ok"] is False
-    # corrupt gzip stream -> one stream_error row, no exception
+    # corrupt gzip header -> one stream_error row, no exception
     out = _parse(b"\x1f\x8b" + b"\x00" * 20)
     assert out[0]["ok"] is False and "stream_error" in out[0]["err"]
+    # valid gzip header but corrupt DEFLATE payload (zlib.error, not OSError)
+    good = gzip_member(REC[0])
+    out = _parse(good[:12] + bytes(255 - b for b in good[12:]))
+    assert out and out[-1]["ok"] is False and "stream_error" in out[-1]["err"]
     # framing error after a good record still yields the good record
     out = _parse(REC[0] + b"garbage that is not a warc header\r\n")
     assert out[0]["ok"] is True and out[1]["ok"] is False
@@ -93,6 +97,14 @@ def test_separator_slack_and_eof_tolerance():
     blob = REC[0] + b"\r\n" + REC[1][:-4]
     out = _parse(blob)
     assert [r["ok"] for r in out] == [True, True]
+    # trailer cut MID-separator: the record's payload arrived complete, so
+    # it must be kept (a short read of the 4-byte separator means EOF)
+    for cut in (1, 2, 3):
+        out = _parse(REC[0][:-cut])
+        assert [r["ok"] for r in out] == [True], cut
+    # but a 4-byte read that is NOT the separator mid-stream is an error
+    out = _parse(REC[0][:-4] + b"XXWARC/1.0\r\n")
+    assert out[-1]["ok"] is False and "bad_separator" in out[-1]["err"]
 
 
 def test_generator_is_streaming():
