@@ -115,6 +115,43 @@ def test_generator_is_streaming():
     assert first["ok"] and stream.tell() <= len(REC[0]) + len(REC[1])
 
 
+def test_fuzz_parser_never_raises():
+    """Arbitrary bytes → finite record list, no exception, errors typed.
+
+    The per-record error channel is the operator's crash-safety contract
+    (a corrupt file must cost one error row, not a task): hypothesis
+    drives raw garbage, garbage grafted onto valid records, and
+    bit-flipped gzip members through the same entry point read_warc uses.
+    """
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    valid = b"".join(REC[:2])
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=2048), st.integers(0, 3))
+    def run(blob, mode):
+        if mode == 1:
+            blob = valid + blob          # garbage trailer after good records
+        elif mode == 2:
+            blob = blob + valid          # garbage preamble
+        elif mode == 3:
+            gz = gzip_member(valid)      # bit-damaged gzip member
+            cut = min(len(blob) % max(len(gz), 1), len(gz) - 1)
+            blob = gz[:cut] + blob
+        out = _parse(blob)
+        assert isinstance(out, list)
+        for r in out:
+            assert r["ok"] in (True, False)
+            if not r["ok"]:
+                assert r["err"]
+        if mode == 1:
+            # the valid prefix always survives a corrupt trailer
+            assert [r["ok"] for r in out[:2]] == [True, True]
+
+    run()
+
+
 def test_read_warc_files(spark, tmp_path):
     plain = tmp_path / "a.warc"
     plain.write_bytes(b"".join(REC[:2]))
