@@ -41,6 +41,79 @@ def density_grid(
     return out
 
 
+def density_pyramid(
+    pts: DataFrame,
+    *,
+    x: str = "x",
+    y: str = "y",
+    base_size: float = 1.0,
+    factors: tuple[int, ...] = (4,),
+    value_col: str | None = None,
+) -> DataFrame:
+    """Zoom pyramid rolled up from the finest level — ONE point scan total.
+
+    ``density_grid`` re-aggregates the raw points once per zoom level; at
+    100 TB a z-level pyramid must instead aggregate the base zoom once and
+    derive every coarser level from the previous one (a groupBy over the
+    tiny cell table, not the point table).  Zoom ``i+1``'s cell size is
+    ``base_size * factors[i]``; each factor must be a positive power of two,
+    which makes the rollup *bit-identical* to direct binning:
+
+      - ``fl(v / (s * 2^k)) == fl(v / s) / 2^k`` exactly (dividing an IEEE
+        double by a power of two only shifts the exponent), and
+      - ``floor(r / 2^k) == floor(floor(r) / 2^k)`` for any real r and
+        positive integer 2^k (nested-floor identity),
+
+    so ``parent_ix = child_ix div 2^k`` reproduces ``floor((v+off)/size)``
+    at the coarser size for every representable coordinate.  The driver's
+    ``grid_density`` oracle (direct per-zoom binning in DuckDB) value-hash
+    checks this equivalence end to end.
+
+    Counts (and any integer/decimal ``value_col``) roll up exactly; float
+    sums roll up with a different addition order than direct binning —
+    callers comparing float ``v_sum`` across strategies need the usual
+    6dp pin.  Cell ids are non-negative in the lon/lat domain (cellv1 packs
+    ``ix*2^32 + iy`` with shifted origins), so BIGINT ``div``/``%`` extract
+    the (ix, iy) pair without sign headaches.
+
+    Reference analogue: the zoom-leveled aggregation CDB_RectangleGrid users
+    build per resolution (/root/reference/src/pg/sql/cdb_utils.sql:19-96) —
+    re-expressed as a single-scan rollup, which the reference's per-query
+    model cannot do.
+    """
+    for f in factors:
+        if f < 1 or (f & (f - 1)) != 0:
+            raise ValueError(
+                f"pyramid factor {f} is not a power of two; rollup would "
+                "not be bit-identical to direct binning"
+            )
+    aggs = [F.count("*").alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("v_sum"))
+    level = (
+        pts.withColumn("cell", cell_expr(F.col(x), F.col(y), base_size))
+        .groupBy("cell")
+        .agg(*aggs)
+    )
+    parts = [level.select(F.lit(0).alias("zoom"), "*")]
+    roll = [F.sum("n").alias("n")]
+    if value_col is not None:
+        roll.append(F.sum("v_sum").alias("v_sum"))
+    for zoom, f in enumerate(factors, start=1):
+        # ix = cell div 2^32, iy = cell % 2^32; parent packs (ix div f,
+        # iy div f).  All-BIGINT arithmetic — no double round-trip.
+        parent = F.expr(
+            f"((cell div {CELL_M}) div {f}) * {CELL_M}"
+            f" + ((cell % {CELL_M}) div {f})"
+        ).alias("cell")
+        level = level.groupBy(parent).agg(*roll)
+        parts.append(level.select(F.lit(zoom).alias("zoom"), "*"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def rectangle_grid(
     spark,
     x0: float,

@@ -34,7 +34,7 @@ from crankshaft_spark.operators import (
 )
 from crankshaft_spark.operators.ann import cosine_topk
 from crankshaft_spark.operators.gravity import gravity_huff
-from crankshaft_spark.operators.grid import density_grid
+from crankshaft_spark.operators.grid import density_pyramid
 from crankshaft_spark.operators.interpolation import interpolate_idw
 from crankshaft_spark.operators.markov import _classify
 from crankshaft_spark.operators.text import (
@@ -288,8 +288,13 @@ def o_weighted_mean():
 
 
 def q_grid_density(spark, sf_dir):
+    # Pyramid rollup (one point scan; zoom 1 derived from zoom 0 by integer
+    # parent-cell arithmetic) vs the oracle's direct per-zoom binning — the
+    # value-hash match proves the power-of-two rollup identity end to end.
     pts = customer_points(spark, sf_dir)
-    return density_grid(pts, cell_sizes=[5.0, 20.0]).select("zoom", "cell", "n")
+    return density_pyramid(pts, base_size=5.0, factors=(4,)).select(
+        "zoom", "cell", "n"
+    )
 
 
 def o_grid_density():

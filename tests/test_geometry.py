@@ -206,3 +206,36 @@ def test_barycentric_tiled_matches_global(spark):
             assert tiled[i] is None or np.isnan(tiled[i]), i
         else:
             assert abs(tiled[i] - glob[i]) < 1e-9, i
+
+
+def test_density_pyramid_matches_direct_binning(spark):
+    """Rollup-from-finest must be bit-identical to direct per-zoom binning
+    (the power-of-two nested-floor identity density_pyramid relies on),
+    including negative coords, exact cell-boundary values, and chained
+    factors."""
+    from crankshaft_spark.operators.grid import density_grid, density_pyramid
+
+    # Deterministic coords hitting boundaries: exact multiples of every cell
+    # size, ulp-offsets around them, and a pseudo-random spread.
+    xs, ys = [], []
+    for i in range(-40, 40):
+        v = i * 0.25
+        xs += [v, v + 1e-12, v - 1e-12, -179.999 + (i % 7) * 13.37]
+        ys += [v / 2.0, v / 2.0 + 1e-12, v / 2.0 - 1e-12, -89.9 + (i % 11) * 3.1]
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(zip(xs, ys))],
+        "id long, x double, y double",
+    )
+    base, factors = 0.25, (4, 8)  # zooms: 0.25, 1.0, 8.0 degrees
+    sizes = [base, base * 4, base * 32]
+    pyr = sorted(
+        density_pyramid(df, base_size=base, factors=factors)
+        .select("zoom", "cell", "n").collect()
+    )
+    direct = sorted(
+        density_grid(df, cell_sizes=sizes).select("zoom", "cell", "n").collect()
+    )
+    assert pyr == direct
+
+    with pytest.raises(ValueError):
+        density_pyramid(df, base_size=1.0, factors=(3,))
