@@ -892,14 +892,31 @@ def chunk_oracle_sql(docs_sql: str, *, size: int, stride: int = None,
 
 
 def dup_spans(docs: DataFrame, *, n: int = 8, min_count: int = 2,
-              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+              text_col: str = "text", id_col: str = "doc_id",
+              remove: bool = False) -> DataFrame:
     """(doc_id, n_windows, n_dup_windows, dup_tokens, dup_span_frac) —
     per-doc coverage of globally-repeated ``n``-token windows.
     ``dup_tokens`` merges overlapping duplicated windows (two windows
     starting 1 apart cover n+1 tokens, not 2n): with sorted window
     starts s_1..s_m, coverage = n + sum(min(n, s_{i+1} - s_i)) — exact
     integer arithmetic, mirrored by dup_spans_oracle_sql.  Docs shorter
-    than n words have zero windows and frac 0."""
+    than n words have zero windows and frac 0.
+
+    ``remove=True`` adds the ACTION half of the Lee-et-al. recipe —
+    columns (removed_tokens, clean_text): for every duplicated window
+    the globally-first occurrence (lexicographic min (doc_id, pos),
+    computed as a map-side-combinable min-of-struct aggregate, never a
+    corpus-wide sort) is the keeper; each doc excises the union of the
+    token ranges of its NON-keeper duplicated windows and rebuilds the
+    text from the surviving tokens.  A token covered by both a keeper
+    and a non-keeper window is excised (window approximation of the
+    suffix-array method; the keeper occurrence itself survives through
+    its own window's range unless a DIFFERENT duplicated window covers
+    it).  Reconstruction is one fold over the sorted removal starts
+    (pre-materialized words column — HOF lambdas get no CSE), O(tokens)
+    per doc.  clean_text is single-space rejoined, so byte-stability is
+    guaranteed only for single-space-tokenized input (the corpus
+    contract everywhere else in this module)."""
     words = F.split(F.col(text_col), " ")
     grams = docs.select(
         F.col(id_col),
@@ -913,8 +930,14 @@ def dup_spans(docs: DataFrame, *, n: int = 8, min_count: int = 2,
     # shuffling every gram occurrence.  (The DuckDB oracle materializes
     # its grams CTE instead — 0267a9e — because DuckDB re-INLINES plain
     # CTEs per reference; different engines, different right answer.)
-    dup = (grams.groupBy("gram").agg(F.count("*").alias("_c"))
-                .where(F.col("_c") >= min_count).select("gram"))
+    dup_aggs = [F.count("*").alias("_c")]
+    if remove:
+        dup_aggs.append(
+            F.min(F.struct(F.col(id_col).alias("kid"),
+                           F.col("pos").alias("kpos"))).alias("_keeper"))
+    dup = (grams.groupBy("gram").agg(*dup_aggs)
+                .where(F.col("_c") >= min_count)
+                .select("gram", *(["_keeper"] if remove else [])))
     occ = grams.join(dup, "gram")
     ss = F.array_sort(F.collect_list("pos"))
     agg = occ.groupBy(id_col).agg(ss.alias("_ss"))
@@ -927,18 +950,64 @@ def dup_spans(docs: DataFrame, *, n: int = 8, min_count: int = 2,
         F.size("_ss").cast("long").alias("n_dup_windows"),
         (F.aggregate(diffs, F.lit(0), lambda acc, x: acc + x) + n)
          .cast("long").alias("dup_tokens"))
-    base = docs.select(
+    base_cols = [
         F.col(id_col), F.size(words).cast("long").alias("_k"),
         F.greatest(F.size(words) - (n - 1), F.lit(0)).cast("long")
-         .alias("n_windows"))
-    return (base.join(agg, id_col, "left")
-            .select(id_col, "n_windows",
-                    F.coalesce("n_dup_windows", F.lit(0)).cast("long")
-                     .alias("n_dup_windows"),
-                    F.coalesce("dup_tokens", F.lit(0)).cast("long")
-                     .alias("dup_tokens"),
-                    F.round(F.coalesce("dup_tokens", F.lit(0))
-                            / F.col("_k"), 6).alias("dup_span_frac")))
+         .alias("n_windows")]
+    if remove:
+        base_cols.append(words.alias("_w"))
+    base = docs.select(*base_cols)
+    out_cols = [
+        id_col, "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+         .alias("n_dup_windows"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long")
+         .alias("dup_tokens"),
+        F.round(F.coalesce("dup_tokens", F.lit(0))
+                / F.col("_k"), 6).alias("dup_span_frac")]
+    joined = base.join(agg, id_col, "left")
+    if remove:
+        rem = occ.where(
+            (F.col(id_col) != F.col("_keeper.kid"))
+            | (F.col("pos") != F.col("_keeper.kpos")))
+        rss = rem.groupBy(id_col).agg(
+            F.array_sort(F.collect_list("pos")).alias("_rs"))
+        joined = joined.join(rss, id_col, "left")
+        rs = F.coalesce(F.col("_rs"), F.expr("cast(array() as array<int>)"))
+        init = F.struct(
+            F.lit(0).alias("pe"),
+            F.expr("cast(array() as array<string>)").alias("kept"))
+
+        def _step(acc, s):
+            # sorted starts: s >= previous start, so on overlap (s < pe)
+            # the run just extends to s + n
+            return F.when(
+                s < acc["pe"],
+                F.struct((s + F.lit(n)).alias("pe"),
+                         acc["kept"].alias("kept")),
+            ).otherwise(
+                F.struct(
+                    (s + F.lit(n)).alias("pe"),
+                    F.concat(
+                        acc["kept"],
+                        F.slice(F.col("_w"), acc["pe"] + 1, s - acc["pe"]),
+                    ).alias("kept")))
+
+        def _fin(acc):
+            kept = F.concat(
+                acc["kept"],
+                F.slice(F.col("_w"), acc["pe"] + 1,
+                        F.greatest(F.lit(0),
+                                   F.size("_w") - acc["pe"])))
+            return F.struct(
+                (F.size("_w") - F.size(kept)).cast("long")
+                 .alias("removed_tokens"),
+                F.array_join(kept, " ").alias("clean_text"))
+
+        res = F.aggregate(rs, init, _step, _fin)
+        out_cols += [res["removed_tokens"].alias("removed_tokens"),
+                     res["clean_text"].alias("clean_text")]
+    return joined.select(*out_cols)
 
 
 def dup_spans_oracle_sql(docs_sql: str, *, n: int = 8,
@@ -971,6 +1040,43 @@ def dup_spans_oracle_sql(docs_sql: str, *, n: int = 8,
            coalesce(a.dup_tokens, 0) AS dup_tokens,
            round(coalesce(a.dup_tokens, 0) / b.k, 6) AS dup_span_frac
     FROM base b LEFT JOIN agg a USING (doc_id)"""
+
+
+def dedup_spans_oracle_sql(docs_sql: str, *, n: int = 8,
+                           min_count: int = 2) -> str:
+    """DuckDB mirror of dup_spans(remove=True)'s removal columns —
+    (doc_id, removed_tokens, clean_hash).  Keeper selection mirrors
+    Spark's min-of-struct with a (doc_id, pos)-ordered row_number (same
+    lexicographic order; window form is fine at oracle scale where the
+    Spark side deliberately avoids the gram-stream sort).  Token excision
+    is the simple quadratic covered-test (per-token EXISTS over the
+    removal starts) — different algorithm, same set semantics as the
+    fold, which is the point of an independent mirror."""
+    w = "string_split(text, ' ')"
+    grams = (f"SELECT doc_id, i - 1 AS pos, "
+             f"array_to_string(list_slice(w, i, i + {n - 1}), ' ') AS gram"
+             f" FROM (SELECT doc_id, {w} AS w FROM ({docs_sql})),"
+             f" LATERAL unnest(range(1, len(w) - {n - 2})) g(i)")
+    return f"""
+    WITH grams AS MATERIALIZED ({grams}),
+    occ AS (SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY gram
+                                      ORDER BY doc_id, pos) AS rk,
+                   count(*) OVER (PARTITION BY gram) AS c
+            FROM grams),
+    rs AS (SELECT doc_id, list(pos ORDER BY pos) AS rs
+           FROM occ WHERE c >= {min_count} AND rk > 1 GROUP BY doc_id),
+    recon AS (
+      SELECT b.doc_id, len(b.w) AS k,
+             list_filter(b.w, (x, i) -> len(list_filter(
+                 coalesce(r.rs, []),
+                 p -> p <= i - 1 AND i - 1 < p + {n})) = 0) AS kept
+      FROM (SELECT doc_id, {w} AS w FROM ({docs_sql})) b
+      LEFT JOIN rs r USING (doc_id))
+    SELECT doc_id,
+           CAST(k - len(kept) AS BIGINT) AS removed_tokens,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS clean_hash
+    FROM recon"""
 
 
 def contaminated_expr(text: Column, bench_grams, *, n: int = 13) -> Column:

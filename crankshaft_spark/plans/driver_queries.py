@@ -2219,10 +2219,18 @@ def q_text_stats(spark, sf_dir):
     # profile + PII + repetition are ALL per-row column algebra now, so
     # they ride ONE scan; only the dup_spans arm (inherently a cross-doc
     # window-count aggregate) keeps its own scan + join
+    # the dup_spans arm also carries the removal half (remove=True):
+    # coverage stats + excised-text hash in ONE gram explode/aggregate;
+    # keeper docs (first boilerplate occurrence) keep their copy, every
+    # later %4 doc loses exactly the planted 10-token span
+    ds = dup_spans(boiler, n=8, remove=True).select(
+        "doc_id", "n_windows", "n_dup_windows", "dup_tokens",
+        "dup_span_frac", "removed_tokens",
+        F.md5("clean_text").alias("clean_hash"))
     joined = (
         text_profile(docs, extra_cols=[*pii_cols(pii_text),
                                        *repetition_cols(lined_text)])
-        .join(dup_spans(boiler, n=8), "doc_id")
+        .join(ds, "doc_id")
     )
     # final pipeline verdict over the signals above (adds a projection,
     # not a scan); dup-line/top-gram rules read the lined variant's
@@ -2241,8 +2249,8 @@ def q_text_stats(spark, sf_dir):
 
 def o_text_stats():
     from crankshaft_spark.operators.text import (
-        corpus_keep_sql, dup_spans_oracle_sql, pii_oracle_sql,
-        repetition_oracle_sql)
+        corpus_keep_sql, dedup_spans_oracle_sql, dup_spans_oracle_sql,
+        pii_oracle_sql, repetition_oracle_sql)
 
     lined_sql = ("SELECT doc_id, replace(text, ' table ', chr(10)) AS text "
                  f"FROM ({DOCS_SQL})")
@@ -2260,7 +2268,8 @@ def o_text_stats():
     SELECT t.*, b.n_words, b.n_numbers, b.n_marks, b.n_bpe_tokens,
            q.n_chars, q.stopword_ratio, q.space_ratio, q.quality,
            l.* EXCLUDE (doc_id), r.* EXCLUDE (doc_id),
-           p.* EXCLUDE (doc_id), ds.* EXCLUDE (doc_id)
+           p.* EXCLUDE (doc_id), ds.* EXCLUDE (doc_id),
+           dr.* EXCLUDE (doc_id)
     FROM ({o_token_stats()}) t
     JOIN ({o_token_bpe()}) b ON t.doc_id = b.doc_id
     JOIN ({o_quality_score()}) q ON t.doc_id = q.doc_id
@@ -2268,7 +2277,9 @@ def o_text_stats():
     JOIN ({repetition_oracle_sql(lined_sql)}) r ON t.doc_id = r.doc_id
     JOIN ({pii_oracle_sql(pii_src_sql)}) p ON t.doc_id = p.doc_id
     JOIN ({dup_spans_oracle_sql(boiler_sql, n=8)}) ds
-      ON t.doc_id = ds.doc_id"""
+      ON t.doc_id = ds.doc_id
+    JOIN ({dedup_spans_oracle_sql(boiler_sql, n=8)}) dr
+      ON t.doc_id = dr.doc_id"""
     verdict = corpus_keep_sql(
         quality="x.quality", predicted_lang="x.predicted_lang",
         dup_line_frac="x.dup_line_frac", top2gram_frac="x.top2gram_frac",

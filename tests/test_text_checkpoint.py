@@ -394,3 +394,48 @@ def test_dup_spans_coverage(spark):
     got2 = {r["doc_id"]: r.asDict()
             for r in dup_spans(docs2, n=8).collect()}
     assert got2[1]["n_dup_windows"] == 2 and got2[1]["dup_tokens"] == 9
+
+def test_dup_spans_removal(spark):
+    """remove=True excises non-keeper duplicated windows: the globally
+    first (doc_id, pos) occurrence survives, later occurrences lose the
+    covered tokens; within-doc repeats keep the first copy; clean text
+    is bit-stable across parallelism."""
+    from crankshaft_spark.operators.text import dup_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"),              # keeper of a..h
+         (2, "z a b c d e f g h q r s"),          # loses a..h
+         (3, "u v w x y p m k l t"),              # untouched
+         (4, "a b c d e f g h a b c d e f g h"),  # keeper lives in doc 1
+         (5, "short one")],
+        "doc_id long, text string")
+    out = dup_spans(docs, n=8, remove=True)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert got[1]["removed_tokens"] == 0
+    assert got[1]["clean_text"] == "a b c d e f g h i j"
+    assert got[2]["removed_tokens"] == 8
+    assert got[2]["clean_text"] == "z q r s"
+    assert got[3]["removed_tokens"] == 0
+    # doc 1 holds the keeper occurrence of a..h, so BOTH of doc 4's
+    # copies are non-keepers — the whole doc is excised
+    assert got[4]["clean_text"] == "" and got[4]["removed_tokens"] == 16
+    assert got[5]["clean_text"] == "short one"
+    # isolated within-doc repeat (no cross-doc keeper): first copy stays
+    solo = spark.createDataFrame(
+        [(9, "q r s t u v w x q r s t u v w x")],
+        "doc_id long, text string")
+    s9 = dup_spans(solo, n=8, remove=True).collect()[0]
+    assert s9["clean_text"] == "q r s t u v w x"
+    assert s9["removed_tokens"] == 8
+    # coverage columns unchanged by the removal arm
+    base = {r["doc_id"]: r.asDict() for r in dup_spans(docs, n=8).collect()}
+    for i in base:
+        for k in base[i]:
+            assert got[i][k] == base[i][k], (i, k)
+    # parallelism invariance: keeper choice is an aggregate min, not
+    # partition-order-dependent
+    got12 = {r["doc_id"]: r["clean_text"]
+             for r in dup_spans(docs.repartition(12), n=8,
+                                remove=True).collect()}
+    assert got12 == {i: got[i]["clean_text"] for i in got}
+
