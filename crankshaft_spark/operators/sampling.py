@@ -38,6 +38,8 @@ __all__ = [
     "uniform_hash",
     "uniform_hash_sql",
     "corpus_sample",
+    "corpus_split",
+    "corpus_split_sql",
     "weighted_sample",
     "shard_pack",
 ]
@@ -277,3 +279,64 @@ def shard_pack_oracle_sql(docs_sql: str, *, budget: int,
               ROWS UNBOUNDED PRECEDING) - {tokens_col}) // {budget}
            AS shard_id
     FROM (SELECT *, {h} AS _h FROM ({docs_sql}))"""
+
+
+def _split_bounds(fractions) -> list:
+    """[(name, cumulative_upper)] with the running sum built by repeated
+    left-to-right addition — the oracle repeats the identical operand
+    order, so the band edges are the same IEEE doubles in both engines."""
+    items = list(fractions.items()) if isinstance(fractions, dict) \
+        else list(fractions)
+    if len(items) < 2:
+        raise ValueError("corpus_split needs at least two bands")
+    total = 0.0
+    bounds = []
+    for name, frac in items:
+        if frac <= 0:
+            raise ValueError(f"split fraction for {name!r} must be > 0")
+        total = total + float(frac)
+        bounds.append((str(name), total))
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions sum to {total}, expected 1")
+    return bounds
+
+
+def corpus_split(docs: DataFrame, *, fractions, seed: int = 42,
+                 id_col: str = "doc_id", out_col: str = "split") -> DataFrame:
+    """Deterministic disjoint train/val/test assignment.
+
+    u = portable md5-u over (seed, id, tag='split') — the same
+    domain-separated RNG recipe as corpus_sample, so composing split
+    with sampling/packing stages never correlates draws.  The split is a
+    pure per-row projection: no shuffle, streaming-safe, and STABLE
+    UNDER CORPUS GROWTH — adding or removing other documents never moves
+    an existing doc's band (the property that keeps eval sets frozen
+    across crawl refreshes; a fraction-boundary change only reassigns
+    docs whose u crosses the moved edge).
+
+    ``fractions`` is an ordered mapping or (name, frac) sequence summing
+    to 1; doc goes to the first band whose cumulative upper bound
+    exceeds u (the last band is the CASE ELSE, closing the u < 1 edge).
+    Expected band sizes are exact in distribution; realized sizes are
+    binomial like any hash split.
+    """
+    bounds = _split_bounds(fractions)
+    u = uniform_hash(seed, F.col(id_col), tag="split")
+    expr = F.lit(bounds[-1][0])
+    for name, hi in reversed(bounds[:-1]):
+        expr = F.when(u < F.lit(hi), F.lit(name)).otherwise(expr)
+    return docs.withColumn(out_col, expr)
+
+
+def corpus_split_sql(fractions, *, seed: int = 42,
+                     id_expr: str = "doc_id",
+                     out_col: str = "split") -> str:
+    """DuckDB mirror of corpus_split's band CASE as a SQL fragment
+    (append to a SELECT list).  Band edges are Python float reprs —
+    DuckDB parses them to the identical doubles, and u is the shared
+    portable-hash recipe, so assignment matches Spark bit-for-bit."""
+    bounds = _split_bounds(fractions)
+    u = uniform_hash_sql(seed, id_expr, tag="split")
+    arms = " ".join(f"WHEN {u} < {hi!r} THEN '{name}'"
+                    for name, hi in bounds[:-1])
+    return f"CASE {arms} ELSE '{bounds[-1][0]}' END AS {out_col}"

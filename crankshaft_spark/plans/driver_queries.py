@@ -2354,6 +2354,11 @@ def o_decontaminate():
     return (f"SELECT x.*, x.contaminated AS stream_flag FROM ({inner}) x")
 
 
+#: train/val/test bands for the corpus_select split arm (both engines
+#: derive the identical cumulative edges left-to-right)
+SPLIT_FRACTIONS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+
 def q_corpus_select(spark, sf_dir):
     """Training-data selection end to end: per-source quota sample (exact
     top-10-by-portable-u per stratum — the per-domain cap that stops any
@@ -2364,7 +2369,7 @@ def q_corpus_select(spark, sf_dir):
     distributed prefix/rank/explode construction — see
     operators/sampling.py and text.chunk_docs for the 100 TB shapes."""
     from crankshaft_spark.operators.sampling import (
-        corpus_sample, shard_pack, weighted_sample)
+        corpus_sample, corpus_split, shard_pack, weighted_sample)
     from crankshaft_spark.operators.text import chunk_docs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -2390,17 +2395,22 @@ def q_corpus_select(spark, sf_dir):
     # exercises weighted_sample end to end under the oracle
     wsel = weighted_sample(docs, target=100, weight_col="tokens",
                            seed=42).select("doc_id", "pi")
-    return (packed.join(wsel, "doc_id", "left")
-            .select("doc_id", "chunk_id", "source", "u", "sample_rank",
-                    "chunk_tokens",
-                    F.md5("chunk_text").alias("chunk_hash"), "shard_id",
-                    F.col("pi").isNotNull().alias("w_selected"),
-                    F.coalesce("pi", F.lit(0.0)).alias("pi")))
+    out = (packed.join(wsel, "doc_id", "left")
+           .select("doc_id", "chunk_id", "source", "u", "sample_rank",
+                   "chunk_tokens",
+                   F.md5("chunk_text").alias("chunk_hash"), "shard_id",
+                   F.col("pi").isNotNull().alias("w_selected"),
+                   F.coalesce("pi", F.lit(0.0)).alias("pi")))
+    # fourth arm: deterministic train/val/test band per doc — a pure
+    # projection on doc identity (growth-stable, domain-separated u),
+    # assigned on the packed rows so every chunk of a doc lands in the
+    # same band
+    return corpus_split(out, fractions=SPLIT_FRACTIONS, seed=42)
 
 
 def o_corpus_select():
     from crankshaft_spark.operators.sampling import (
-        corpus_sample_oracle_sql, shard_pack_oracle_sql,
+        corpus_sample_oracle_sql, corpus_split_sql, shard_pack_oracle_sql,
         weighted_sample_oracle_sql)
     from crankshaft_spark.operators.text import chunk_oracle_sql
 
@@ -2421,9 +2431,10 @@ def o_corpus_select():
     wsel = weighted_sample_oracle_sql(
         docs_sql, target=100, weight_col="tokens", seed=42,
         cols="doc_id")
+    split = corpus_split_sql(SPLIT_FRACTIONS, seed=42, id_expr="p.doc_id")
     return f"""
     SELECT p.*, w.doc_id IS NOT NULL AS w_selected,
-           coalesce(w.pi, 0.0) AS pi
+           coalesce(w.pi, 0.0) AS pi, {split}
     FROM ({packed}) p LEFT JOIN ({wsel}) w USING (doc_id)"""
 
 

@@ -321,3 +321,37 @@ def test_corpus_sample_quota_properties(spark, data):
         size_s = len([i for i in range(n) if i % n_strata == s])
         ranks = sorted(got.get(f"s{s}", []))
         assert ranks == list(range(1, min(quota, size_s) + 1))
+
+
+def test_corpus_split_deterministic_bands(spark):
+    """Band assignment replays the portable hash in Python, is stable
+    under corpus growth, domain-separated from the sampling draws, and
+    validates its fractions."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from crankshaft_spark.operators.sampling import corpus_split
+
+    fr = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+    docs = spark.range(3000).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r["split"]
+           for r in corpus_split(docs, fractions=fr, seed=7).collect()}
+
+    def band(i):
+        u = int(hashlib.md5(f"7:{i}:split".encode()).hexdigest()[:8], 16) \
+            / 4294967296.0
+        return "train" if u < 0.8 else ("val" if u < 0.8 + 0.1 else "test")
+
+    assert got == {i: band(i) for i in range(3000)}
+    # realized sizes near expectation (binomial, generous tolerance)
+    n_train = sum(1 for v in got.values() if v == "train")
+    assert 2250 <= n_train <= 2550
+    # growth stability: a subset corpus assigns identically
+    sub = {r["doc_id"]: r["split"] for r in corpus_split(
+        docs.filter("doc_id < 100"), fractions=fr, seed=7).collect()}
+    assert sub == {i: got[i] for i in range(100)}
+    with _pytest.raises(ValueError):
+        corpus_split(docs, fractions=(("a", 0.5), ("b", 0.4)))
+    with _pytest.raises(ValueError):
+        corpus_split(docs, fractions=(("all", 1.0),))
