@@ -1042,6 +1042,116 @@ def dup_spans_oracle_sql(docs_sql: str, *, n: int = 8,
     FROM base b LEFT JOIN agg a USING (doc_id)"""
 
 
+# --------------------------------------------------- n-gram LM score -------
+# Reference-corpus language-model quality signal (public practice: CCNet /
+# Wenzek et al. 2020 score documents by KenLM perplexity over a clean
+# reference corpus; RefinedWeb/Dolma keep variants).  Surrogate here: an
+# add-one-smoothed token-BIGRAM log-likelihood — the same monotone signal
+# class, expressible as pure joins + integer-count arithmetic, so it is
+# exactly oracle-able.  Scale shape: the LM tables are aggregates of the
+# (curated, smaller) reference corpus; the scored corpus explodes to
+# bigrams and equi-joins the LM tables (AQE broadcasts them when small),
+# then one per-doc rollup.  The only transcendental is ln(integer), pinned
+# to 6dp fixed point: Spark's and DuckDB's ln agree bit-for-bit on the
+# floor(ln(i)*1e6+0.5) channel for every i in 1..1e6 (measured), and a
+# flip needs the true value within ~1 ulp of a 0.5e-6 boundary —
+# probability ~1e-9 per distinct count value.
+
+
+def _ln_cents(x: Column) -> Column:
+    """floor(ln(x)*1e6 + 0.5) as BIGINT — non-negative x >= 1 only, so
+    half-up flooring is engine-identical (no negative rounding split)."""
+    return F.floor(F.log(x.cast("double")) * 1e6 + 0.5).cast("long")
+
+
+def lm_score(docs: DataFrame, ref: DataFrame, *,
+             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, lm_bigrams, lm_oov, lm_avg_logprob) — average add-one
+    bigram log-likelihood of each doc under the reference corpus:
+
+        score = mean over adjacent pairs (w1, w2) of
+                ln(c(w1 w2) + 1) - ln(c(w1) + V)
+
+    c(.) are reference counts, V the reference vocabulary size; unseen
+    bigrams contribute ln(1) - ln(c(w1)+V) (lm_oov counts them).  Higher
+    is more reference-like; perplexity = exp(-score) if the caller wants
+    it (exp is deliberately left out of the oracle-checked surface).
+    Docs with < 2 tokens get lm_bigrams 0 and NULL score.  All float
+    work is the 6dp fixed-point ln channel summed as BIGINTs, so the
+    result is bit-stable at any parallelism and engine-portable."""
+    rwords = F.split(F.col(text_col), " ")
+    rtok = ref.select(F.explode(rwords).alias("w1"))
+    lm1 = rtok.groupBy("w1").agg(F.count("*").alias("_c1"))
+    lm2 = (ref.select(F.explode(_word_ngrams(rwords, 2)).alias("gram"))
+              .groupBy("gram").agg(F.count("*").alias("_c2")))
+    vocab = lm1.agg(F.count("*").alias("_v"))
+    words = F.split(F.col(text_col), " ")
+    m = F.greatest(F.size(words) - 1, F.lit(0))
+    pairs = docs.select(
+        F.col(id_col),
+        F.explode(F.zip_with(
+            F.slice(words, 1, m), _word_ngrams(words, 2),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("gram"))))
+         .alias("p")
+    ).select(id_col, "p.w1", "p.gram")
+    scored = (pairs.join(lm2, "gram", "left")
+                   .join(lm1, "w1", "left")
+                   .crossJoin(F.broadcast(vocab)))
+    cents = (_ln_cents(F.coalesce(F.col("_c2"), F.lit(0)) + 1)
+             - _ln_cents(F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_v")))
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("lm_bigrams"),
+        F.sum(F.col("_c2").isNull().cast("long")).alias("lm_oov"),
+        F.sum(cents).alias("_cents"))
+    base = docs.select(F.col(id_col))
+    return (base.join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("lm_bigrams", F.lit(0)).cast("long")
+                     .alias("lm_bigrams"),
+                    F.coalesce("lm_oov", F.lit(0)).cast("long")
+                     .alias("lm_oov"),
+                    F.round(F.col("_cents")
+                            / (F.col("lm_bigrams") * F.lit(1e6)), 6)
+                     .alias("lm_avg_logprob")))
+
+
+def lm_score_oracle_sql(docs_sql: str, ref_sql: str) -> str:
+    """DuckDB mirror of lm_score — identical counts, the same 6dp
+    fixed-point ln channel, identical final division/rounding."""
+    w = "string_split(text, ' ')"
+    lncents = "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+    pairs = (f"SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS gram"
+             f" FROM (SELECT doc_id, {w} AS w FROM ({docs_sql})),"
+             f" LATERAL unnest(range(1, len(w))) g(i)")
+    return f"""
+    WITH rtok AS MATERIALIZED (
+      SELECT unnest({w}) AS w1 FROM ({ref_sql})),
+    lm1 AS (SELECT w1, count(*) AS c1 FROM rtok GROUP BY w1),
+    lm2 AS (SELECT w[i] || ' ' || w[i + 1] AS gram, count(*) AS c2
+            FROM (SELECT {w} AS w FROM ({ref_sql})),
+                 LATERAL unnest(range(1, len(w))) g(i)
+            GROUP BY 1),
+    vocab AS (SELECT count(*) AS v FROM lm1),
+    pairs AS ({pairs}),
+    agg AS (
+      SELECT p.doc_id, count(*) AS lm_bigrams,
+             sum(CASE WHEN l2.c2 IS NULL THEN 1 ELSE 0 END) AS lm_oov,
+             sum({lncents.format(x='coalesce(l2.c2, 0) + 1')}
+                 - {lncents.format(x='coalesce(l1.c1, 0) + vocab.v')})
+               AS cents
+      FROM pairs p
+      LEFT JOIN lm2 l2 USING (gram)
+      LEFT JOIN lm1 l1 USING (w1)
+      CROSS JOIN vocab
+      GROUP BY p.doc_id)
+    SELECT b.doc_id,
+           CAST(coalesce(a.lm_bigrams, 0) AS BIGINT) AS lm_bigrams,
+           CAST(coalesce(a.lm_oov, 0) AS BIGINT) AS lm_oov,
+           round(a.cents / (a.lm_bigrams * 1e6), 6) AS lm_avg_logprob
+    FROM (SELECT doc_id FROM ({docs_sql})) b
+    LEFT JOIN agg a USING (doc_id)"""
+
+
 def dedup_spans_oracle_sql(docs_sql: str, *, n: int = 8,
                            min_count: int = 2) -> str:
     """DuckDB mirror of dup_spans(remove=True)'s removal columns —

@@ -2191,7 +2191,7 @@ def q_text_stats(spark, sf_dir):
     repetition input derives line structure closed-form: every ' table '
     becomes a newline (plain string replace, identical in both engines)."""
     from crankshaft_spark.operators.text import (
-        corpus_keep_expr, dup_spans, pii_cols, repetition_cols,
+        corpus_keep_expr, dup_spans, lm_score, pii_cols, repetition_cols,
         text_profile)
 
     docs = _docs(spark, sf_dir)
@@ -2227,10 +2227,15 @@ def q_text_stats(spark, sf_dir):
         "doc_id", "n_windows", "n_dup_windows", "dup_tokens",
         "dup_span_frac", "removed_tokens",
         F.md5("clean_text").alias("clean_hash"))
+    # LM arm: every 5th doc is the "clean reference corpus"; all docs are
+    # scored against its add-one bigram LM (CCNet-style quality signal —
+    # ref docs score high, word-soup docs low)
+    lm = lm_score(docs, docs.filter(F.col("doc_id") % 5 == 0))
     joined = (
         text_profile(docs, extra_cols=[*pii_cols(pii_text),
                                        *repetition_cols(lined_text)])
         .join(ds, "doc_id")
+        .join(lm, "doc_id")
     )
     # final pipeline verdict over the signals above (adds a projection,
     # not a scan); dup-line/top-gram rules read the lined variant's
@@ -2250,7 +2255,7 @@ def q_text_stats(spark, sf_dir):
 def o_text_stats():
     from crankshaft_spark.operators.text import (
         corpus_keep_sql, dedup_spans_oracle_sql, dup_spans_oracle_sql,
-        pii_oracle_sql, repetition_oracle_sql)
+        lm_score_oracle_sql, pii_oracle_sql, repetition_oracle_sql)
 
     lined_sql = ("SELECT doc_id, replace(text, ' table ', chr(10)) AS text "
                  f"FROM ({DOCS_SQL})")
@@ -2269,7 +2274,7 @@ def o_text_stats():
            q.n_chars, q.stopword_ratio, q.space_ratio, q.quality,
            l.* EXCLUDE (doc_id), r.* EXCLUDE (doc_id),
            p.* EXCLUDE (doc_id), ds.* EXCLUDE (doc_id),
-           dr.* EXCLUDE (doc_id)
+           dr.* EXCLUDE (doc_id), lm.* EXCLUDE (doc_id)
     FROM ({o_token_stats()}) t
     JOIN ({o_token_bpe()}) b ON t.doc_id = b.doc_id
     JOIN ({o_quality_score()}) q ON t.doc_id = q.doc_id
@@ -2279,7 +2284,11 @@ def o_text_stats():
     JOIN ({dup_spans_oracle_sql(boiler_sql, n=8)}) ds
       ON t.doc_id = ds.doc_id
     JOIN ({dedup_spans_oracle_sql(boiler_sql, n=8)}) dr
-      ON t.doc_id = dr.doc_id"""
+      ON t.doc_id = dr.doc_id
+    JOIN ({lm_score_oracle_sql(
+        DOCS_SQL,
+        f"SELECT * FROM ({DOCS_SQL}) WHERE doc_id % 5 = 0")}) lm
+      ON t.doc_id = lm.doc_id"""
     verdict = corpus_keep_sql(
         quality="x.quality", predicted_lang="x.predicted_lang",
         dup_line_frac="x.dup_line_frac", top2gram_frac="x.top2gram_frac",

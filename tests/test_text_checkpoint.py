@@ -439,3 +439,66 @@ def test_dup_spans_removal(spark):
                                 remove=True).collect()}
     assert got12 == {i: got[i]["clean_text"] for i in got}
 
+
+
+def test_lm_score_python_replay(spark):
+    """Add-one bigram log-likelihood matches an exact Python replay of
+    the 6dp fixed-point ln channel; OOV bigrams counted; short docs get
+    NULL score; bit-stable across parallelism."""
+    import math
+
+    from crankshaft_spark.operators.text import lm_score
+
+    ref = spark.createDataFrame(
+        [(100, "the cat sat on the mat"),
+         (101, "the cat ran")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"),       # seen bigrams
+         (2, "the dog sat"),       # OOV bigrams
+         (3, "word"),              # 1 token -> no bigrams
+         (4, "zz qq")],            # fully OOV incl. prefix
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in lm_score(docs, ref).collect()}
+
+    rtoks = "the cat sat on the mat".split() + "the cat ran".split()
+    c1 = {}
+    for w in rtoks:
+        c1[w] = c1.get(w, 0) + 1
+    c2 = {}
+    for s in ("the cat sat on the mat", "the cat ran"):
+        t = s.split()
+        for a, b in zip(t, t[1:]):
+            c2[f"{a} {b}"] = c2.get(f"{a} {b}", 0) + 1
+    V = len(c1)
+
+    def cents(x):
+        return math.floor(math.log(x) * 1e6 + 0.5)
+
+    def replay(text):
+        t = text.split()
+        tot, oov = 0, 0
+        for a, b in zip(t, t[1:]):
+            g = f"{a} {b}"
+            if g not in c2:
+                oov += 1
+            tot += cents(c2.get(g, 0) + 1) - cents(c1.get(a, 0) + V)
+        m = len(t) - 1
+        return m, oov, round(tot / (m * 1e6), 6)
+
+    for i, text in ((1, "the cat sat"), (2, "the dog sat"),
+                    (4, "zz qq")):
+        m, oov, s = replay(text)
+        assert got[i] == dict(doc_id=i, lm_bigrams=m, lm_oov=oov,
+                              lm_avg_logprob=s), (i, got[i], (m, oov, s))
+    assert got[3] == dict(doc_id=3, lm_bigrams=0, lm_oov=0,
+                          lm_avg_logprob=None)
+    # reference-like text scores higher than any OOV soup (doc 2 vs 4
+    # ordering is not monotone in OOV count: an unseen bigram after the
+    # common prefix 'the' pays the larger ln(c1('the')+V) denominator)
+    assert got[1]["lm_avg_logprob"] > max(got[2]["lm_avg_logprob"],
+                                          got[4]["lm_avg_logprob"])
+    got12 = {r["doc_id"]: r.asDict() for r in lm_score(
+        docs.repartition(12), ref.repartition(7)).collect()}
+    assert got12 == got
