@@ -502,3 +502,47 @@ def test_lm_score_python_replay(spark):
     got12 = {r["doc_id"]: r.asDict() for r in lm_score(
         docs.repartition(12), ref.repartition(7)).collect()}
     assert got12 == got
+
+
+def test_dup_spans_removal_property_replay(spark):
+    """Hypothesis: on random small-vocab corpora (lots of accidental
+    window collisions), the Spark removal fold matches an independent
+    brute-force Python replay of the contract — keeper = min (doc, pos)
+    per duplicated window, excise the union of non-keeper ranges."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crankshaft_spark.operators.text import dup_spans
+
+    vocab = ["a", "b", "c"]
+    doc_st = st.lists(st.sampled_from(vocab), min_size=0, max_size=14)
+    corpus_st = st.lists(doc_st, min_size=1, max_size=6)
+
+    @settings(max_examples=20, deadline=None)
+    @given(corpus_st)
+    def run(corpus):
+        n = 3
+        docs = [(i, " ".join(t)) for i, t in enumerate(corpus)]
+        # Python replay
+        occs = {}
+        for i, t in enumerate(corpus):
+            for p in range(max(len(t) - n + 1, 0)):
+                occs.setdefault(" ".join(t[p:p + n]), []).append((i, p))
+        want = {}
+        for i, t in enumerate(corpus):
+            covered = set()
+            for g, lst in occs.items():
+                if len(lst) < 2:
+                    continue
+                keeper = min(lst)
+                for (d, p) in lst:
+                    if d == i and (d, p) != keeper:
+                        covered.update(range(p, p + n))
+            kept = [w for j, w in enumerate(t) if j not in covered]
+            want[i] = (len(t) - len(kept), " ".join(kept))
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: (r["removed_tokens"], r["clean_text"])
+               for r in dup_spans(sdf, n=n, remove=True).collect()}
+        assert got == want
+
+    run()
