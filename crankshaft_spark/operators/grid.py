@@ -55,8 +55,10 @@ def density_pyramid(
     ``density_grid`` re-aggregates the raw points once per zoom level; at
     100 TB a z-level pyramid must instead aggregate the base zoom once and
     derive every coarser level from the previous one (a groupBy over the
-    tiny cell table, not the point table).  Zoom ``i+1``'s cell size is
-    ``base_size * factors[i]``; each factor must be a positive power of two,
+    tiny cell table, not the point table).  Factors CHAIN: zoom ``i+1`` is
+    derived from zoom ``i``, so its cell size is ``base_size *
+    prod(factors[:i+1])`` (e.g. base 0.25 with factors (4, 8) gives zoom
+    sizes 0.25, 1.0, 8.0).  Each factor must be a positive power of two,
     which makes the rollup *bit-identical* to direct binning:
 
       - ``fl(v / (s * 2^k)) == fl(v / s) / 2^k`` exactly (dividing an IEEE
@@ -102,9 +104,16 @@ def density_pyramid(
     for zoom, f in enumerate(factors, start=1):
         # ix = cell div 2^32, iy = cell % 2^32; parent packs (ix div f,
         # iy div f).  All-BIGINT arithmetic — no double round-trip.
+        # Guard the cellv1 domain LOUDLY: points left of -180 lon / below
+        # -90 lat give a negative cell id, where truncate-toward-zero
+        # div/% would silently roll counts into the wrong parent; the
+        # check runs on the aggregated CELL table (cheap), not per point.
         parent = F.expr(
-            f"((cell div {CELL_M}) div {f}) * {CELL_M}"
+            f"CASE WHEN cell >= 0 THEN"
+            f" ((cell div {CELL_M}) div {f}) * {CELL_M}"
             f" + ((cell % {CELL_M}) div {f})"
+            f" ELSE CAST(raise_error('density_pyramid: negative cellv1 id"
+            f" — coordinates outside the lon/lat domain') AS BIGINT) END"
         ).alias("cell")
         level = level.groupBy(parent).agg(*roll)
         parts.append(level.select(F.lit(zoom).alias("zoom"), "*"))

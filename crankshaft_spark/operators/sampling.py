@@ -335,7 +335,8 @@ def corpus_split_sql(fractions, *, seed: int = 42,
     (append to a SELECT list).  Band edges are Python float reprs —
     DuckDB parses them to the identical doubles, and u is the shared
     portable-hash recipe, so assignment matches Spark bit-for-bit."""
-    bounds = _split_bounds(fractions)
+    bounds = [(name.replace("'", "''"), hi)
+              for name, hi in _split_bounds(fractions)]
     u = uniform_hash_sql(seed, id_expr, tag="split")
     arms = " ".join(f"WHEN {u} < {hi!r} THEN '{name}'"
                     for name, hi in bounds[:-1])

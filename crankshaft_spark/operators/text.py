@@ -1081,7 +1081,12 @@ def lm_score(docs: DataFrame, ref: DataFrame, *,
     result is bit-stable at any parallelism and engine-portable."""
     rwords = F.split(F.col(text_col), " ")
     rtok = ref.select(F.explode(rwords).alias("w1"))
-    lm1 = rtok.groupBy("w1").agg(F.count("*").alias("_c1"))
+    # lazy localCheckpoint: lm1 feeds BOTH the vocab count and the w1
+    # join — without it the reference explode+groupBy subtree executes
+    # twice per action (review finding); lazy keeps the operator
+    # definition side-effect-free
+    lm1 = (rtok.groupBy("w1").agg(F.count("*").alias("_c1"))
+               .localCheckpoint(eager=False))
     lm2 = (ref.select(F.explode(_word_ngrams(rwords, 2)).alias("gram"))
               .groupBy("gram").agg(F.count("*").alias("_c2")))
     vocab = lm1.agg(F.count("*").alias("_v"))
@@ -1097,8 +1102,16 @@ def lm_score(docs: DataFrame, ref: DataFrame, *,
     scored = (pairs.join(lm2, "gram", "left")
                    .join(lm1, "w1", "left")
                    .crossJoin(F.broadcast(vocab)))
+    # an EMPTY reference corpus gives V = 0 and ln(0) for every OOV
+    # prefix — fail loudly instead of returning all-NULL scores
+    denom = F.when(
+        F.col("_v") > 0,
+        F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_v"),
+    ).otherwise(F.expr(
+        "CAST(raise_error('lm_score: empty reference corpus "
+        "(vocabulary size 0)') AS BIGINT)"))
     cents = (_ln_cents(F.coalesce(F.col("_c2"), F.lit(0)) + 1)
-             - _ln_cents(F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_v")))
+             - _ln_cents(denom))
     agg = scored.groupBy(id_col).agg(
         F.count("*").alias("lm_bigrams"),
         F.sum(F.col("_c2").isNull().cast("long")).alias("lm_oov"),
