@@ -527,3 +527,43 @@ def test_streaming_corpus_filter(spark, tmp_path):
     assert got[1] == (False, "low_quality")
     assert got[2] == (True, "ok")
     assert got[3] == (False, "lang")
+
+
+def test_streaming_corpus_split(spark, tmp_path):
+    """corpus_split is a stateless projection on row identity, so split
+    bands assign inside a readStream pipeline and agree row-for-row with
+    the batch form (the contract that lets ingest route train/val/test
+    shards online)."""
+    import os
+
+    from crankshaft_spark.operators.sampling import corpus_split
+
+    schema = "doc_id long, text string"
+    batches = [[(i, f"doc {i}") for i in range(40)],
+               [(i, f"doc {i}") for i in range(40, 80)]]
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for i, chunk in enumerate(batches):
+        scratch = str(tmp_path / f"s{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            scratch)
+        part = next(f for f in os.listdir(scratch)
+                    if f.startswith("part-") and f.endswith(".parquet"))
+        dst = f"{src}/b{i}.parquet"
+        os.rename(os.path.join(scratch, part), dst)
+        os.utime(dst, (1e9 + i, 1e9 + i))
+
+    fr = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (corpus_split(stream, fractions=fr, seed=11)
+         .writeStream.format("memory").queryName("split_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["split"]
+           for r in spark.sql("SELECT * FROM split_stream").collect()}
+    batch = {r["doc_id"]: r["split"] for r in corpus_split(
+        spark.createDataFrame([r for b in batches for r in b], schema),
+        fractions=fr, seed=11).collect()}
+    assert got == batch and len(got) == 80
+    assert {"train", "val", "test"} >= set(got.values())
