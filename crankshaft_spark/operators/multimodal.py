@@ -487,6 +487,97 @@ def image_resize_features(
     return media.select("media_id", "media").mapInPandas(run, schema=schema)
 
 
+def image_ahash(media: DataFrame, *, decoder: str = "fake") -> DataFrame:
+    """(media_id, width, height, ahash) — 64-bit average-hash perceptual
+    fingerprint of each decodable image (public practice: aHash from the
+    pHash family; the image analogue of SimHash for near-dup detection).
+
+    The 8×8 reduction is adaptive integer pooling — pixel (y, x) belongs
+    to block (y*8 div h, x*8 div w) — and bit (r, c) is set iff the block
+    mean exceeds the global mean, compared WITHOUT floats via cross
+    multiplication (block_sum * total_count > total_sum * block_count),
+    so the hash is bit-identical across engines and replayable closed-form
+    by the DuckDB oracle through the REAL PNG encode→decode round trip.
+    ``ahash`` is 16 lowercase hex chars (64 bits as 8 row-major bytes;
+    a hex string sidesteps BIGINT sign overflow at bit 63).  Non-image /
+    undecodable rows are skipped (same policy as image_resize_features).
+    Images smaller than 8×8 are skipped too — empty pooling blocks would
+    make the hash undefined."""
+    schema = "media_id long, width int, height int, ahash string"
+
+    def decode(blob):
+        if decoder == "real":
+            img = png_decode(blob) or bmp_decode(blob)
+            return None if img is None else img[2]
+        h = _parse_header(blob)
+        if h is None or h[0] != 0:
+            return None
+        _, w, hgt, _ = h
+        px = np.frombuffer(blob[16:16 + w * hgt], dtype=np.uint8)
+        return None if len(px) < w * hgt else px.reshape(hgt, w)
+
+    def run(pdfs):
+        for pdf in pdfs:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                img = decode(blob)
+                if img is None:
+                    continue
+                hgt, w = img.shape
+                if hgt < 8 or w < 8:
+                    continue
+                px = img.astype(np.int64)
+                ybl = np.arange(hgt) * 8 // hgt
+                xbl = np.arange(w) * 8 // w
+                blk = (ybl[:, None] * 8 + xbl[None, :]).ravel()
+                bsum = np.bincount(blk, weights=px.ravel(),
+                                   minlength=64).astype(np.int64)
+                bcnt = np.bincount(blk, minlength=64).astype(np.int64)
+                tsum, tcnt = int(px.sum()), hgt * w
+                bits = (bsum * tcnt) > (tsum * bcnt)
+                hx = "".join(
+                    f"{sum(int(bits[r * 8 + c]) << c for c in range(8)):02x}"
+                    for r in range(8))
+                rows.append((int(mid), w, hgt, hx))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "ahash"])
+
+    return media.select("media_id", "media").mapInPandas(run, schema=schema)
+
+
+def ahash_pairs(hashes: DataFrame, *, max_hamming: int = 4) -> DataFrame:
+    """(a, b, hamming) — image near-dup candidate pairs with Hamming
+    distance <= max_hamming between 64-bit aHashes, via the same banded
+    filter-and-refine shape as SimHash: the 8 hex-byte bands posexplode
+    and equi-join (pigeonhole: distance <= 7 guarantees at least one of 8
+    bytes identical — hence the max_hamming <= 7 bound), candidates dedupe,
+    and the exact distance refines JVM-side as the sum of per-byte
+    bit_count(xor).  Never an all-pairs product."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError("max_hamming must be in 0..7 (8-band pigeonhole)")
+    bands = F.array(*[
+        F.substring("ahash", 1 + 2 * r, 2).alias(f"b{r}") for r in range(8)
+    ])
+    sig = hashes.select(F.col("media_id"), F.col("ahash"),
+                        F.posexplode(bands).alias("band", "key"))
+    left = sig.select(F.col("media_id").alias("a"),
+                      F.col("ahash").alias("ha"), "band", "key")
+    right = sig.select(F.col("media_id").alias("b"),
+                       F.col("ahash").alias("hb"), "band", "key")
+    cand = (left.join(right, ["band", "key"])
+                .where(F.col("a") < F.col("b"))
+                .select("a", "b", "ha", "hb").distinct())
+    ham = sum(
+        F.bit_count(
+            F.conv(F.substring("ha", 1 + 2 * r, 2), 16, 10).cast("int")
+            .bitwiseXOR(
+                F.conv(F.substring("hb", 1 + 2 * r, 2), 16, 10).cast("int"))
+        ) for r in range(8))
+    return (cand.withColumn("hamming", ham.cast("int"))
+                .where(F.col("hamming") <= max_hamming)
+                .select("a", "b", "hamming"))
+
+
 def frame_sample(
     media: DataFrame = None, *, every: int = 4, meta: DataFrame = None,
 ) -> DataFrame:

@@ -1655,12 +1655,18 @@ def q_media_real(spark, sf_dir):
     reconstruction + CRC walk) and WAV (RIFF/PCM16) codecs over real-format
     bytes; payload_sum is the sum of DECODED pixel/sample values, which the
     oracle recomputes closed-form — so a wrong unfilter or byte-order bug
-    fails the value hash, not just the schema."""
-    from crankshaft_spark.operators.multimodal import decode_metadata, synth_media
+    fails the value hash, not just the schema.  The ahash arm pushes the
+    same round trip through the 8x8 perceptual hash: the oracle rebuilds
+    the pooled-block bit pattern from the pixel formula, so a pooling or
+    bit-order bug in image_ahash fails the value hash too."""
+    from crankshaft_spark.operators.multimodal import (
+        decode_metadata, image_ahash, synth_media)
 
-    return decode_metadata(
-        synth_media(spark, n=MEDIA_N, seed=42, fmt="real"), decoder="real"
-    )
+    media = synth_media(spark, n=MEDIA_N, seed=42, fmt="real")
+    media = media.localCheckpoint(eager=False)  # synth once, decode twice
+    ah = image_ahash(media, decoder="real").select("media_id", "ahash")
+    return decode_metadata(media, decoder="real").join(
+        ah, "media_id", "left")
 
 
 def o_media_real():
@@ -1671,8 +1677,26 @@ def o_media_real():
              8 + media_id % 24 AS d0,
              8 + (media_id * 7) % 24 AS d1
       FROM ids
-    )
-    SELECT media_id,
+    ),
+    px AS (  -- decoded-image pixels replayed closed-form (w=d0, h=d1)
+      SELECT media_id, (media_id * 31 + i * 7) % 256 AS v,
+             (((i // d0) * 8) // d1) * 8 + ((i % d0) * 8) // d0 AS blk
+      FROM m, LATERAL unnest(range(0, d0 * d1)) g(i) WHERE k = 0
+    ),
+    blk AS (SELECT media_id, blk, sum(v) AS bsum, count(*) AS bcnt
+            FROM px GROUP BY 1, 2),
+    tot AS (SELECT media_id, sum(v) AS tsum, count(*) AS tcnt
+            FROM px GROUP BY 1),
+    bytes AS (
+      SELECT b.media_id, b.blk // 8 AS r,
+             sum(CASE WHEN b.bsum * t.tcnt > t.tsum * b.bcnt
+                 THEN 1 << CAST(b.blk % 8 AS INT) ELSE 0 END) AS byte
+      FROM blk b JOIN tot t USING (media_id) GROUP BY 1, 2),
+    ah AS (SELECT media_id,
+                  string_agg(printf('%02x', CAST(byte AS INT)), ''
+                             ORDER BY r) AS ahash
+           FROM bytes GROUP BY 1)
+    SELECT media_id, ahash,
            CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                   ELSE 'video' END AS kind,
            CAST(d0 AS INT) AS dim0,
@@ -1688,7 +1712,7 @@ def o_media_real():
                     i -> (media_id * 31 + i * 7) % 256))
            END AS BIGINT) AS payload_sum,
            true AS ok
-    FROM m"""
+    FROM m LEFT JOIN ah USING (media_id)"""
 
 
 def o_media_frames():

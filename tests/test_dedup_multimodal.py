@@ -402,3 +402,56 @@ def test_dedup_components_deep_chain_and_backstop(spark):
     assert sum(r["is_keep"] for r in got) == 1
     with pytest.raises(ValueError, match="did not converge"):
         dedup_components(docs, pairs, max_rounds=1)
+
+
+def test_image_ahash_replay_and_pairs(spark):
+    """aHash matches a numpy replay of the integer pooling contract
+    through the REAL PNG round trip; banded pairs find a noised near-dup
+    without an all-pairs product and respect the max_hamming bound."""
+    import numpy as np
+
+    from crankshaft_spark.operators.multimodal import (
+        ahash_pairs, image_ahash, png_encode, synth_media)
+
+    media = synth_media(spark, n=30, seed=42, fmt="real")
+    got = {r["media_id"]: (r["width"], r["height"], r["ahash"])
+           for r in image_ahash(media, decoder="real").collect()}
+    # only the PNG rows (kind 0) hash
+    assert set(got) == {i for i in range(30) if i % 3 == 0}
+
+    def replay(mid):
+        d0, d1 = 8 + mid % 24, 8 + (mid * 7) % 24
+        i = np.arange(d0 * d1, dtype=np.int64)
+        px = ((mid * 31 + i * 7) % 256).reshape(d1, d0)
+        ybl = np.arange(d1) * 8 // d1
+        xbl = np.arange(d0) * 8 // d0
+        blk = (ybl[:, None] * 8 + xbl[None, :]).ravel()
+        bsum = np.bincount(blk, weights=px.ravel(), minlength=64)
+        bcnt = np.bincount(blk, minlength=64)
+        bits = bsum * (d0 * d1) > px.sum() * bcnt
+        return (d0, d1, "".join(
+            f"{sum(int(bits[r * 8 + c]) << c for c in range(8)):02x}"
+            for r in range(8)))
+
+    assert got == {m: replay(m) for m in got}
+
+    # near-dup: flip a few pixels hard enough to move ~2 blocks' bits
+    mid = 12
+    d0, d1 = 8 + mid % 24, 8 + (mid * 7) % 24
+    i = np.arange(d0 * d1, dtype=np.int64)
+    px = ((mid * 31 + i * 7) % 256).astype(np.uint8).reshape(d1, d0)
+    noisy = px.copy()
+    noisy[0:2, 0:2] = 255
+    pair_media = spark.createDataFrame(
+        [(1, bytearray(png_encode(px))), (2, bytearray(png_encode(noisy))),
+         (3, bytearray(png_encode(255 - px)))],
+        "media_id long, media binary")
+    hashes = image_ahash(pair_media, decoder="real")
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in ahash_pairs(hashes, max_hamming=6).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    # the inverted image is far from both -> filtered out
+    assert all(3 not in p for p in pairs)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ahash_pairs(hashes, max_hamming=8)
