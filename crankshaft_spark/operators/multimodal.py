@@ -545,20 +545,23 @@ def image_ahash(media: DataFrame, *, decoder: str = "fake") -> DataFrame:
     return media.select("media_id", "media").mapInPandas(run, schema=schema)
 
 
-def ahash_pairs(hashes: DataFrame, *, max_hamming: int = 4) -> DataFrame:
-    """(a, b, hamming) — image near-dup candidate pairs with Hamming
-    distance <= max_hamming between 64-bit aHashes, via the same banded
-    filter-and-refine shape as SimHash: the 8 hex-byte bands posexplode
-    and equi-join (pigeonhole: distance <= 7 guarantees at least one of 8
-    bytes identical — hence the max_hamming <= 7 bound), candidates dedupe,
-    and the exact distance refines JVM-side as the sum of per-byte
-    bit_count(xor).  Never an all-pairs product."""
+def ahash_pairs(hashes: DataFrame, *, max_hamming: int = 4,
+                col: str = "ahash") -> DataFrame:
+    """(a, b, hamming) — media near-dup candidate pairs with Hamming
+    distance <= max_hamming between 64-bit fingerprints (``col``: 16 hex
+    chars — image_ahash's ``ahash`` by default, audio_fingerprint's
+    ``fp`` via col="fp"), via the same banded filter-and-refine shape as
+    SimHash: the 8 hex-byte bands posexplode and equi-join (pigeonhole:
+    distance <= 7 guarantees at least one of 8 bytes identical — hence
+    the max_hamming <= 7 bound), candidates dedupe, and the exact
+    distance refines JVM-side as the sum of per-byte bit_count(xor).
+    Never an all-pairs product."""
     if not 0 <= max_hamming <= 7:
         raise ValueError("max_hamming must be in 0..7 (8-band pigeonhole)")
     bands = F.array(*[
-        F.substring("ahash", 1 + 2 * r, 2).alias(f"b{r}") for r in range(8)
+        F.substring(col, 1 + 2 * r, 2).alias(f"b{r}") for r in range(8)
     ])
-    sig = hashes.select(F.col("media_id"), F.col("ahash"),
+    sig = hashes.select(F.col("media_id"), F.col(col).alias("ahash"),
                         F.posexplode(bands).alias("band", "key"))
     left = sig.select(F.col("media_id").alias("a"),
                       F.col("ahash").alias("ha"), "band", "key")
@@ -576,6 +579,65 @@ def ahash_pairs(hashes: DataFrame, *, max_hamming: int = 4) -> DataFrame:
     return (cand.withColumn("hamming", ham.cast("int"))
                 .where(F.col("hamming") <= max_hamming)
                 .select("a", "b", "hamming"))
+
+
+def audio_fingerprint(media: DataFrame, *, decoder: str = "fake") -> DataFrame:
+    """(media_id, rate, n_samples, fp) — 64-bit energy-sign fingerprint of
+    each decodable audio track: the audio analogue of image_ahash (public
+    practice: coarse energy-profile hashing a la Shazam-style banding, here
+    time-domain only since the sandbox has no FFT dependency worth pinning).
+
+    Samples pool into 64 adaptive windows (sample i belongs to window
+    i*64 div n) and bit w is set iff the window's ENERGY mean (sum of
+    s_i^2, exact int64) exceeds the track's global energy mean, compared
+    without floats by cross multiplication — bit-identical across engines
+    and replayable closed-form by the DuckDB oracle through the REAL WAV
+    encode→decode round trip.  ``fp`` is 16 lowercase hex chars packed
+    row-major exactly like image_ahash, so ``ahash_pairs(..., col="fp")``
+    gives banded audio near-dup pairs.  Non-audio / undecodable rows are
+    skipped; tracks shorter than 64 samples are skipped too (empty
+    windows would make the hash undefined)."""
+    schema = "media_id long, rate int, n_samples int, fp string"
+
+    def decode(blob):
+        if decoder == "real":
+            return wav_decode(blob)
+        h = _parse_header(blob)
+        if h is None or h[0] != 1:
+            return None
+        _, d0, d1, _ = h
+        body = np.frombuffer(blob[16:16 + d0 * 4], dtype=np.uint8)
+        return None if len(body) < d0 * 4 else (d0 * 1000, body)
+
+    def run(pdfs):
+        for pdf in pdfs:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                dec = decode(blob)
+                if dec is None:
+                    continue
+                rate, s = dec
+                n = len(s)
+                if n < 64:
+                    continue
+                # int64 squares; bincount's float64 sums are exact here
+                # (energy sums < 2^53) and are re-cast to int64 so the
+                # cross-multiplied comparison stays integer-exact.
+                e = s.astype(np.int64) ** 2
+                w = np.arange(n) * 64 // n
+                wsum = np.bincount(w, weights=e, minlength=64).astype(
+                    np.int64)
+                wcnt = np.bincount(w, minlength=64).astype(np.int64)
+                tsum = int(e.sum())
+                bits = (wsum * n) > (tsum * wcnt)
+                hx = "".join(
+                    f"{sum(int(bits[r * 8 + c]) << c for c in range(8)):02x}"
+                    for r in range(8))
+                rows.append((int(mid), int(rate), n, hx))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "rate", "n_samples", "fp"])
+
+    return media.select("media_id", "media").mapInPandas(run, schema=schema)
 
 
 def frame_sample(

@@ -1658,15 +1658,19 @@ def q_media_real(spark, sf_dir):
     fails the value hash, not just the schema.  The ahash arm pushes the
     same round trip through the 8x8 perceptual hash: the oracle rebuilds
     the pooled-block bit pattern from the pixel formula, so a pooling or
-    bit-order bug in image_ahash fails the value hash too."""
+    bit-order bug in image_ahash fails the value hash too.  The fp arm
+    does the same for audio_fingerprint through the WAV round trip (the
+    oracle replays the 64-window energy-sign pooling from the sample
+    formula)."""
     from crankshaft_spark.operators.multimodal import (
-        decode_metadata, image_ahash, synth_media)
+        audio_fingerprint, decode_metadata, image_ahash, synth_media)
 
     media = synth_media(spark, n=MEDIA_N, seed=42, fmt="real")
-    media = media.localCheckpoint(eager=False)  # synth once, decode twice
+    media = media.localCheckpoint(eager=False)  # synth once, decode thrice
     ah = image_ahash(media, decoder="real").select("media_id", "ahash")
-    return decode_metadata(media, decoder="real").join(
-        ah, "media_id", "left")
+    fp = audio_fingerprint(media, decoder="real").select("media_id", "fp")
+    return (decode_metadata(media, decoder="real")
+            .join(ah, "media_id", "left").join(fp, "media_id", "left"))
 
 
 def o_media_real():
@@ -1695,8 +1699,27 @@ def o_media_real():
     ah AS (SELECT media_id,
                   string_agg(printf('%02x', CAST(byte AS INT)), ''
                              ORDER BY r) AS ahash
-           FROM bytes GROUP BY 1)
-    SELECT media_id, ahash,
+           FROM bytes GROUP BY 1),
+    au AS (  -- decoded PCM16 samples replayed closed-form (n = d1*4)
+      SELECT media_id, (media_id * 13 + i * 11) % 65536 - 32768 AS s,
+             (i * 64) // (d1 * 4) AS w
+      FROM m, LATERAL unnest(range(0, d1 * 4)) g(i)
+      WHERE k = 1 AND d1 * 4 >= 64
+    ),
+    awin AS (SELECT media_id, w, sum(s * s) AS wsum, count(*) AS wcnt
+             FROM au GROUP BY 1, 2),
+    atot AS (SELECT media_id, sum(s * s) AS tsum, count(*) AS tcnt
+             FROM au GROUP BY 1),
+    abyte AS (
+      SELECT a.media_id, a.w // 8 AS r,
+             sum(CASE WHEN a.wsum * t.tcnt > t.tsum * a.wcnt
+                 THEN 1 << CAST(a.w % 8 AS INT) ELSE 0 END) AS byte
+      FROM awin a JOIN atot t USING (media_id) GROUP BY 1, 2),
+    afp AS (SELECT media_id,
+                   string_agg(printf('%02x', CAST(byte AS INT)), ''
+                              ORDER BY r) AS fp
+            FROM abyte GROUP BY 1)
+    SELECT media_id, ahash, fp,
            CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                   ELSE 'video' END AS kind,
            CAST(d0 AS INT) AS dim0,
@@ -1712,7 +1735,7 @@ def o_media_real():
                     i -> (media_id * 31 + i * 7) % 256))
            END AS BIGINT) AS payload_sum,
            true AS ok
-    FROM m LEFT JOIN ah USING (media_id)"""
+    FROM m LEFT JOIN ah USING (media_id) LEFT JOIN afp USING (media_id)"""
 
 
 def o_media_frames():

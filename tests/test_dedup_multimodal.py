@@ -455,3 +455,53 @@ def test_image_ahash_replay_and_pairs(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ahash_pairs(hashes, max_hamming=8)
+
+
+def test_audio_fingerprint_replay_and_pairs(spark):
+    """audio_fingerprint matches a numpy replay of the 64-window
+    energy-sign contract through the REAL WAV round trip (short tracks
+    skipped); ahash_pairs(col='fp') finds a lightly-noised near-dup and
+    filters a scrambled track."""
+    import numpy as np
+
+    from crankshaft_spark.operators.multimodal import (
+        ahash_pairs, audio_fingerprint, synth_media, wav_encode)
+
+    media = synth_media(spark, n=30, seed=42, fmt="real")
+    got = {r["media_id"]: (r["rate"], r["n_samples"], r["fp"])
+           for r in audio_fingerprint(media, decoder="real").collect()}
+    # audio rows are kind 1; tracks need >= 64 samples (d1*4 >= 64)
+    expect = {i for i in range(30)
+              if i % 3 == 1 and (8 + (i * 7) % 24) * 4 >= 64}
+    assert got.keys() == expect and expect  # non-vacuous
+
+    def replay(mid):
+        d0, d1 = 8 + mid % 24, 8 + (mid * 7) % 24
+        n = d1 * 4
+        i = np.arange(n, dtype=np.int64)
+        s = (mid * 13 + i * 11) % 65536 - 32768
+        e = s ** 2
+        w = i * 64 // n
+        wsum = np.bincount(w, weights=e, minlength=64).astype(np.int64)
+        wcnt = np.bincount(w, minlength=64).astype(np.int64)
+        bits = wsum * n > int(e.sum()) * wcnt
+        return (d0 * 1000, n, "".join(
+            f"{sum(int(bits[r * 8 + c]) << c for c in range(8)):02x}"
+            for r in range(8)))
+
+    assert got == {m: replay(m) for m in got}
+
+    # near-dup: damp a short run of samples; scramble kills similarity
+    rng = np.random.RandomState(7)
+    s = (rng.randint(-20000, 20000, 256)).astype(np.int16)
+    noisy = s.copy()
+    noisy[10:20] //= 2
+    pair_media = spark.createDataFrame(
+        [(1, bytearray(wav_encode(8000, s))),
+         (2, bytearray(wav_encode(8000, noisy))),
+         (3, bytearray(wav_encode(8000, s[rng.permutation(256)])))],
+        "media_id long, media binary")
+    fps = audio_fingerprint(pair_media, decoder="real")
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in ahash_pairs(fps, max_hamming=6, col="fp").collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
