@@ -502,7 +502,10 @@ def image_ahash(media: DataFrame, *, decoder: str = "fake") -> DataFrame:
     a hex string sidesteps BIGINT sign overflow at bit 63).  Non-image /
     undecodable rows are skipped (same policy as image_resize_features).
     Images smaller than 8×8 are skipped too — empty pooling blocks would
-    make the hash undefined."""
+    make the hash undefined.  Parallelism contract (same as
+    decode_metadata): blobs are NOT repartitioned here — shuffling raw
+    media costs more than the decode; the media source must arrive
+    pre-split (synth_media pins 8)."""
     schema = "media_id long, width int, height int, ahash string"
 
     def decode(blob):
@@ -534,7 +537,10 @@ def image_ahash(media: DataFrame, *, decoder: str = "fake") -> DataFrame:
                                    minlength=64).astype(np.int64)
                 bcnt = np.bincount(blk, minlength=64).astype(np.int64)
                 tsum, tcnt = int(px.sum()), hgt * w
-                bits = (bsum * tcnt) > (tsum * bcnt)
+                # unbounded Python ints: bsum*tcnt wraps int64 past
+                # ~1.5 gigapixels (same overflow class as the audio fp)
+                bits = [int(bsum[b]) * tcnt > tsum * int(bcnt[b])
+                        for b in range(64)]
                 hx = "".join(
                     f"{sum(int(bits[r * 8 + c]) << c for c in range(8)):02x}"
                     for r in range(8))
@@ -561,14 +567,25 @@ def ahash_pairs(hashes: DataFrame, *, max_hamming: int = 4,
     bands = F.array(*[
         F.substring(col, 1 + 2 * r, 2).alias(f"b{r}") for r in range(8)
     ])
+    # per-signature popcount: |popcount(ha) - popcount(hb)| <= hamming
+    # is a necessary condition, so pruning on it kills most collisions
+    # JVM-side BEFORE the candidate-dedup shuffle (same r1 perf fix as
+    # simhash_pairs, operators/dedup.py)
+    pop = sum(
+        F.bit_count(F.conv(F.substring(col, 1 + 2 * r, 2), 16, 10)
+                    .cast("int")) for r in range(8))
     sig = hashes.select(F.col("media_id"), F.col(col).alias("ahash"),
+                        pop.cast("int").alias("pc"),
                         F.posexplode(bands).alias("band", "key"))
     left = sig.select(F.col("media_id").alias("a"),
-                      F.col("ahash").alias("ha"), "band", "key")
+                      F.col("ahash").alias("ha"),
+                      F.col("pc").alias("pa"), "band", "key")
     right = sig.select(F.col("media_id").alias("b"),
-                       F.col("ahash").alias("hb"), "band", "key")
+                       F.col("ahash").alias("hb"),
+                       F.col("pc").alias("pb"), "band", "key")
     cand = (left.join(right, ["band", "key"])
-                .where(F.col("a") < F.col("b"))
+                .where((F.col("a") < F.col("b"))
+                       & (F.abs(F.col("pa") - F.col("pb")) <= max_hamming))
                 .select("a", "b", "ha", "hb").distinct())
     ham = sum(
         F.bit_count(
@@ -588,15 +605,21 @@ def audio_fingerprint(media: DataFrame, *, decoder: str = "fake") -> DataFrame:
     time-domain only since the sandbox has no FFT dependency worth pinning).
 
     Samples pool into 64 adaptive windows (sample i belongs to window
-    i*64 div n) and bit w is set iff the window's ENERGY mean (sum of
-    s_i^2, exact int64) exceeds the track's global energy mean, compared
-    without floats by cross multiplication — bit-identical across engines
-    and replayable closed-form by the DuckDB oracle through the REAL WAV
-    encode→decode round trip.  ``fp`` is 16 lowercase hex chars packed
-    row-major exactly like image_ahash, so ``ahash_pairs(..., col="fp")``
-    gives banded audio near-dup pairs.  Non-audio / undecodable rows are
-    skipped; tracks shorter than 64 samples are skipped too (empty
-    windows would make the hash undefined)."""
+    i*64 div n — contiguous, so window sums accumulate exactly in int64
+    via reduceat) and bit w is set iff the window's ENERGY mean (sum of
+    s_i^2) exceeds the track's global energy mean, compared in unbounded
+    Python ints by cross multiplication (wsum*n vs tsum*wcnt reaches
+    ~2^64 already at a one-minute 44.1 kHz track — int64 would wrap and
+    silently invert bits) — bit-identical across engines and replayable
+    closed-form by the DuckDB oracle (whose sums are HUGEINT) through the
+    REAL WAV encode→decode round trip.  ``fp`` is 16 lowercase hex chars
+    packed row-major exactly like image_ahash, so
+    ``ahash_pairs(..., col="fp")`` gives banded audio near-dup pairs.
+    Non-audio / undecodable rows are skipped; tracks shorter than 64
+    samples are skipped too (empty windows would make the hash
+    undefined).  Parallelism contract (same as decode_metadata): blobs
+    are NOT repartitioned here — shuffling raw media costs more than the
+    decode; the media source must arrive pre-split (synth_media pins 8)."""
     schema = "media_id long, rate int, n_samples int, fp string"
 
     def decode(blob):
@@ -605,9 +628,11 @@ def audio_fingerprint(media: DataFrame, *, decoder: str = "fake") -> DataFrame:
         h = _parse_header(blob)
         if h is None or h[0] != 1:
             return None
+        # CSMM convention: dim0 IS the declared sample-rate (see module
+        # header + decode_metadata); payload is d0*4 uint8 samples
         _, d0, d1, _ = h
         body = np.frombuffer(blob[16:16 + d0 * 4], dtype=np.uint8)
-        return None if len(body) < d0 * 4 else (d0 * 1000, body)
+        return None if len(body) < d0 * 4 else (d0, body)
 
     def run(pdfs):
         for pdf in pdfs:
@@ -620,16 +645,15 @@ def audio_fingerprint(media: DataFrame, *, decoder: str = "fake") -> DataFrame:
                 n = len(s)
                 if n < 64:
                     continue
-                # int64 squares; bincount's float64 sums are exact here
-                # (energy sums < 2^53) and are re-cast to int64 so the
-                # cross-multiplied comparison stays integer-exact.
                 e = s.astype(np.int64) ** 2
-                w = np.arange(n) * 64 // n
-                wsum = np.bincount(w, weights=e, minlength=64).astype(
-                    np.int64)
-                wcnt = np.bincount(w, minlength=64).astype(np.int64)
+                # first sample of window k is ceil(k*n/64); reduceat over
+                # the contiguous ranges keeps the sums in exact int64
+                starts = (np.arange(64) * n + 63) // 64
+                wsum = np.add.reduceat(e, starts)
+                wcnt = np.diff(np.append(starts, n))
                 tsum = int(e.sum())
-                bits = (wsum * n) > (tsum * wcnt)
+                bits = [int(wsum[w]) * n > tsum * int(wcnt[w])
+                        for w in range(64)]
                 hx = "".join(
                     f"{sum(int(bits[r * 8 + c]) << c for c in range(8)):02x}"
                     for r in range(8))

@@ -1661,16 +1661,28 @@ def q_media_real(spark, sf_dir):
     bit-order bug in image_ahash fails the value hash too.  The fp arm
     does the same for audio_fingerprint through the WAV round trip (the
     oracle replays the 64-window energy-sign pooling from the sample
-    formula)."""
+    formula).  n_near_imgs gate-checks ahash_pairs: partner counts from
+    the banded Hamming<=4 image pair join (13 pairs among the 167 synth
+    PNGs), which the oracle recomputes as a naive all-pairs join — the
+    8-band pigeonhole is lossless for hamming<=7, so the results must be
+    identical (NULL = hashed but no near partner, or not an image)."""
     from crankshaft_spark.operators.multimodal import (
-        audio_fingerprint, decode_metadata, image_ahash, synth_media)
+        ahash_pairs, audio_fingerprint, decode_metadata, image_ahash,
+        synth_media)
 
     media = synth_media(spark, n=MEDIA_N, seed=42, fmt="real")
     media = media.localCheckpoint(eager=False)  # synth once, decode thrice
     ah = image_ahash(media, decoder="real").select("media_id", "ahash")
+    ah = ah.localCheckpoint(eager=False)  # feeds the output AND the pairs
     fp = audio_fingerprint(media, decoder="real").select("media_id", "fp")
+    pairs = ahash_pairs(ah, max_hamming=4)
+    partners = (pairs.select(F.col("a").alias("media_id"))
+                .unionAll(pairs.select(F.col("b").alias("media_id")))
+                .groupBy("media_id")
+                .agg(F.count("*").alias("n_near_imgs")))
     return (decode_metadata(media, decoder="real")
-            .join(ah, "media_id", "left").join(fp, "media_id", "left"))
+            .join(ah, "media_id", "left").join(fp, "media_id", "left")
+            .join(partners, "media_id", "left"))
 
 
 def o_media_real():
@@ -1718,8 +1730,19 @@ def o_media_real():
     afp AS (SELECT media_id,
                    string_agg(printf('%02x', CAST(byte AS INT)), ''
                               ORDER BY r) AS fp
-            FROM abyte GROUP BY 1)
-    SELECT media_id, ahash, fp,
+            FROM abyte GROUP BY 1),
+    apair AS (  -- naive all-pairs mirror of the banded Hamming<=4 join
+      SELECT x.media_id AS a, y.media_id AS b
+      FROM ah x JOIN ah y ON x.media_id < y.media_id
+      WHERE {" + ".join(
+          f"bit_count(xor(('0x' || substr(x.ahash, {1 + 2 * r}, 2))::BIGINT,"
+          f" ('0x' || substr(y.ahash, {1 + 2 * r}, 2))::BIGINT))"
+          for r in range(8))} <= 4
+    ),
+    apart AS (SELECT media_id, count(*) AS n_near_imgs FROM (
+        SELECT a AS media_id FROM apair
+        UNION ALL SELECT b FROM apair) GROUP BY 1)
+    SELECT media_id, ahash, fp, n_near_imgs,
            CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                   ELSE 'video' END AS kind,
            CAST(d0 AS INT) AS dim0,
@@ -1735,7 +1758,8 @@ def o_media_real():
                     i -> (media_id * 31 + i * 7) % 256))
            END AS BIGINT) AS payload_sum,
            true AS ok
-    FROM m LEFT JOIN ah USING (media_id) LEFT JOIN afp USING (media_id)"""
+    FROM m LEFT JOIN ah USING (media_id) LEFT JOIN afp USING (media_id)
+         LEFT JOIN apart USING (media_id)"""
 
 
 def o_media_frames():

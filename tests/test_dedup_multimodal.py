@@ -408,8 +408,6 @@ def test_image_ahash_replay_and_pairs(spark):
     """aHash matches a numpy replay of the integer pooling contract
     through the REAL PNG round trip; banded pairs find a noised near-dup
     without an all-pairs product and respect the max_hamming bound."""
-    import numpy as np
-
     from crankshaft_spark.operators.multimodal import (
         ahash_pairs, image_ahash, png_encode, synth_media)
 
@@ -452,8 +450,7 @@ def test_image_ahash_replay_and_pairs(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] <= 6
     # the inverted image is far from both -> filtered out
     assert all(3 not in p for p in pairs)
-    import pytest as _pytest
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         ahash_pairs(hashes, max_hamming=8)
 
 
@@ -462,8 +459,6 @@ def test_audio_fingerprint_replay_and_pairs(spark):
     energy-sign contract through the REAL WAV round trip (short tracks
     skipped); ahash_pairs(col='fp') finds a lightly-noised near-dup and
     filters a scrambled track."""
-    import numpy as np
-
     from crankshaft_spark.operators.multimodal import (
         ahash_pairs, audio_fingerprint, synth_media, wav_encode)
 
@@ -505,3 +500,39 @@ def test_audio_fingerprint_replay_and_pairs(spark):
     pairs = {(r["a"], r["b"]): r["hamming"]
              for r in ahash_pairs(fps, max_hamming=6, col="fp").collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    # the scrambled track's window-energy profile is randomized -> far
+    # from both originals, so it must not pair
+    assert all(3 not in p for p in pairs)
+
+
+def test_audio_fingerprint_long_track_no_overflow(spark):
+    """Regression: the cross-multiplied energy comparison must not wrap
+    int64.  A 2M-sample loud track with a silent lead pushes tsum*wcnt
+    past 2^63 (2M^2 * 2^29 / 64 ~ 2^75); a wrapping implementation
+    inverts the silent windows' bits.  Verified against an unbounded
+    Python-int replay."""
+    from crankshaft_spark.operators.multimodal import (
+        audio_fingerprint, wav_encode)
+
+    n = 1 << 21
+    rng = np.random.RandomState(3)
+    s = rng.randint(-30000, 30000, n).astype(np.int16)
+    s[: n // 4] = 0  # silent lead: wsum=0 there, tsum huge
+    media = spark.createDataFrame(
+        [(1, bytearray(wav_encode(44100, s)))], "media_id long, media binary")
+    (row,) = audio_fingerprint(media, decoder="real").collect()
+
+    e = [int(v) ** 2 for v in s.astype(np.int64)]
+    tsum = sum(e)
+    starts = [(w * n + 63) // 64 for w in range(64)] + [n]
+    bits = []
+    for w in range(64):
+        wsum = sum(e[starts[w]:starts[w + 1]])
+        wcnt = starts[w + 1] - starts[w]
+        bits.append(wsum * n > tsum * wcnt)
+    want = "".join(
+        f"{sum(int(bits[r * 8 + c]) << c for c in range(8)):02x}"
+        for r in range(8))
+    assert row["fp"] == want and row["n_samples"] == n
+    # the silent quarter must read BELOW the mean (bits 0..15 clear)
+    assert int(want[:4], 16) == 0
