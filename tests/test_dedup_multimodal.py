@@ -505,6 +505,61 @@ def test_audio_fingerprint_replay_and_pairs(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_fingerprints_skip_garbage(spark):
+    """Undecodable / NULL blobs never raise in the fingerprint operators —
+    they are skipped row-by-row (same error-channel policy as
+    decode_metadata), for both the real and fake decoders."""
+    from crankshaft_spark.operators.multimodal import (
+        audio_fingerprint, image_ahash)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, bytearray(b"\x00" * 40)),
+         (3, bytearray(b"RIFFxxxxWAVE")), (4, None),
+         (5, bytearray(b"\x89PNG\r\n\x1a\n" + b"junk" * 8))],
+        "media_id long, media binary")
+    assert image_ahash(df, decoder="real").count() == 0
+    assert audio_fingerprint(df, decoder="real").count() == 0
+    assert image_ahash(df).count() == 0
+    assert audio_fingerprint(df).count() == 0
+
+
+def test_ahash_pairs_lossless_property(spark):
+    """The 8-band pigeonhole join + popcount prune recover EXACTLY the
+    brute-force Hamming<=k pair set for arbitrary 64-bit fingerprints
+    and any k in 0..7 (few examples — each is a Spark round-trip)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crankshaft_spark.operators.multimodal import ahash_pairs
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.data())
+    def prop(data):
+        k = data.draw(st.integers(0, 7))
+        seeds = data.draw(st.lists(
+            st.integers(0, 2**64 - 1), min_size=1, max_size=3))
+        vals = []
+        for i in range(20):
+            v = seeds[i % len(seeds)]
+            for b in data.draw(st.lists(st.integers(0, 63), max_size=6)):
+                v ^= 1 << b
+            vals.append(v)
+        df = spark.createDataFrame(
+            [(i, f"{v:016x}") for i, v in enumerate(vals)],
+            "media_id long, ahash string")
+        got = {(r["a"], r["b"]): r["hamming"]
+               for r in ahash_pairs(df, max_hamming=k).collect()}
+        want = {}
+        for a in range(20):
+            for b in range(a + 1, 20):
+                h = bin(vals[a] ^ vals[b]).count("1")
+                if h <= k:
+                    want[(a, b)] = h
+        assert got == want
+
+    prop()
+
+
 def test_audio_fingerprint_long_track_no_overflow(spark):
     """Regression: the cross-multiplied energy comparison must not wrap
     int64.  A 2M-sample loud track with a silent lead pushes tsum*wcnt
