@@ -505,6 +505,37 @@ def test_audio_fingerprint_replay_and_pairs(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_image_neardup_end_to_end(spark):
+    """The full image-dedup pipeline a training run composes: aHash ->
+    banded pairs -> connected components -> keep one per cluster.  Two
+    noised clusters resolve to their min-id keeper; the unrelated image
+    stays its own singleton keeper."""
+    from crankshaft_spark.operators.dedup import dedup_components
+    from crankshaft_spark.operators.multimodal import (
+        ahash_pairs, image_ahash, png_encode)
+
+    rng = np.random.RandomState(11)
+    base1 = rng.randint(0, 256, (24, 24)).astype(np.uint8)
+    base2 = rng.randint(0, 256, (24, 24)).astype(np.uint8)
+    n1, n2 = base1.copy(), base2.copy()
+    n1[0:2, 0:2] = 255
+    n2[5:7, 5:7] = 0
+    blobs = [(1, base1), (2, n1), (3, base2), (4, n2),
+             (5, 255 - base1)]
+    media = spark.createDataFrame(
+        [(i, bytearray(png_encode(px))) for i, px in blobs],
+        "media_id long, media binary")
+    hashes = image_ahash(media, decoder="real")
+    pairs = ahash_pairs(hashes, max_hamming=7)
+    comp = dedup_components(
+        hashes.select(F.col("media_id").alias("doc_id")), pairs)
+    got = {r["doc_id"]: (r["component"], r["is_keep"])
+           for r in comp.collect()}
+    assert got[1] == (1, True) and got[2] == (1, False)
+    assert got[3] == (3, True) and got[4] == (3, False)
+    assert got[5] == (5, True)
+
+
 def test_fingerprints_skip_garbage(spark):
     """Undecodable / NULL blobs never raise in the fingerprint operators —
     they are skipped row-by-row (same error-channel policy as
