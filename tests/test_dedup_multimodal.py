@@ -554,6 +554,29 @@ def test_fingerprints_skip_garbage(spark):
     assert audio_fingerprint(df).count() == 0
 
 
+def test_fingerprint_fake_path_consistent_with_metadata(spark):
+    """The fake (CSMM) decoder paths of image_ahash/audio_fingerprint
+    report the same dims/rate convention as decode_metadata on the same
+    blobs (dim0 IS the declared sample-rate; payload is d0*4 samples)."""
+    from crankshaft_spark.operators.multimodal import (
+        audio_fingerprint, decode_metadata, image_ahash, synth_media)
+
+    media = synth_media(spark, n=30, seed=7)
+    meta = {r["media_id"]: r for r in decode_metadata(media).collect()}
+    fps = audio_fingerprint(media).collect()
+    ahs = image_ahash(media).collect()
+    assert fps and ahs  # non-vacuous
+    for r in fps:
+        m = meta[r["media_id"]]
+        assert m["kind"] == "audio"
+        assert r["rate"] == m["dim0"]
+        assert r["n_samples"] == m["dim0"] * 4 >= 64
+    for r in ahs:
+        m = meta[r["media_id"]]
+        assert m["kind"] == "image"
+        assert (r["width"], r["height"]) == (m["dim0"], m["dim1"])
+
+
 def test_ahash_pairs_lossless_property(spark):
     """The 8-band pigeonhole join + popcount prune recover EXACTLY the
     brute-force Hamming<=k pair set for arbitrary 64-bit fingerprints
