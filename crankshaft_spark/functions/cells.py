@@ -59,6 +59,49 @@ def with_cell(
     return df.withColumn(out, cell_expr(F.col(lon), F.col(lat), size))
 
 
+def quadkey_expr(cell_col: str, *, levels: int) -> Column:
+    """Quadtree path string of a cellv1 cell — the Bing-maps quadkey
+    convention (digit = 2*y_bit + x_bit, most-significant level first,
+    ``levels`` digits) applied to this engine's grid instead of the
+    web-mercator XYZ scheme (public reference: the quadkey tile-naming
+    system used by slippy-map servers; reference analogue: the per-zoom
+    CDB_RectangleGrid keys, /root/reference/src/pg/sql/cdb_utils.sql:19-96,
+    which have no stringly tile-path form).
+
+    The property tile serving needs: ANCESTORS SHARE PREFIXES — the
+    quadkey of a density_pyramid parent cell (size × 2^k) is the child's
+    quadkey with the last k digits dropped, so tile containment is
+    ``qk LIKE 'prefix%'`` and a zoom-z tile's contents are one prefix
+    range scan.  Pure BIGINT/string algebra (codegen, oracle-exact).
+    Cells outside the level-``levels`` quadtree domain (ix or iy >=
+    2^levels, or a negative id) fail loudly rather than truncating high
+    bits into a wrong-but-plausible key."""
+    lim = 1 << levels
+    ix = f"({cell_col} div {CELL_M})"
+    iy = f"({cell_col} % {CELL_M})"
+    digits = ", ".join(
+        f"CAST((({iy} div {1 << (levels - 1 - k)}) % 2) * 2"
+        f" + (({ix} div {1 << (levels - 1 - k)}) % 2) AS STRING)"
+        for k in range(levels))
+    return F.expr(
+        f"CASE WHEN {cell_col} >= 0 AND {ix} < {lim} AND {iy} < {lim}"
+        f" THEN concat({digits})"
+        f" ELSE CAST(raise_error('quadkey: cell outside the"
+        f" level-{levels} quadtree domain') AS STRING) END")
+
+
+def quadkey_sql(cell_expr_str: str, levels: int) -> str:
+    """The same quadkey as ANSI SQL text for the DuckDB oracle (integer
+    division spelled ``//``); assumes domain-valid cells."""
+    ix = f"(({cell_expr_str}) // {CELL_M})"
+    iy = f"(({cell_expr_str}) % {CELL_M})"
+    parts = " || ".join(
+        f"CAST((({iy} // {1 << (levels - 1 - k)}) % 2) * 2"
+        f" + (({ix} // {1 << (levels - 1 - k)}) % 2) AS VARCHAR)"
+        for k in range(levels))
+    return f"({parts})"
+
+
 def ring_cells_expr(cell: Column, ring) -> Column:
     """Array of all cell ids within Chebyshev distance ``ring`` of ``cell``.
 

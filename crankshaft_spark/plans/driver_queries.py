@@ -291,19 +291,30 @@ def q_grid_density(spark, sf_dir):
     # Pyramid rollup (one point scan; zoom 1 derived from zoom 0 by integer
     # parent-cell arithmetic) vs the oracle's direct per-zoom binning — the
     # value-hash match proves the power-of-two rollup identity end to end.
+    # qk adds the quadtree tile-path string per cell (7 digits at the 5°
+    # base grid, 5 at the 20° parent — factor 4 = 2 dropped digits, so
+    # parents are prefixes of their children; oracle-exact BIGINT/string
+    # algebra).
+    from crankshaft_spark.functions.cells import quadkey_expr
+
     pts = customer_points(spark, sf_dir)
-    return density_pyramid(pts, base_size=5.0, factors=(4,)).select(
-        "zoom", "cell", "n"
-    )
+    pyr = density_pyramid(pts, base_size=5.0, factors=(4,))
+    qk = (F.when(F.col("zoom") == 0, quadkey_expr("cell", levels=7))
+           .otherwise(quadkey_expr("cell", levels=5)))
+    return pyr.select("zoom", "cell", "n", qk.alias("qk"))
 
 
 def o_grid_density():
+    from crankshaft_spark.functions.cells import quadkey_sql
+
     c5 = cell_sql("x", "y", 5.0)
     c20 = cell_sql("x", "y", 20.0)
     return f"""{_PTS_CTE}
-    SELECT 0 AS zoom, {c5} AS cell, count(*) AS n FROM pts GROUP BY 2
+    SELECT 0 AS zoom, {c5} AS cell, count(*) AS n,
+           {quadkey_sql(c5, 7)} AS qk FROM pts GROUP BY 2
     UNION ALL
-    SELECT 1 AS zoom, {c20} AS cell, count(*) AS n FROM pts GROUP BY 2"""
+    SELECT 1 AS zoom, {c20} AS cell, count(*) AS n,
+           {quadkey_sql(c20, 5)} AS qk FROM pts GROUP BY 2"""
 
 
 IDW_K = 8

@@ -239,3 +239,40 @@ def test_density_pyramid_matches_direct_binning(spark):
 
     with pytest.raises(ValueError):
         density_pyramid(df, base_size=1.0, factors=(3,))
+
+
+def test_quadkey_prefix_property_and_domain_guard(spark):
+    """Quadkeys over the cellv1 quadtree: a Python bit replay matches;
+    the parent cell's key (2 fewer levels for a factor-4 pyramid) is the
+    prefix of every child key; out-of-domain cells fail loudly."""
+    from crankshaft_spark.functions.cells import CELL_M, quadkey_expr
+
+    cells = [(ix * CELL_M + iy) for ix in (0, 3, 17, 71) for iy in (0, 5, 35)]
+    df = spark.createDataFrame([(c,) for c in cells], "cell long")
+    got = {r["cell"]: r["qk"] for r in df.select(
+        "cell", quadkey_expr("cell", levels=7).alias("qk")).collect()}
+
+    def replay(cell, levels):
+        ix, iy = cell // CELL_M, cell % CELL_M
+        return "".join(
+            str(((iy >> j) & 1) * 2 + ((ix >> j) & 1))
+            for j in range(levels - 1, -1, -1))
+
+    assert got == {c: replay(c, 7) for c in cells}
+    assert all(len(v) == 7 for v in got.values())
+
+    # prefix property: parent (ix//4, iy//4) at levels=5 prefixes child
+    parents = df.select(
+        F.expr(f"((cell div {CELL_M}) div 4) * {CELL_M}"
+               f" + ((cell % {CELL_M}) div 4)").alias("pcell"),
+        "cell")
+    pk = {r["cell"]: r["pqk"] for r in parents.select(
+        "cell", quadkey_expr("pcell", levels=5).alias("pqk")).collect()}
+    for c in cells:
+        assert got[c].startswith(pk[c]) and len(pk[c]) == 5
+
+    # loud failure outside the level-7 domain (ix = 128) and on negatives
+    for bad in (128 * CELL_M, -1):
+        with pytest.raises(Exception, match="quadkey"):
+            spark.createDataFrame([(bad,)], "cell long").select(
+                quadkey_expr("cell", levels=7)).collect()
