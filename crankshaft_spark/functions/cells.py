@@ -24,6 +24,8 @@ a breaking version bump (cellv1).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -100,6 +102,48 @@ def quadkey_sql(cell_expr_str: str, levels: int) -> str:
         f" + (({ix} // {1 << (levels - 1 - k)}) % 2) AS VARCHAR)"
         for k in range(levels))
     return f"({parts})"
+
+
+#: web-mercator latitude bound: atan(sinh(pi)) in degrees.  Points beyond
+#: it clamp to the edge tile row (the slippy-map convention).
+MERCATOR_LAT_MAX = 85.05112877980659
+
+
+def tile_xyz_expr(lon: Column, lat: Column, z: int) -> Column:
+    """``struct(tx, ty)`` — standard web-mercator slippy-map tile indices
+    at zoom ``z`` (the XYZ scheme of CARTO/OSM tile servers; the scheme
+    CDB_RectangleGrid callers tile against, cdb_utils.sql:19-96):
+
+        tx = floor((lon + 180)/360 · 2^z)
+        ty = floor((1 − asinh(tan(lat_r))/π)/2 · 2^z)
+
+    both clamped to [0, 2^z−1] (lat beyond ±85.05° lands in the edge
+    row, lon = +180 in the last column).  All JVM codegen — but the
+    Mercator y is TRANSCENDENTAL, so tile indices are NOT oracle-checked
+    (CLAUDE.md float-parity rule: libm tan/log may differ in the last ulp
+    across engines, and a floor sitting exactly on a tile boundary would
+    flip).  pytest pins the formula against a numpy replay on points
+    strictly inside tiles plus the clamp rows; the cellv1 grid +
+    quadkey_expr remain the oracle-exact tiling path."""
+    n = 1 << z
+    lat_r = F.radians(lat)
+    merc = (1 - F.asinh(F.tan(lat_r)) / F.lit(math.pi)) / 2
+    tx = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n).cast("long")
+    ty = F.floor(merc * n).cast("long")
+    clamp = lambda c: F.greatest(F.lit(0).cast("long"),  # noqa: E731
+                                 F.least(F.lit(n - 1).cast("long"), c))
+    return F.struct(clamp(tx).alias("tx"), clamp(ty).alias("ty"))
+
+
+def tile_quadkey_expr(tx: Column, ty: Column, z: int) -> Column:
+    """Quadkey string of an XYZ slippy tile (same digit convention as
+    quadkey_expr; z digits).  Pure integer/string algebra — oracle-exact
+    given integer tile indices."""
+    digits = [
+        (F.shiftright(ty, j).bitwiseAND(F.lit(1)) * 2
+         + F.shiftright(tx, j).bitwiseAND(F.lit(1))).cast("string")
+        for j in range(z - 1, -1, -1)]
+    return F.concat(*digits)
 
 
 def ring_cells_expr(cell: Column, ring) -> Column:

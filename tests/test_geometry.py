@@ -276,3 +276,47 @@ def test_quadkey_prefix_property_and_domain_guard(spark):
         with pytest.raises(Exception, match="quadkey"):
             spark.createDataFrame([(bad,)], "cell long").select(
                 quadkey_expr("cell", levels=7)).collect()
+
+
+def test_tile_xyz_slippy_and_quadkey(spark):
+    """Web-mercator XYZ tiles match a math replay (points strictly inside
+    tiles — the transcendental y is deliberately NOT oracle-checked),
+    out-of-range lat/lon clamp to edge tiles, and the tile quadkey
+    round-trips bit-for-bit."""
+    import math
+
+    from crankshaft_spark.functions.cells import (
+        tile_quadkey_expr, tile_xyz_expr)
+
+    z, n = 10, 1 << 10
+    pts = [(0, 0.0, 0.0), (1, -180.0, 0.0), (2, 13.4, 52.52),
+           (3, -74.0, 40.71), (4, 151.2, -33.87),
+           (5, 0.0, 89.9), (6, 0.0, -89.9), (7, 180.0, 0.0)]
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    tiles = (df.select("id", tile_xyz_expr(
+                F.col("lon"), F.col("lat"), z).alias("t"))
+               .select("id", F.col("t.tx").alias("tx"),
+                       F.col("t.ty").alias("ty")))
+    got = {r["id"]: (r["tx"], r["ty"], r["qk"]) for r in tiles.withColumn(
+        "qk", tile_quadkey_expr(F.col("tx"), F.col("ty"), z)).collect()}
+
+    def replay(lon, lat):
+        tx = math.floor((lon + 180.0) / 360.0 * n)
+        merc = (1 - math.asinh(math.tan(math.radians(lat))) / math.pi) / 2
+        ty = math.floor(merc * n)
+        return (min(max(tx, 0), n - 1), min(max(ty, 0), n - 1))
+
+    for i, lon, lat in pts:
+        assert got[i][:2] == replay(lon, lat)
+    assert got[2][:2] == (550, 335)   # Berlin, the known OSM z10 tile
+    assert got[5][1] == 0 and got[6][1] == n - 1   # lat clamp rows
+    assert got[7][0] == n - 1                      # lon edge column
+
+    for tx, ty, qk in got.values():
+        assert len(qk) == z
+        rx = ry = 0
+        for ch in qk:
+            d = int(ch)
+            rx = rx * 2 + (d & 1)
+            ry = ry * 2 + (d >> 1)
+        assert (rx, ry) == (tx, ty)
