@@ -146,6 +146,23 @@ def tile_quadkey_expr(tx: Column, ty: Column, z: int) -> Column:
     return F.concat(*digits)
 
 
+def tile_bounds_expr(tx: Column, ty: Column, z: int) -> Column:
+    """``struct(west, south, east, north)`` — lon/lat envelope of an XYZ
+    slippy tile: the vector side of raster↔vector conversion (a zoom-z
+    density raster cell becomes this polygon envelope; inverse Mercator
+    lat = degrees(atan(sinh(π·(1 − 2y/2^z))))).  Transcendental like
+    tile_xyz_expr, so pytest-pinned (round trip: every tile's center maps
+    back to the same tile), not oracle-checked."""
+    n = 1 << z
+    lat = lambda yy: F.degrees(  # noqa: E731
+        F.atan(F.sinh(F.lit(math.pi) * (1 - yy * F.lit(2.0 / n)))))
+    return F.struct(
+        (tx.cast("double") * F.lit(360.0 / n) - 180.0).alias("west"),
+        lat((ty + 1).cast("double")).alias("south"),
+        ((tx + 1).cast("double") * F.lit(360.0 / n) - 180.0).alias("east"),
+        lat(ty.cast("double")).alias("north"))
+
+
 def ring_cells_expr(cell: Column, ring) -> Column:
     """Array of all cell ids within Chebyshev distance ``ring`` of ``cell``.
 

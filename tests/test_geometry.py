@@ -320,3 +320,32 @@ def test_tile_xyz_slippy_and_quadkey(spark):
             rx = rx * 2 + (d & 1)
             ry = ry * 2 + (d >> 1)
         assert (rx, ry) == (tx, ty)
+
+
+def test_tile_bounds_round_trip(spark):
+    """Every tile's bounds form a proper envelope whose CENTER maps back
+    to the same tile (raster cell -> vector envelope -> raster cell), and
+    the Berlin z10 tile's envelope contains Berlin."""
+    from crankshaft_spark.functions.cells import (
+        tile_bounds_expr, tile_xyz_expr)
+
+    z = 10
+    tiles = [(550, 335), (0, 0), (1023, 1023), (512, 512), (7, 900)]
+    df = spark.createDataFrame(tiles, "tx long, ty long")
+    b = (df.select("tx", "ty", tile_bounds_expr(
+            F.col("tx"), F.col("ty"), z).alias("b"))
+           .select("tx", "ty", "b.west", "b.south", "b.east", "b.north"))
+    rows = b.collect()
+    for r in rows:
+        assert r["west"] < r["east"] and r["south"] < r["north"]
+    centers = b.select(
+        "tx", "ty",
+        ((F.col("west") + F.col("east")) / 2).alias("lon"),
+        ((F.col("south") + F.col("north")) / 2).alias("lat"))
+    back = centers.select("tx", "ty", tile_xyz_expr(
+        F.col("lon"), F.col("lat"), z).alias("t"))
+    for r in back.collect():
+        assert (r["t"]["tx"], r["t"]["ty"]) == (r["tx"], r["ty"])
+    berlin = next(r for r in rows if r["tx"] == 550)
+    assert berlin["west"] <= 13.4 <= berlin["east"]
+    assert berlin["south"] <= 52.52 <= berlin["north"]
