@@ -19,7 +19,12 @@ def test_stream_cell_density_matches_batch(spark, tmp_path):
 
     stream = read_page_stream(spark, src)
     assert stream.isStreaming
+    # the quadkey tile path is a stateless projection, so it composes
+    # onto the streaming aggregate (2-degree grid -> ix < 180 -> 8 levels)
+    from crankshaft_spark.functions.cells import cell_expr, quadkey_expr
+
     agg = stream_cell_density(stream, cell_size=2.0, window="1 hour")
+    agg = agg.withColumn("qk", quadkey_expr("cell", levels=8))
 
     q = (
         agg.writeStream.format("memory")
@@ -31,19 +36,20 @@ def test_stream_cell_density_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
 
     got = spark.sql(
-        "SELECT cell, sum(n_pages) AS n FROM cells_stream GROUP BY cell"
+        "SELECT cell, min(qk) AS qk, count(DISTINCT qk) AS nqk, "
+        "sum(n_pages) AS n FROM cells_stream GROUP BY cell"
     ).collect()
-    # cell ids must match the engine's cell_expr exactly
-    from crankshaft_spark.functions.cells import cell_expr
-
+    # cell ids AND tile paths must match the batch expressions exactly
     expect = (
         pages.withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), 2.0))
         .groupBy("cell")
         .count()
+        .withColumn("qk", quadkey_expr("cell", levels=8))
         .collect()
     )
-    gmap = {r["cell"]: r["n"] for r in got}
-    emap = {r["cell"]: r["count"] for r in expect}
+    assert all(r["nqk"] == 1 for r in got)
+    gmap = {r["cell"]: (r["n"], r["qk"]) for r in got}
+    emap = {r["cell"]: (r["count"], r["qk"]) for r in expect}
     assert gmap == emap
 
 
