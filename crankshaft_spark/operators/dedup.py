@@ -441,13 +441,23 @@ def _release_rdds(sc, ids) -> None:
 
 def dedup_components(
     docs: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id",
-    max_rounds: int = 50,
+    max_rounds: int = 50, keep_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, component, n_members, is_keep) — resolve near-dup PAIRS into
     duplicate GROUPS: connected components over the pair graph, component =
-    min doc_id reachable, keep exactly one doc (the component label) per
-    group.  The missing last stage of any dedup pipeline: LSH emits pairs,
-    but a training run must drop all-but-one member per transitive cluster.
+    min doc_id reachable, keep exactly one doc per group.  The missing last
+    stage of any dedup pipeline: LSH emits pairs, but a training run must
+    drop all-but-one member per transitive cluster.
+
+    Keep policy: by default the keeper is the component label (min id).
+    ``keep_col`` names a numeric column of ``docs`` (higher = better, e.g.
+    a quality score) and switches the keeper to the component's best-
+    scoring member, ties and NULL scores falling back to min id (NULLs
+    lose to any scored member) — what a training pipeline actually wants:
+    keep the best copy, not the numerically-smallest id.  One extra
+    per-component aggregate + broadcast-sized join over the tiny
+    components table; the component labels themselves are unchanged.
+    The catalog entry gates the default policy; keep_col is pytest-pinned.
 
     Algorithm: hash-min label propagation with pointer jumping.  Every node
     starts with its own id; each round every node takes the min label over
@@ -541,6 +551,21 @@ def dedup_components(
             (F.col("id") == F.col("component")).alias("is_keep"),
         )
     )
+    if keep_col is not None:
+        # best-scoring member per component: min over struct(-score, id)
+        # is deterministic under ties (min id) and NULL scores coalesce
+        # to -inf so they lose to any scored member
+        score = F.coalesce(
+            F.col("_kv").cast("double"), F.lit(float("-inf")))
+        m = docs.select(F.col(id_col), F.col(keep_col).alias("_kv"))
+        scored = (out.drop("is_keep").join(m, id_col)
+                  .withColumn("_neg", -score))
+        best = scored.groupBy("component").agg(
+            F.min(F.struct(F.col("_neg"), F.col(id_col).alias("_bid"))
+                  ).alias("_b"))
+        out = (scored.join(best, "component")
+               .select(id_col, "component", "n_members",
+                       (F.col(id_col) == F.col("_b._bid")).alias("is_keep")))
     # sever the remaining lineage before releasing the edge cache (the
     # per-round label tables are already checkpointed).  localCheckpoint
     # is executor-local (not fault-tolerant storage) — on a real cluster

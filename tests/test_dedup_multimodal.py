@@ -505,6 +505,29 @@ def test_audio_fingerprint_replay_and_pairs(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_dedup_components_keep_by_quality(spark):
+    """keep_col switches the keeper to the best-scoring member per
+    component: max quality wins, ties fall to min id, NULL scores lose,
+    component labels and sizes are unchanged, exactly one keeper each."""
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, None), (4, 0.5), (5, 0.5), (6, 0.1)],
+        "doc_id long, quality double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "a long, b long")
+    got = {r["doc_id"]: (r["component"], r["n_members"], r["is_keep"])
+           for r in dedup_components(
+               docs, pairs, keep_col="quality").collect()}
+    assert got == {
+        1: (1, 3, False), 2: (1, 3, True), 3: (1, 3, False),  # max 0.9
+        4: (4, 2, True), 5: (4, 2, False),                    # tie -> min id
+        6: (6, 1, True),                                      # singleton
+    }
+    # default policy unchanged: keeper is the component label
+    dflt = {r["doc_id"]: r["is_keep"]
+            for r in dedup_components(docs, pairs).collect()}
+    assert dflt == {1: True, 2: False, 3: False, 4: True, 5: False, 6: True}
+
+
 def test_image_neardup_end_to_end(spark):
     """The full image-dedup pipeline a training run composes: aHash ->
     banded pairs -> connected components -> keep one per cluster.  Two
