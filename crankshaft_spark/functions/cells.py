@@ -77,19 +77,17 @@ def quadkey_expr(cell_col: str, *, levels: int) -> Column:
     range scan.  Pure BIGINT/string algebra (codegen, oracle-exact).
     Cells outside the level-``levels`` quadtree domain (ix or iy >=
     2^levels, or a negative id) fail loudly rather than truncating high
-    bits into a wrong-but-plausible key."""
+    bits into a wrong-but-plausible key.  The digit extraction IS
+    tile_quadkey_expr over the unpacked (ix, iy) — one implementation of
+    the Bing digit math, two entry points (CASE WHEN evaluates lazily,
+    so the raise fires only on out-of-domain rows)."""
     lim = 1 << levels
-    ix = f"({cell_col} div {CELL_M})"
-    iy = f"({cell_col} % {CELL_M})"
-    digits = ", ".join(
-        f"CAST((({iy} div {1 << (levels - 1 - k)}) % 2) * 2"
-        f" + (({ix} div {1 << (levels - 1 - k)}) % 2) AS STRING)"
-        for k in range(levels))
-    return F.expr(
-        f"CASE WHEN {cell_col} >= 0 AND {ix} < {lim} AND {iy} < {lim}"
-        f" THEN concat({digits})"
-        f" ELSE CAST(raise_error('quadkey: cell outside the"
-        f" level-{levels} quadtree domain') AS STRING) END")
+    ix = F.expr(f"{cell_col} div {CELL_M}")
+    iy = F.expr(f"{cell_col} % {CELL_M}")
+    ok = F.expr(f"{cell_col} >= 0") & (ix < lim) & (iy < lim)
+    return F.when(ok, tile_quadkey_expr(ix, iy, levels)).otherwise(
+        F.expr(f"CAST(raise_error('quadkey: cell outside the"
+               f" level-{levels} quadtree domain') AS STRING)"))
 
 
 def quadkey_sql(cell_expr_str: str, levels: int) -> str:

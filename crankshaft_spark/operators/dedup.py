@@ -477,7 +477,18 @@ def dedup_components(
     different route (UNION-terminating recursive CTE), which is what makes
     a convergence-driven driver loop oracle-able.
     """
-    nodes = docs.select(F.col(id_col).alias("id")).distinct()
+    # nodes = docs ids ∪ pair endpoints: a pair id missing from docs must
+    # still seed a label row — labels starting incomplete made the
+    # changed-count join (which matches on id) blind to newly ADDED rows,
+    # so propagation could declare convergence one round early and split
+    # a component (found by the keep_col edge test; identical when
+    # pairs ⊆ docs, the catalog case)
+    nodes = (
+        docs.select(F.col(id_col).alias("id"))
+        .unionByName(pairs.select(F.col("a").alias("id")))
+        .unionByName(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
     und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     edges = (
         und
@@ -554,11 +565,16 @@ def dedup_components(
     if keep_col is not None:
         # best-scoring member per component: min over struct(-score, id)
         # is deterministic under ties (min id) and NULL scores coalesce
-        # to -inf so they lose to any scored member
+        # to -inf so they lose to any scored member.  LEFT join + per-id
+        # max keep the output row set identical to the default policy:
+        # pair-only nodes (no docs row) stay — scoreless, so they can
+        # only win an all-scoreless component by min id — and duplicate
+        # docs rows collapse to the doc's best score instead of fanning
+        # the output out.
         score = F.coalesce(
             F.col("_kv").cast("double"), F.lit(float("-inf")))
-        m = docs.select(F.col(id_col), F.col(keep_col).alias("_kv"))
-        scored = (out.drop("is_keep").join(m, id_col)
+        m = docs.groupBy(id_col).agg(F.max(keep_col).alias("_kv"))
+        scored = (out.drop("is_keep").join(m, id_col, "left")
                   .withColumn("_neg", -score))
         best = scored.groupBy("component").agg(
             F.min(F.struct(F.col("_neg"), F.col(id_col).alias("_bid"))
@@ -591,7 +607,9 @@ def components_oracle_sql(docs_sql: str, pairs_sql: str) -> str:
     return f"""
     WITH RECURSIVE d AS MATERIALIZED ({docs_sql}),
     prs AS MATERIALIZED ({pairs_sql}),
-    nodes AS MATERIALIZED (SELECT DISTINCT doc_id AS id FROM d),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT doc_id AS id FROM d
+      UNION SELECT a FROM prs UNION SELECT b FROM prs),
     edges AS MATERIALIZED (
       SELECT a AS src, b AS dst FROM prs
       UNION ALL SELECT b, a FROM prs

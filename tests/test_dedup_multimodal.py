@@ -527,6 +527,25 @@ def test_dedup_components_keep_by_quality(spark):
             for r in dedup_components(docs, pairs).collect()}
     assert dflt == {1: True, 2: False, 3: False, 4: True, 5: False, 6: True}
 
+    # edge parity with the default policy: pair-only nodes stay in the
+    # output (scoreless — they lose to any scored member), and duplicate
+    # docs rows collapse to the doc's best score instead of fanning out
+    docs2 = spark.createDataFrame(
+        [(1, 0.5), (1, 0.9), (2, 0.7)], "doc_id long, quality double")
+    pairs2 = spark.createDataFrame([(1, 99), (2, 99)], "a long, b long")
+    rows = dedup_components(docs2, pairs2, keep_col="quality").collect()
+    got2 = {r["doc_id"]: (r["component"], r["n_members"], r["is_keep"])
+            for r in rows}
+    assert len(rows) == 3  # one row per doc incl. pair-only node 99
+    assert got2 == {1: (1, 3, True),    # best score 0.9 (dup collapsed)
+                    2: (1, 3, False), 99: (1, 3, False)}
+    # an all-scoreless component falls back to min id
+    pairs3 = spark.createDataFrame([(7, 8)], "a long, b long")
+    empty_docs = spark.createDataFrame([], "doc_id long, quality double")
+    got3 = {r["doc_id"]: r["is_keep"] for r in dedup_components(
+        empty_docs, pairs3, keep_col="quality").collect()}
+    assert got3 == {7: True, 8: False}
+
 
 def test_image_neardup_end_to_end(spark):
     """The full image-dedup pipeline a training run composes: aHash ->

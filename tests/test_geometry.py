@@ -286,12 +286,13 @@ def test_tile_xyz_slippy_and_quadkey(spark):
     import math
 
     from crankshaft_spark.functions.cells import (
-        tile_quadkey_expr, tile_xyz_expr)
+        MERCATOR_LAT_MAX, tile_quadkey_expr, tile_xyz_expr)
 
     z, n = 10, 1 << 10
     pts = [(0, 0.0, 0.0), (1, -180.0, 0.0), (2, 13.4, 52.52),
            (3, -74.0, 40.71), (4, 151.2, -33.87),
-           (5, 0.0, 89.9), (6, 0.0, -89.9), (7, 180.0, 0.0)]
+           (5, 0.0, MERCATOR_LAT_MAX + 0.5),
+           (6, 0.0, -(MERCATOR_LAT_MAX + 0.5)), (7, 180.0, 0.0)]
     df = spark.createDataFrame(pts, "id long, lon double, lat double")
     tiles = (df.select("id", tile_xyz_expr(
                 F.col("lon"), F.col("lat"), z).alias("t"))
