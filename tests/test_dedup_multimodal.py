@@ -547,6 +547,59 @@ def test_dedup_components_keep_by_quality(spark):
     assert got3 == {7: True, 8: False}
 
 
+def test_dedup_components_union_find_property(spark):
+    """Connected components match a Python union-find replay on random
+    small graphs — including pair endpoints absent from docs (the
+    round-3 early-convergence bug class) and keep_col keeper selection
+    (few examples — each is a full label-propagation run)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.data())
+    def prop(data):
+        doc_ids = sorted(data.draw(st.sets(
+            st.integers(0, 30), min_size=1, max_size=12)))
+        edges = data.draw(st.lists(st.tuples(
+            st.integers(0, 30), st.integers(0, 30)),
+            max_size=15).filter(lambda es: all(a != b for a, b in es)))
+        docs = spark.createDataFrame(
+            [(i, float((i * 7) % 10) / 10) for i in doc_ids],
+            "doc_id long, quality double")
+        pairs = spark.createDataFrame(edges, "a long, b long") \
+            if edges else spark.createDataFrame([], "a long, b long")
+        got = {r["doc_id"]: (r["component"], r["n_members"], r["is_keep"])
+               for r in dedup_components(
+                   docs, pairs, keep_col="quality").collect()}
+
+        # union-find replay over docs ∪ endpoints
+        nodes = set(doc_ids) | {v for e in edges for v in e}
+        parent = {v: v for v in nodes}
+
+        def find(v):
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comp = {v: min(u for u in nodes if find(u) == find(v))
+                for v in nodes}
+        size = {c: sum(1 for v in nodes if comp[v] == c)
+                for c in comp.values()}
+        q = {i: ((i * 7) % 10) / 10 for i in doc_ids}
+        want = {}
+        for v in nodes:
+            members = [u for u in nodes if comp[u] == comp[v]]
+            best = min(members,
+                       key=lambda u: (-q.get(u, float("-inf")), u))
+            want[v] = (comp[v], size[comp[v]], v == best)
+        assert got == want
+
+    prop()
+
+
 def test_image_neardup_end_to_end(spark):
     """The full image-dedup pipeline a training run composes: aHash ->
     banded pairs -> connected components -> keep one per cluster.  Two
