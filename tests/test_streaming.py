@@ -53,6 +53,36 @@ def test_stream_cell_density_matches_batch(spark, tmp_path):
     assert gmap == emap
 
 
+def test_image_ahash_streaming_parity(spark, tmp_path):
+    """image_ahash is a stateless mapInPandas, so it composes onto a
+    media readStream unchanged; the streamed fingerprints equal the
+    batch fingerprints of the same blobs."""
+    from crankshaft_spark.operators.multimodal import image_ahash, synth_media
+
+    src = str(tmp_path / "media")
+    media = synth_media(spark, n=24, seed=42, fmt="real")
+    media.write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "media_id long, media binary").parquet(src)
+    assert stream.isStreaming
+    q = (
+        image_ahash(stream, decoder="real")
+        .writeStream.format("memory")
+        .queryName("ahash_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["media_id"]: r["ahash"] for r in spark.sql(
+        "SELECT media_id, ahash FROM ahash_stream").collect()}
+    want = {r["media_id"]: r["ahash"]
+            for r in image_ahash(media, decoder="real").collect()}
+    assert want and got == want
+
+
 def test_stream_quality_screen_stateless(spark, tmp_path):
     src = str(tmp_path / "pages2")
     synth_webpages(spark, "/root/testdata/sf0.001").write.parquet(src)
