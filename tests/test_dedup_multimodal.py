@@ -547,6 +547,24 @@ def test_dedup_components_keep_by_quality(spark):
     assert got3 == {7: True, 8: False}
 
 
+def test_near_dedup_one_call(spark):
+    """near_dedup keeps exactly one doc per near-dup cluster with all
+    columns intact: the best-scoring member under keep_col, the min-id
+    member by default; distinct docs survive untouched."""
+    from crankshaft_spark.operators.dedup import near_dedup
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different words about training data pipelines"
+    docs = spark.createDataFrame(
+        [(1, text_a, 0.3), (2, text_a, 0.8), (3, text_b, 0.5)],
+        "doc_id long, text string, quality double")
+    best = near_dedup(docs, threshold=0.9, keep_col="quality")
+    assert sorted((r["doc_id"], r["quality"]) for r in best.collect()) \
+        == [(2, 0.8), (3, 0.5)]
+    dflt = near_dedup(docs, threshold=0.9)
+    assert sorted(r["doc_id"] for r in dflt.collect()) == [1, 3]
+
+
 def test_dedup_components_union_find_property(spark):
     """Connected components match a Python union-find replay on random
     small graphs — including pair endpoints absent from docs (the
