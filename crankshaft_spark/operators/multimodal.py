@@ -664,6 +664,30 @@ def audio_fingerprint(media: DataFrame, *, decoder: str = "fake") -> DataFrame:
     return media.select("media_id", "media").mapInPandas(run, schema=schema)
 
 
+def media_near_dedup(
+    media: DataFrame, *, decoder: str = "fake", max_hamming: int = 4,
+) -> DataFrame:
+    """Keep one image per perceptual near-dup cluster — the multimodal
+    analogue of dedup.near_dedup: aHash fingerprints → banded Hamming
+    pairs → connected components → keep the HIGHEST-RESOLUTION member
+    (ties to min media_id).  aHash pools to 8×8 regardless of size, so a
+    uniformly rescaled copy hashes identically and the resolution keep
+    policy retains the best original.  Rows that don't fingerprint
+    (non-image, undecodable, <8×8) cannot pair and pass through
+    untouched; the final step is one anti-join of media against the
+    dropped-id set."""
+    from crankshaft_spark.operators.dedup import dedup_components
+
+    hashes = image_ahash(media, decoder=decoder)
+    pairs = ahash_pairs(hashes, max_hamming=max_hamming)
+    scored = hashes.select(
+        "media_id", (F.col("width") * F.col("height")).alias("_res"))
+    comp = dedup_components(
+        scored, pairs, id_col="media_id", keep_col="_res")
+    dropped = comp.where(~F.col("is_keep")).select("media_id")
+    return media.join(dropped, "media_id", "anti")
+
+
 def frame_sample(
     media: DataFrame = None, *, every: int = 4, meta: DataFrame = None,
 ) -> DataFrame:

@@ -649,6 +649,27 @@ def test_image_neardup_end_to_end(spark):
     assert got[5] == (5, True)
 
 
+def test_media_near_dedup_keeps_highest_resolution(spark):
+    """A 2x pixel-doubled copy hashes identically (8x8 pooling is scale
+    free), so the cluster keeps the HIGHER-resolution copy; unrelated
+    images and non-image blobs pass through."""
+    from crankshaft_spark.operators.multimodal import (
+        media_near_dedup, png_encode, wav_encode)
+
+    rng = np.random.RandomState(5)
+    base = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    up = np.kron(base, np.ones((2, 2), dtype=np.uint8))  # 32x32 copy
+    other = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    wav = wav_encode(8000, np.zeros(128, dtype=np.int16))
+    media = spark.createDataFrame(
+        [(1, bytearray(png_encode(base))), (2, bytearray(png_encode(up))),
+         (3, bytearray(png_encode(other))), (4, bytearray(wav))],
+        "media_id long, media binary")
+    kept = sorted(r["media_id"] for r in media_near_dedup(
+        media, decoder="real", max_hamming=2).collect())
+    assert kept == [2, 3, 4]  # high-res copy survives; audio untouched
+
+
 def test_fingerprints_skip_garbage(spark):
     """Undecodable / NULL blobs never raise in the fingerprint operators —
     they are skipped row-by-row (same error-channel policy as
