@@ -53,6 +53,7 @@ HEADLINE = [
     "decontaminate", "corpus_select",
     "minhash_lsh", "simhash_pairs", "fingerprints",
     "ann_cosine", "embed_neardup", "kmeans_spatial", "voronoi", "pia",
+    "media_decode", "media_real",
 ]
 
 
