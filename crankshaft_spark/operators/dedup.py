@@ -128,18 +128,26 @@ def near_dedup(
     docs: DataFrame, *, text_col: str = "text", threshold: float = 0.5,
     n: int = 4, k: int = MINHASH_K, bands: int = MINHASH_BANDS,
     id_col: str = "doc_id", keep_col: str | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The one-call near-dedup a training pipeline runs: MinHash+LSH
     candidate pairs → connected components → keep one doc per transitive
     cluster (``keep_col`` keeps the best-scoring member, default the
     min-id one) → the surviving docs, all columns intact.  Pure
-    composition of minhash_lsh_pairs + dedup_components; each stage is
-    individually gate-checked via the minhash_lsh catalog entry, the
-    composition is pytest-pinned.  Scale shape: the only addition over
-    the parts is one semi-join of docs against the keeper id set."""
-    pairs = minhash_lsh_pairs(
-        docs, text_col=text_col, n=n, k=k, bands=bands,
-        threshold=threshold, id_col=id_col)
+    composition of minhash_lsh_pairs + dedup_components; gate-checked
+    end-to-end via the minhash_lsh entry's survivor arm.  Scale shape:
+    the only addition over the parts is one semi-join of docs against
+    the keeper id set.  ``pairs`` supplies precomputed candidate pairs
+    (skipping the MinHash stage — how the gate entry avoids paying LSH
+    twice); otherwise pairs are computed here and localCheckpointed,
+    since dedup_components references them several times (edges union +
+    node seeding) and an unmaterialized LSH pipeline would re-execute
+    per reference.  ``docs`` must be unique per ``id_col`` (the engine-
+    wide contract): duplicate id rows pass the semi-join verbatim."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            docs, text_col=text_col, n=n, k=k, bands=bands,
+            threshold=threshold, id_col=id_col).localCheckpoint(eager=True)
     comp = dedup_components(docs, pairs, id_col=id_col, keep_col=keep_col)
     keepers = comp.where(F.col("is_keep")).select(id_col)
     return docs.join(keepers, id_col, "semi")

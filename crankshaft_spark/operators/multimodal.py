@@ -675,13 +675,22 @@ def media_near_dedup(
     policy retains the best original.  Rows that don't fingerprint
     (non-image, undecodable, <8×8) cannot pair and pass through
     untouched; the final step is one anti-join of media against the
-    dropped-id set."""
+    dropped-id set.  The fingerprint table and the pair set are both
+    localCheckpointed: dedup_components references its inputs several
+    times (edges union + node seeding + the keep_col aggregate), and an
+    unmaterialized hash table would re-run the Python image decode —
+    the dominant cost — once per reference."""
     from crankshaft_spark.operators.dedup import dedup_components
 
-    hashes = image_ahash(media, decoder=decoder)
-    pairs = ahash_pairs(hashes, max_hamming=max_hamming)
+    hashes = image_ahash(media, decoder=decoder).localCheckpoint(eager=True)
+    pairs = ahash_pairs(hashes, max_hamming=max_hamming).localCheckpoint(
+        eager=True)
+    # long math: width*height overflows INT at ~2.1 gigapixels, which
+    # ANSI mode turns into a job-killing ArithmeticException
     scored = hashes.select(
-        "media_id", (F.col("width") * F.col("height")).alias("_res"))
+        "media_id",
+        (F.col("width").cast("long") * F.col("height").cast("long"))
+        .alias("_res"))
     comp = dedup_components(
         scored, pairs, id_col="media_id", keep_col="_res")
     dropped = comp.where(~F.col("is_keep")).select("media_id")

@@ -1529,11 +1529,15 @@ def _docs(spark, sf_dir):
 
 def q_minhash_lsh(spark, sf_dir):
     """LSH candidate pairs UNION their connected-component resolution
-    (kind marker) — detection and transitive group-resolution, the two
-    halves of near-dup removal, in one gate entry.  Member rows reuse the
-    numeric slot for the component size."""
+    (kind marker) UNION the near_dedup survivor set — detection,
+    transitive group-resolution, and the one-call composition's
+    surviving ids, the three stages of near-dup removal, in one gate
+    entry.  Member rows reuse the numeric slot for the component size;
+    survivor rows carry NULL b/est.  near_dedup gets the SAME
+    checkpointed pairs (its pairs= parameter), so the entry pays LSH
+    once and label propagation twice (its own + the composition's)."""
     from crankshaft_spark.operators.dedup import (
-        dedup_components, minhash_lsh_pairs)
+        dedup_components, minhash_lsh_pairs, near_dedup)
 
     docs = _docs(spark, sf_dir)
     # localCheckpoint, not persist: both arms (pair rows + the eager
@@ -1551,7 +1555,13 @@ def q_minhash_lsh(spark, sf_dir):
         F.col("component").alias("b"),
         F.col("n_members").cast("double").alias("est_jaccard"),
     )
-    return pair_rows.unionByName(member_rows)
+    survivor_rows = near_dedup(docs, pairs=pairs).select(
+        F.lit("survivor").alias("kind"),
+        F.col("doc_id").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.lit(None).cast("double").alias("est_jaccard"),
+    )
+    return pair_rows.unionByName(member_rows).unionByName(survivor_rows)
 
 
 def o_minhash_lsh():
@@ -1565,7 +1575,10 @@ def o_minhash_lsh():
     SELECT 'pair' AS kind, a, b, est_jaccard FROM prs0
     UNION ALL
     SELECT 'member' AS kind, doc_id AS a, component AS b,
-           CAST(n_members AS DOUBLE) AS est_jaccard FROM comp"""
+           CAST(n_members AS DOUBLE) AS est_jaccard FROM comp
+    UNION ALL
+    SELECT 'survivor' AS kind, doc_id AS a, CAST(NULL AS BIGINT) AS b,
+           CAST(NULL AS DOUBLE) AS est_jaccard FROM comp WHERE is_keep"""
 
 
 def q_simhash_pairs(spark, sf_dir):
