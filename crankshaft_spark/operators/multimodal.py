@@ -697,6 +697,33 @@ def media_near_dedup(
     return media.join(dropped, "media_id", "anti")
 
 
+def audio_near_dedup(
+    media: DataFrame, *, decoder: str = "fake", max_hamming: int = 4,
+) -> DataFrame:
+    """Keep one audio track per energy-profile near-dup cluster — the
+    audio twin of media_near_dedup: audio_fingerprint → banded Hamming
+    pairs (col='fp') → connected components → keep the LONGEST member
+    (ties to min media_id).  The 64-window pooling is duration-free the
+    way aHash is scale-free: a sample-doubled (time-stretched) copy
+    hashes identically, and the length keep policy retains the
+    highest-fidelity original.  Rows that don't fingerprint (non-audio,
+    undecodable, <64 samples) pass through untouched.  Same
+    materialization contract as media_near_dedup (fingerprints and pairs
+    localCheckpointed — dedup_components multi-references its inputs)."""
+    from crankshaft_spark.operators.dedup import dedup_components
+
+    fps = audio_fingerprint(media, decoder=decoder).localCheckpoint(
+        eager=True)
+    pairs = ahash_pairs(fps, max_hamming=max_hamming, col="fp") \
+        .localCheckpoint(eager=True)
+    scored = fps.select(
+        "media_id", F.col("n_samples").cast("long").alias("_len"))
+    comp = dedup_components(
+        scored, pairs, id_col="media_id", keep_col="_len")
+    dropped = comp.where(~F.col("is_keep")).select("media_id")
+    return media.join(dropped, "media_id", "anti")
+
+
 def frame_sample(
     media: DataFrame = None, *, every: int = 4, meta: DataFrame = None,
 ) -> DataFrame:

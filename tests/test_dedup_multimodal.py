@@ -670,6 +670,29 @@ def test_media_near_dedup_keeps_highest_resolution(spark):
     assert kept == [2, 3, 4]  # high-res copy survives; audio untouched
 
 
+def test_audio_near_dedup_keeps_longest(spark):
+    """A sample-doubled (time-stretched) copy fingerprints identically
+    (window sums scale, the mean comparison cancels), so the cluster
+    keeps the LONGER track; unrelated audio and images pass through."""
+    from crankshaft_spark.operators.multimodal import (
+        audio_near_dedup, png_encode, wav_encode)
+
+    rng = np.random.RandomState(9)
+    s = rng.randint(-20000, 20000, 512).astype(np.int16)
+    stretched = np.repeat(s, 2)  # 1024 samples, same energy profile
+    other = rng.randint(-20000, 20000, 512).astype(np.int16)
+    img = png_encode(rng.randint(0, 256, (16, 16)).astype(np.uint8))
+    media = spark.createDataFrame(
+        [(1, bytearray(wav_encode(8000, s))),
+         (2, bytearray(wav_encode(8000, stretched))),
+         (3, bytearray(wav_encode(8000, other))),
+         (4, bytearray(img))],
+        "media_id long, media binary")
+    kept = sorted(r["media_id"] for r in audio_near_dedup(
+        media, decoder="real", max_hamming=2).collect())
+    assert kept == [2, 3, 4]  # longer copy survives; image untouched
+
+
 def test_fingerprints_skip_garbage(spark):
     """Undecodable / NULL blobs never raise in the fingerprint operators —
     they are skipped row-by-row (same error-channel policy as
