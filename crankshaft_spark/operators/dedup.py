@@ -124,11 +124,40 @@ def minhash_lsh_pairs(
     )
 
 
+def _keepers_from_components(
+    docs: DataFrame, components: DataFrame, id_col: str,
+    keep_col: str | None,
+) -> DataFrame:
+    """One keeper id per component, chosen ONLY among members present in
+    ``docs``.  Components whose every member is a pair-only id (absent
+    from docs) contribute no keeper — there is nothing of theirs in docs
+    to keep.  Default keeper = min docs-member id; ``keep_col`` switches
+    to the best-scoring docs member (ties → min id, NULL scores lose to
+    any scored member)."""
+    members = components.select(id_col, "component").join(
+        docs.select(id_col).distinct(), id_col, "semi")
+    if keep_col is None:
+        best = members.groupBy("component").agg(F.min(id_col).alias("_bid"))
+    else:
+        m = docs.groupBy(id_col).agg(F.max(keep_col).alias("_kv"))
+        neg = -F.coalesce(F.col("_kv").cast("double"), F.lit(float("-inf")))
+        best = (
+            members.join(m, id_col, "left")
+            .withColumn("_neg", neg)
+            .groupBy("component")
+            .agg(F.min(F.struct("_neg", F.col(id_col).alias("_bid")))
+                 .alias("_b"))
+            .select("component", F.col("_b._bid").alias("_bid"))
+        )
+    return best.select(F.col("_bid").alias(id_col))
+
+
 def near_dedup(
     docs: DataFrame, *, text_col: str = "text", threshold: float = 0.5,
     n: int = 4, k: int = MINHASH_K, bands: int = MINHASH_BANDS,
     id_col: str = "doc_id", keep_col: str | None = None,
     pairs: DataFrame | None = None,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """The one-call near-dedup a training pipeline runs: MinHash+LSH
     candidate pairs → connected components → keep one doc per transitive
@@ -136,20 +165,39 @@ def near_dedup(
     min-id one) → the surviving docs, all columns intact.  Pure
     composition of minhash_lsh_pairs + dedup_components; gate-checked
     end-to-end via the minhash_lsh entry's survivor arm.  Scale shape:
-    the only addition over the parts is one semi-join of docs against
-    the keeper id set.  ``pairs`` supplies precomputed candidate pairs
-    (skipping the MinHash stage — how the gate entry avoids paying LSH
-    twice); otherwise pairs are computed here and localCheckpointed,
+    the only addition over the parts is one aggregate over the (tiny)
+    components table plus one semi-join of docs against the keeper ids
+    (no broadcast forced — AQE broadcasts when the keeper side fits and
+    falls back to a shuffled semi-join when it doesn't; pytest drives
+    the fallback with autoBroadcastJoinThreshold=-1).
+
+    The keeper is always chosen AMONG MEMBERS PRESENT IN DOCS
+    (_keepers_from_components): the component label itself can be a
+    pair-only id when external ``pairs`` mention ids absent from docs —
+    e.g. docs={5,6,9}, pairs={(3,5),(5,6)}: the label is 3, and keeping
+    "component == id" would silently drop ALL of {5,6}.  Same hazard via
+    ``keep_col`` when every docs member of a component is NULL-scored
+    and a smaller pair-only id exists.
+
+    ``pairs`` supplies precomputed candidate pairs (skipping the MinHash
+    stage); otherwise pairs are computed here and localCheckpointed,
     since dedup_components references them several times (edges union +
     node seeding) and an unmaterialized LSH pipeline would re-execute
-    per reference.  ``docs`` must be unique per ``id_col`` (the engine-
-    wide contract): duplicate id rows pass the semi-join verbatim."""
-    if pairs is None:
-        pairs = minhash_lsh_pairs(
-            docs, text_col=text_col, n=n, k=k, bands=bands,
-            threshold=threshold, id_col=id_col).localCheckpoint(eager=True)
-    comp = dedup_components(docs, pairs, id_col=id_col, keep_col=keep_col)
-    keepers = comp.where(F.col("is_keep")).select(id_col)
+    per reference.  ``components`` supplies a precomputed
+    dedup_components output (only its (id, component) labels are used —
+    keeper policy is re-derived here), letting a caller that already ran
+    label propagation (the minhash_lsh gate entry) avoid paying it
+    twice; it takes precedence over ``pairs``.  ``docs`` must be unique
+    per ``id_col`` (the engine-wide contract): duplicate id rows pass
+    the semi-join verbatim."""
+    if components is None:
+        if pairs is None:
+            pairs = minhash_lsh_pairs(
+                docs, text_col=text_col, n=n, k=k, bands=bands,
+                threshold=threshold, id_col=id_col,
+            ).localCheckpoint(eager=True)
+        components = dedup_components(docs, pairs, id_col=id_col)
+    keepers = _keepers_from_components(docs, components, id_col, keep_col)
     return docs.join(keepers, id_col, "semi")
 
 
@@ -432,7 +480,8 @@ def fingerprints_oracle_sql(docs_sql: str, *, k: int = FP_K,
                            AND {w - 1} FOLLOWING) AS m
       FROM grams
     )
-    SELECT doc_id, pos, fp FROM wmin WHERE fp = m"""
+    SELECT doc_id, CAST(pos AS INTEGER) AS pos, fp
+    FROM wmin WHERE fp = m"""
 
 
 def _checkpointed_rdd_ids(df) -> set:
@@ -487,6 +536,11 @@ def dedup_components(
     per-component aggregate + broadcast-sized join over the tiny
     components table; the component labels themselves are unchanged.
     The catalog entry gates the default policy; keep_col is pytest-pinned.
+    NOTE: keepers here are graph-level — a pair-only id (present in
+    ``pairs`` but absent from ``docs``) CAN be the keeper of its
+    component.  ``near_dedup`` re-derives keepers restricted to docs
+    members (_keepers_from_components); use that for keep-one-per-cluster
+    filtering of docs.
 
     Algorithm: hash-min label propagation with pointer jumping.  Every node
     starts with its own id; each round every node takes the min label over

@@ -239,7 +239,7 @@ def pia_oracle_sql(
       UNION ALL
       SELECT pid, -1 AS lvl, 0 AS ord, x, y, d FROM cent_d
     )
-    SELECT pid AS poly_id, round(x, {round_dp}) AS x,
+    SELECT CAST(pid AS BIGINT) AS poly_id, round(x, {round_dp}) AS x,
            round(y, {round_dp}) AS y, round(d, {round_dp}) AS dist
     FROM (
       SELECT *, row_number() OVER (

@@ -138,6 +138,53 @@ def _h32(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
+SIM_POOL_DEFAULT = 65536
+"""Default bounded size of the broadcast value pool the permutation-sim
+paths draw from.  Caps BOTH driver/broadcast state (O(pool), never O(n))
+and per-row compute (O(permutations·pool)).  When n ≤ pool the null is the
+exact conditional randomization; when n > pool the draws come from a
+hash-uniform subsample of the other values — statistically equivalent for
+inference (the empirical distribution of a 64k uniform subsample is the
+population distribution to ~1/256 resolution, far finer than the
+1/(permutations+1) resolution of p_sim itself)."""
+
+
+def _hash_pool(values: DataFrame, value_col: str, tag: str,
+               pool_size, cast: str = "double"):
+    """Collect a bounded, hash-selected value pool → (ids, values) sorted
+    by id.  Pool = the ``pool_size`` rows with the smallest portable md5
+    rank of ``f"{tag}:{id}"`` (tie-broken by id) — a deterministic uniform
+    subsample both engines replay verbatim (DuckDB: ``ORDER BY
+    ('0x'||substring(md5(tag||':'||id),1,8))::BIGINT, id LIMIT pool``).
+    The plan is TakeOrderedAndProject (distributed top-k): no global sort,
+    no O(n) collect.  ``pool_size=None`` collects everything — exact
+    conditional randomization, bounded inputs only."""
+    df = values.select("id", F.col(value_col).cast(cast).alias("_y"))
+    if pool_size is not None:
+        pu = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(tag),
+                                  F.col("id").cast("string"))), 1, 8),
+            16, 10).cast("long")
+        df = (df.withColumn("_pu", pu)
+              .orderBy("_pu", "id").limit(int(pool_size)).drop("_pu"))
+    rows = df.sort("id").collect()
+    return [int(r[0]) for r in rows], [r[1] for r in rows]
+
+
+def _pool_cte(values_sql: str, tag: str, pool_size) -> str:
+    """DuckDB mirror of ``_hash_pool``'s selection over ``values_sql``
+    (must yield (id, y)); returns a SELECT producing the pool rows."""
+    if pool_size is None:
+        return values_sql
+    return f"""
+      SELECT id, y FROM (
+        SELECT id, y,
+               ('0x' || substring(md5('{tag}:' || id), 1, 8))::BIGINT AS _pu
+        FROM ({values_sql}))
+      ORDER BY _pu, id LIMIT {int(pool_size)}"""
+
+
 def getis_gstar_sim(
     values: DataFrame,
     edges: DataFrame,
@@ -145,6 +192,7 @@ def getis_gstar_sim(
     value_col: str = "value",
     permutations: int = 99,
     seed: int = 1234,
+    pool_size: int | None = SIM_POOL_DEFAULT,
     persist: bool = True,
     persist_registry: list | None = None,
 ) -> DataFrame:
@@ -172,14 +220,16 @@ def getis_gstar_sim(
     permutations).  Per-row work is vectorized numpy over an Arrow batch;
     everything after is column algebra.
 
-    Cost bound: each row ranks all n−1 candidates per permutation, so
-    total work is O(n²·permutations) and the value vector (8n bytes) is
-    broadcast — the same envelope as the local-Moran permutation path
-    (moran._local_permutation_p) and fine at the 10⁴–10⁵-row scales
-    permutation inference is used at.  At crawl scale use the analytic
-    ``getis_gstar`` (pure column algebra); permutation counting over 10M+
-    rows is statistically pointless anyway (p_sim resolution is bounded by
-    1/(permutations+1), not n).
+    Cost bound: the candidate pool is capped at ``pool_size`` (default
+    ``SIM_POOL_DEFAULT``) by a hash-ranked uniform subsample (see
+    ``_hash_pool``), so driver/broadcast state is O(pool) — never O(n) —
+    and per-row work is O(permutations·pool).  When n ≤ pool the null is
+    the exact conditional randomization (ranks all n−1 others);
+    ``pool_size=None`` forces that exact path regardless of n (bounded
+    inputs only).  At crawl scale prefer the analytic ``getis_gstar``
+    (pure column algebra) — p_sim resolution is bounded by
+    1/(permutations+1), not n — but with a small pool (1024) this path
+    runs at 10M+ rows (scalebench sim row).
 
     The s ≥ nbrsum comparison is pinned at 6dp on both sides: nbrsum is a
     Spark float sum whose partial-aggregation order varies with
@@ -205,13 +255,10 @@ def getis_gstar_sim(
         .groupBy("id")
         .agg(F.count("*").alias("_deg"), F.sum("_y").alias("_nbrsum"))
     )
-    zrows = (
-        values.select("id", F.col(value_col).cast("double")).sort("id").collect()
-    )
-    ids = [int(r[0]) for r in zrows]
-    y = np.array([r[1] for r in zrows], dtype=float)
+    ids, yl = _hash_pool(values, value_col, "gsim-pool", pool_size)
+    y = np.array(yl, dtype=float)
     g = np.array([_h32(f"gsim-g:{i}") % _HASH_P for i in ids], dtype=np.int64)
-    n = len(y)
+    m = len(y)  # pool size (== n when pool_size is None or n <= pool_size)
     by = spark.sparkContext.broadcast(y)
     bg = spark.sparkContext.broadcast(g)
     bpos = spark.sparkContext.broadcast({v: i for i, v in enumerate(ids)})
@@ -227,7 +274,13 @@ def getis_gstar_sim(
                 pdf["id"], pdf["_y"], pdf["_deg"], pdf["_nbrsum"]
             ):
                 rid, d = int(rid), int(d)
-                i = pos[rid]
+                i = pos.get(rid, -1)  # self may be outside a bounded pool
+                avail = m - (1 if i >= 0 else 0)
+                if d > avail:
+                    raise ValueError(
+                        f"getis_gstar_sim: deg({rid})={d} exceeds the "
+                        f"{avail} available pool candidates — raise "
+                        f"pool_size (got {m})")
                 a = np.array(
                     [1 + _h32(f"gsim-a:{seed}:{rid}:{p}") % (_HASH_P - 1)
                      for p in range(permutations)], dtype=np.int64)
@@ -235,8 +288,9 @@ def getis_gstar_sim(
                     [_h32(f"gsim-b:{seed}:{rid}:{p}") % _HASH_P
                      for p in range(permutations)], dtype=np.int64)
                 u = (a[:, None] * gv[None, :] + b[:, None]) % _HASH_P
-                key = u * np.int64(n) + np.arange(n, dtype=np.int64)[None, :]
-                key[:, i] = np.iinfo(np.int64).max  # exclude self
+                key = u * np.int64(m) + np.arange(m, dtype=np.int64)[None, :]
+                if i >= 0:
+                    key[:, i] = np.iinfo(np.int64).max  # exclude self
                 top = np.argpartition(key, d - 1, axis=1)[:, :d]
                 s = yv[top].sum(axis=1)
                 larger = int(
@@ -304,15 +358,20 @@ def getis_sim_oracle_sql(
     *,
     permutations: int = 19,
     seed: int = 1234,
+    pool_size: int | None = None,
 ) -> str:
     """DuckDB mirror of ``getis_gstar_sim``: same keyed-linear-hash SRSWOR
     (rank (A·g+B) mod P, take deg smallest, tie-break by id), same folded
-    p_sim and pooled z_sim.  ``values_sql`` must yield (id, y) with
-    INTEGER-VALUED y so every sum is order-exact in both engines.
-    ``knn_cte`` is a WITH prologue providing pts and knn(id, nbr)."""
+    p_sim and pooled z_sim, same hash-ranked bounded candidate pool when
+    ``pool_size`` is set (mirrors ``_hash_pool``).  ``values_sql`` must
+    yield (id, y) with INTEGER-VALUED y so every sum is order-exact in
+    both engines.  ``knn_cte`` is a WITH prologue providing pts and
+    knn(id, nbr)."""
     P = _HASH_P
+    pool_sql = _pool_cte("SELECT id, y FROM yv", "gsim-pool", pool_size)
     return f"""{knn_cte},
     yv AS ({values_sql}),
+    vpool AS ({pool_sql}),
     tot AS (SELECT sum(y) AS ysum, count(*) AS n FROM yv),
     deg AS (
       SELECT k.id, count(*) AS d, sum(yn.y) AS nbrsum
@@ -321,7 +380,7 @@ def getis_sim_oracle_sql(
     gh AS (SELECT id, y,
                   ('0x' || substring(md5('gsim-g:' || id), 1, 8))::BIGINT
                     % {P} AS gj
-           FROM yv),
+           FROM vpool),
     ab AS (
       SELECT i.id, pp.p,
              1 + ('0x' || substring(md5(concat_ws(':', 'gsim-a', {seed},

@@ -16,7 +16,9 @@ CDB_MoransILocalRate (/root/reference/src/pg/sql/10_moran.sql) backed by
 moran.py:33-274.  The reference collects the whole table into one PostgreSQL
 backend; here everything is join/aggregate algebra except the optional
 conditional-randomization p-values, which are a vectorized Arrow UDF over a
-broadcast value vector (bounded; at 10^12 scale run with permutations=0).
+broadcast value POOL bounded at ``pool_size`` (hash-ranked uniform
+subsample, getis._hash_pool) — driver state is O(pool) at any n, and the
+null is exact conditional randomization whenever n ≤ pool.
 """
 
 from __future__ import annotations
@@ -49,6 +51,7 @@ def moran_local(
     value_col: str = "value",
     permutations: int = 0,
     seed: int = 1234,
+    pool_size: int | None = 65536,  # getis.SIM_POOL_DEFAULT
 ) -> DataFrame:
     """Local Moran's I.
 
@@ -96,7 +99,7 @@ def moran_local(
         out = base.withColumn("significance", F.lit(None).cast("double"))
     else:
         out = _local_permutation_p(
-            base, values, value_col, edges, permutations, seed
+            base, values, value_col, edges, permutations, seed, pool_size
         )
     return out.select(
         "id", "quad", "significance", "spatial_lag", "spatial_lag_std",
@@ -111,6 +114,7 @@ def _local_permutation_p(
     edges: DataFrame,
     permutations: int,
     seed: int,
+    pool_size: int | None = 65536,
 ) -> DataFrame:
     """Conditional-randomization p_sim for local Moran.
 
@@ -118,11 +122,19 @@ def _local_permutation_p(
     replacement) from the other z values, recompute I_i with row i's ACTUAL
     weight vector, two-sided count — the same scheme PySAL's ``__crand``
     uses (per-row RNG seeded from (seed, id) so results are independent of
-    partitioning/parallelism).  The z vector is broadcast; per-row work is
-    vectorized numpy.  The weight vector is applied in nbr-sorted order
-    (sample values are exchangeable, so any fixed deterministic order is
-    valid and parallelism-stable).
+    partitioning/parallelism).  Per-row work is vectorized numpy; the
+    weight vector is applied in nbr-sorted order (sample values are
+    exchangeable, so any fixed deterministic order is valid and
+    parallelism-stable).
+
+    Driver/broadcast state is O(pool), never O(n): candidates come from a
+    hash-ranked uniform subsample of at most ``pool_size`` values
+    (getis._hash_pool) — exact conditional randomization when n ≤ pool.
+    n, mean and Σz² stay GLOBAL aggregates; per-row z_i/local_i ride the
+    Arrow batch from ``base``, so rows outside the pool still get p-values.
     """
+    from crankshaft_spark.operators.getis import _hash_pool
+
     deg = edges.groupBy("id").agg(
         F.count("*").alias("_deg"),
         F.transform(
@@ -131,14 +143,21 @@ def _local_permutation_p(
         ).alias("_ws"),
     )
     spark = base.sparkSession
-    zrows = values.select("id", F.col(value_col).cast("double")).collect()
-    zvals = np.array([r[1] for r in zrows], dtype=float)
-    zvals = zvals - zvals.mean()
-    n = len(zvals)
-    den = float((zvals * zvals).sum())
-    bz = spark.sparkContext.broadcast(zvals)
-    id_to_pos = {r[0]: i for i, r in enumerate(zrows)}
-    bpos = spark.sparkContext.broadcast(id_to_pos)
+    stats = values.agg(
+        F.count("*").alias("_n"), F.avg(F.col(value_col)).alias("_mean")
+    ).collect()[0]
+    n, mean = int(stats["_n"]), float(stats["_mean"])
+    den = float(
+        values.agg(F.sum(
+            (F.col(value_col) - F.lit(mean))
+            * (F.col(value_col) - F.lit(mean))
+        )).collect()[0][0]
+    )
+    ids, yl = _hash_pool(values, value_col, "lmsim-pool", pool_size)
+    zpool = np.array(yl, dtype=float) - mean
+    m = len(zpool)
+    bz = spark.sparkContext.broadcast(zpool)
+    bpos = spark.sparkContext.broadcast({v: i for i, v in enumerate(ids)})
 
     schema = "id long, significance double"
 
@@ -147,19 +166,25 @@ def _local_permutation_p(
             z = bz.value
             pos = bpos.value
             out_p = np.empty(len(pdf))
-            for row_i, (rid, d, ws, li) in enumerate(
-                zip(pdf["id"], pdf["_deg"], pdf["_ws"], pdf["local_i"])
+            for row_i, (rid, d, ws, li, zi) in enumerate(
+                zip(pdf["id"], pdf["_deg"], pdf["_ws"], pdf["local_i"],
+                    pdf["_z"])
             ):
                 rng = np.random.RandomState(
                     (seed * 1000003 + int(rid)) % (2**32)
                 )
-                i = pos[int(rid)]
-                others = np.delete(z, i)
+                i = pos.get(int(rid), -1)  # self may be outside the pool
+                others = np.delete(z, i) if i >= 0 else z
+                if int(d) > len(others):
+                    raise ValueError(
+                        f"moran_local: deg({rid})={d} exceeds the "
+                        f"{len(others)} available pool candidates — raise "
+                        f"pool_size (got {m})")
                 idx = np.argsort(
-                    rng.random_sample((permutations, n - 1)), axis=1
+                    rng.random_sample((permutations, len(others))), axis=1
                 )[:, : int(d)]
                 w_vec = np.asarray(ws, dtype=float)
-                sims = (n - 1) * z[i] * (others[idx] @ w_vec) / den
+                sims = (n - 1) * float(zi) * (others[idx] @ w_vec) / den
                 larger = int((sims >= li).sum())
                 if (permutations - larger) < larger:
                     larger = permutations - larger
@@ -172,7 +197,8 @@ def _local_permutation_p(
     from crankshaft_spark.functions.spread import spread_groups
 
     withdeg = spread_groups(
-        base.join(deg, "id").select("id", "_deg", "_ws", "local_i"), "id"
+        base.join(deg, "id").select("id", "_deg", "_ws", "local_i", "_z"),
+        "id",
     )
     p = withdeg.mapInPandas(compute, schema=schema)
     return base.join(p, "id")
@@ -185,6 +211,7 @@ def moran_local_hash_sim(
     value_col: str = "value",
     permutations: int = 19,
     seed: int = 1234,
+    pool_size: int | None = 65536,  # getis.SIM_POOL_DEFAULT
 ) -> DataFrame:
     """Local Moran with an ORACLE-EXPRESSIBLE permutation p_sim →
     (id, quad, local_i, p_sim).
@@ -206,8 +233,15 @@ def moran_local_hash_sim(
     INTEGER-VALUED y and UNIFORM row weights (row-standardized kNN edges:
     w_ij = 1/deg(i)), which also makes sample order irrelevant.  p_sim is
     PySAL-folded: (min(larger, perms−larger)+1)/(perms+1).
+
+    ``pool_size`` bounds driver/broadcast state to O(pool) and per-row
+    compute to O(permutations·pool): samples are drawn from a hash-ranked
+    uniform subsample of the values (getis._hash_pool, tag 'msim-pool') —
+    exact conditional randomization when n ≤ pool, replayable by the
+    DuckDB oracle either way.  ``pool_size=None`` forces the exact
+    all-values pool (bounded inputs only).
     """
-    from crankshaft_spark.operators.getis import _HASH_P, _h32
+    from crankshaft_spark.operators.getis import _HASH_P, _h32, _hash_pool
 
     analytic = moran_local(values, edges, value_col=value_col)
 
@@ -217,14 +251,17 @@ def moran_local_hash_sim(
     edges = edges.join(values.select("id"), "id", "left_semi")
 
     spark = values.sparkSession
-    zrows = (
-        values.select("id", F.col(value_col).cast("long")).sort("id").collect()
-    )
-    ids = [int(r[0]) for r in zrows]
-    y = np.array([int(r[1]) for r in zrows], dtype=np.int64)
+    ids, yl = _hash_pool(values, value_col, "msim-pool", pool_size,
+                         cast="long")
+    y = np.array([int(v) for v in yl], dtype=np.int64)
     g = np.array([_h32(f"msim-g:{i}") % _HASH_P for i in ids], dtype=np.int64)
-    n = len(y)
-    ysum = int(y.sum())
+    m = len(y)  # pool size (== n when pool_size is None or n <= pool_size)
+    # n and Σy are GLOBAL (the sign test z_i = y_i·n − Σy uses the global
+    # mean), never pool aggregates
+    trow = values.agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col(value_col).cast("long")).alias("_ysum")).collect()[0]
+    n, ysum = int(trow["_n"]), int(trow["_ysum"])
     by = spark.sparkContext.broadcast(y)
     bg = spark.sparkContext.broadcast(g)
     bpos = spark.sparkContext.broadcast({v: i for i, v in enumerate(ids)})
@@ -236,6 +273,9 @@ def moran_local_hash_sim(
               "nbr")
         .groupBy("id")
         .agg(F.count("*").alias("_deg"), F.sum("_yl").alias("_nbrsum"))
+        .join(values.select("id",
+                            F.col(value_col).cast("long").alias("_yself")),
+              "id")
     )
 
     schema = "id long, p_sim double"
@@ -244,13 +284,21 @@ def moran_local_hash_sim(
         yv, gv, pos = by.value, bg.value, bpos.value
         for pdf in pdfs:
             out = []
-            for rid, d, nbrsum in zip(pdf["id"], pdf["_deg"], pdf["_nbrsum"]):
+            for rid, d, nbrsum, yself in zip(
+                pdf["id"], pdf["_deg"], pdf["_nbrsum"], pdf["_yself"]
+            ):
                 rid, d, nbrsum = int(rid), int(d), int(nbrsum)
-                i = pos[rid]
-                sg = yv[i] * n - ysum
+                sg = int(yself) * n - ysum
                 if sg == 0:
                     larger = permutations
                 else:
+                    i = pos.get(rid, -1)  # self may be outside the pool
+                    avail = m - (1 if i >= 0 else 0)
+                    if d > avail:
+                        raise ValueError(
+                            f"moran_local_hash_sim: deg({rid})={d} exceeds "
+                            f"the {avail} available pool candidates — raise "
+                            f"pool_size (got {m})")
                     a = np.array(
                         [1 + _h32(f"msim-a:{seed}:{rid}:{p}") % (_HASH_P - 1)
                          for p in range(permutations)], dtype=np.int64)
@@ -258,8 +306,9 @@ def moran_local_hash_sim(
                         [_h32(f"msim-b:{seed}:{rid}:{p}") % _HASH_P
                          for p in range(permutations)], dtype=np.int64)
                     u = (a[:, None] * gv[None, :] + b[:, None]) % _HASH_P
-                    key = u * np.int64(n) + np.arange(n, dtype=np.int64)[None, :]
-                    key[:, i] = np.iinfo(np.int64).max  # exclude self
+                    key = u * np.int64(m) + np.arange(m, dtype=np.int64)[None, :]
+                    if i >= 0:
+                        key[:, i] = np.iinfo(np.int64).max  # exclude self
                     top = np.argpartition(key, d - 1, axis=1)[:, :d]
                     s = yv[top].sum(axis=1)
                     larger = int((s >= nbrsum).sum() if sg > 0
@@ -272,7 +321,7 @@ def moran_local_hash_sim(
     from crankshaft_spark.functions.spread import spread_groups
 
     p = spread_groups(
-        nbr_stats.select("id", "_deg", "_nbrsum"), "id"
+        nbr_stats.select("id", "_deg", "_nbrsum", "_yself"), "id"
     ).mapInPandas(run, schema)
     return analytic.join(p, "id").select(
         "id", "quad", "local_i", "p_sim"

@@ -150,8 +150,12 @@ def corpus_sample_oracle_sql(docs_sql: str, *, seed: int = 42,
         return f"""
         SELECT * EXCLUDE (u), round(u, 6) AS u FROM (
           SELECT *, {u} AS u FROM ({docs_sql})) WHERE u < {fraction}"""
+    # CAST to INTEGER: DuckDB row_number() is BIGINT where Spark
+    # F.row_number() emits INT — values identical, but the driver's
+    # result hash is TYPE-aware (round-3 red cell).
     return f"""
-    SELECT * EXCLUDE (u, sample_rank), round(u, 6) AS u, sample_rank
+    SELECT * EXCLUDE (u, sample_rank), round(u, 6) AS u,
+           CAST(sample_rank AS INTEGER) AS sample_rank
     FROM (
       SELECT *, row_number() OVER (
           PARTITION BY {stratify_by} ORDER BY u, {id_col}) AS sample_rank
@@ -273,11 +277,15 @@ def shard_pack_oracle_sql(docs_sql: str, *, budget: int,
     excludes the internal hash so the default output matches the Spark
     contract (input columns + shard_id)."""
     h = _hash32_sql(seed, "shard", id_col)
+    # CAST to BIGINT: DuckDB widens the windowed SUM(BIGINT) to HUGEINT
+    # (and // keeps it) where Spark's `div` stays LONG — values are
+    # identical but the driver's result hash is TYPE-aware (round-3 red
+    # cell), so pin the output type explicitly.
     return f"""
     SELECT {cols},
-           (sum({tokens_col}) OVER (ORDER BY _h, {id_col}
+           CAST((sum({tokens_col}) OVER (ORDER BY _h, {id_col}
               ROWS UNBOUNDED PRECEDING) - {tokens_col}) // {budget}
-           AS shard_id
+           AS BIGINT) AS shard_id
     FROM (SELECT *, {h} AS _h FROM ({docs_sql}))"""
 
 

@@ -822,17 +822,23 @@ def o_orders_weighted_center():
 # the DuckDB oracle replays the draws verbatim; the numpy-RNG PySAL-replica
 # paths remain fixture-only (tests/test_moran.py, tests/test_getis.py).
 
+SIM_POOL = 512  # < n at sf0.01 (1500): the gate checks the BOUNDED pool path
+
+
 def q_moran_local_sim(spark, sf_dir):
     """Local Moran with hash-SRSWOR permutation p_sim (value-hash oracle).
     Integer-valued y + uniform kNN row weights reduce the sims >= I_i count
-    to exact int64 comparisons — see moran_local_hash_sim."""
+    to exact int64 comparisons — see moran_local_hash_sim.  pool_size=512
+    keeps driver state O(pool) and is smaller than n at sf0.01, so the
+    oracle replays the hash-ranked pool subsample itself."""
     from crankshaft_spark.operators.moran import moran_local_hash_sim
 
     pts = customer_points(spark, sf_dir).select(
         "id", ((F.col("id") * 41) % 1000).cast("double").alias("value")
     )
     res = moran_local_hash_sim(pts, _edges_w(spark, sf_dir),
-                               permutations=GETIS_SIM_PERMS, seed=1234)
+                               permutations=GETIS_SIM_PERMS, seed=1234,
+                               pool_size=SIM_POOL)
     return res.select(
         "id", "quad", F.round("local_i", 6).alias("local_i"),
         F.round("p_sim", 6).alias("p_sim"),
@@ -857,10 +863,17 @@ def o_moran_local_sim():
       FROM knn k JOIN yv yn ON k.nbr = yn.id GROUP BY k.id
     ),
     sgn AS (SELECT yv.id, yv.y * t.n - t.ysum AS sg FROM yv, tot t),
+    pool AS (
+      SELECT id, y FROM (
+        SELECT id, y,
+               ('0x' || substring(md5('msim-pool:' || id), 1, 8))::BIGINT
+                 AS _pu
+        FROM yv)
+      ORDER BY _pu, id LIMIT {SIM_POOL}),
     gh AS (SELECT id, y,
                   ('0x' || substring(md5('msim-g:' || id), 1, 8))::BIGINT
                     % {P} AS gj
-           FROM yv),
+           FROM pool),
     ab AS (
       SELECT i.id, pp.p,
              1 + ('0x' || substring(md5(concat_ws(':', 'msim-a', {seed},
@@ -922,7 +935,8 @@ def q_getis_sim(spark, sf_dir):
         "id", ((F.col("id") * 37) % 1000).cast("double").alias("value")
     )
     res = getis_gstar_sim(pts, _edges_w(spark, sf_dir),
-                          permutations=GETIS_SIM_PERMS, seed=1234)
+                          permutations=GETIS_SIM_PERMS, seed=1234,
+                          pool_size=SIM_POOL)
     return res.select(
         "id", F.round("gs", 6).alias("gs"),
         F.round("z_sim", 6).alias("z_sim"),
@@ -936,6 +950,7 @@ def o_getis_sim():
     return getis_sim_oracle_sql(
         "SELECT id, CAST((id * 37) % 1000 AS DOUBLE) AS y FROM pts",
         _KNN_CTE, permutations=GETIS_SIM_PERMS, seed=1234,
+        pool_size=SIM_POOL,
     )
 
 
@@ -1225,8 +1240,10 @@ def o_queen_edges():
         for x, y in ring:
             rows.append(f"({pid}, {x!r}, {y!r})")
     verts = "(SELECT * FROM (VALUES " + ", ".join(rows) + ") AS v(pid, vx, vy))"
+    # CASTs: Spark ids are LONG; the VALUES literals parse as INTEGER and
+    # the round driver's result hash is type-aware (r3/r4 dtype sweep)
     return f"""
-    SELECT DISTINCT a.pid AS id, b.pid AS nbr
+    SELECT DISTINCT CAST(a.pid AS BIGINT) AS id, CAST(b.pid AS BIGINT) AS nbr
     FROM {verts} a JOIN {verts} b ON a.vx = b.vx AND a.vy = b.vy
     WHERE a.pid <> b.pid"""
 
@@ -1349,7 +1366,8 @@ def o_contour():
       FROM est e JOIN brk b ON e.est <= b.bv
       GROUP BY e.cid, e.est
     )
-    SELECT bin, round(min(est), 6) AS min_value, round(max(est), 6) AS max_value,
+    SELECT CAST(bin AS INTEGER) AS bin, round(min(est), 6) AS min_value,
+           round(max(est), 6) AS max_value,
            round(avg(est), 6) AS avg_value, count(*) AS n_cells
     FROM binned GROUP BY bin"""
 
@@ -1461,8 +1479,10 @@ def o_dot_density():
     npts = {pid: pid % 7 + 1 for pid, _ in polys}
     inner = dot_density_oracle_sql(polys, npts, seed=1234,
                                    max_iter_per_point=64)
+    # CAST: Spark poly_id is LONG, the oracle's is INTEGER (type-aware hash)
     return (
-        f"SELECT poly_id, round(x, 6) AS x, round(y, 6) AS y FROM ({inner})"
+        f"SELECT CAST(poly_id AS BIGINT) AS poly_id, round(x, 6) AS x, "
+        f"round(y, 6) AS y FROM ({inner})"
     )
 
 
@@ -1534,8 +1554,10 @@ def q_minhash_lsh(spark, sf_dir):
     surviving ids, the three stages of near-dup removal, in one gate
     entry.  Member rows reuse the numeric slot for the component size;
     survivor rows carry NULL b/est.  near_dedup gets the SAME
-    checkpointed pairs (its pairs= parameter), so the entry pays LSH
-    once and label propagation twice (its own + the composition's)."""
+    checkpointed COMPONENTS (its components= parameter), so the entry
+    pays LSH once and label propagation once — the survivor arm only
+    re-derives the keeper set from the labels (r3 paid propagation
+    twice; halving it was the one genuine r4 efficiency item)."""
     from crankshaft_spark.operators.dedup import (
         dedup_components, minhash_lsh_pairs, near_dedup)
 
@@ -1555,7 +1577,7 @@ def q_minhash_lsh(spark, sf_dir):
         F.col("component").alias("b"),
         F.col("n_members").cast("double").alias("est_jaccard"),
     )
-    survivor_rows = near_dedup(docs, pairs=pairs).select(
+    survivor_rows = near_dedup(docs, components=comp).select(
         F.lit("survivor").alias("kind"),
         F.col("doc_id").alias("a"),
         F.lit(None).cast("long").alias("b"),
@@ -2179,9 +2201,10 @@ def q_markov(spark, sf_dir):
 
 
 def o_markov():
+    # CAST t: Spark emits INT (posexplode index), DuckDB range() is BIGINT
     return f"""
-    SELECT c.id, c.t, c.cls, tr.trend, tr.trend_up, tr.trend_down,
-           tr.volatility
+    SELECT c.id, CAST(c.t AS INTEGER) AS t, c.cls, tr.trend, tr.trend_up,
+           tr.trend_down, tr.volatility
     FROM ({o_markov_classes()}) c
     JOIN ({o_markov_trend()}) tr ON c.id = tr.id"""
 
@@ -2231,12 +2254,16 @@ def q_bins(spark, sf_dir):
 
 
 def o_bins():
+    # CAST bin: Spark emits INT bins, DuckDB range()/row_number() are BIGINT
     return f"""
-    SELECT 'equal' AS method, * FROM ({o_bins_equal()})
+    SELECT 'equal' AS method, CAST(bin AS INTEGER) AS bin, break_value
+    FROM ({o_bins_equal()})
     UNION ALL
-    SELECT 'quantile' AS method, * FROM ({o_bins_quantile()})
+    SELECT 'quantile' AS method, CAST(bin AS INTEGER) AS bin, break_value
+    FROM ({o_bins_quantile()})
     UNION ALL
-    SELECT 'headtails' AS method, * FROM ({o_bins_headtails()})"""
+    SELECT 'headtails' AS method, CAST(bin AS INTEGER) AS bin, break_value
+    FROM ({o_bins_headtails()})"""
 
 
 def q_weighted_centers(spark, sf_dir):

@@ -802,3 +802,54 @@ def test_audio_fingerprint_long_track_no_overflow(spark):
     assert row["fp"] == want and row["n_samples"] == n
     # the silent quarter must read BELOW the mean (bits 0..15 clear)
     assert int(want[:4], 16) == 0
+
+
+def test_near_dedup_keeper_restricted_to_docs(spark):
+    """External pairs can reference ids absent from docs; the keeper must
+    be chosen among docs members: docs={5,6,9}, pairs={(3,5),(5,6)} —
+    the component label is the pair-only 3, and keeping label==id would
+    silently drop ALL of {5,6}.  Same hazard via keep_col when every
+    docs member of the cluster is NULL-scored."""
+    from crankshaft_spark.operators.dedup import near_dedup
+
+    docs = spark.createDataFrame(
+        [(5, "x", None), (6, "y", None), (9, "z", 1.0)],
+        "doc_id long, text string, quality double")
+    pairs = spark.createDataFrame([(3, 5), (5, 6)], "a long, b long")
+    got = sorted(r["doc_id"] for r in near_dedup(docs, pairs=pairs).collect())
+    assert got == [5, 9]
+    got2 = sorted(r["doc_id"] for r in near_dedup(
+        docs, pairs=pairs, keep_col="quality").collect())
+    assert got2 == [5, 9]
+
+
+def test_near_dedup_components_reuse_and_shuffle_fallback(spark):
+    """components= reuses precomputed labels (same survivors as the
+    pairs= path, keeper policy re-derived) and the survivor semi-join
+    degrades to a shuffled SortMergeJoin when broadcasting is disabled —
+    the documented scale bailout for keeper sets beyond broadcast size."""
+    from crankshaft_spark.operators.dedup import dedup_components, near_dedup
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different words about training data pipelines"
+    docs = spark.createDataFrame(
+        [(1, text_a, 0.3), (2, text_a, 0.8), (3, text_b, 0.5)],
+        "doc_id long, text string, quality double")
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    comp = dedup_components(docs, pairs)
+    via_comp = near_dedup(docs, components=comp, keep_col="quality")
+    assert sorted(r["doc_id"] for r in via_comp.collect()) == [2, 3]
+    via_pairs = near_dedup(docs, pairs=pairs, keep_col="quality")
+    assert sorted(r["doc_id"] for r in via_pairs.collect()) == [2, 3]
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        nb = near_dedup(docs, components=comp)
+        rows = sorted(r["doc_id"] for r in nb.collect())
+        assert rows == [1, 3]
+        plan = nb._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "LeftSemi" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)

@@ -103,3 +103,40 @@ def test_getis_distributed_sim(getis_input, getis_neighbors_fixture,
         zip(getis_neighbors_fixture, getis_fixture), key=lambda t: -t[1][0])]
     ours_sorted = sorted(got, key=lambda i: -got[i]["z_sim"])
     assert set(fix_sorted[:3]) <= set(ours_sorted[:5])
+
+
+def test_getis_sim_bounded_pool(getis_input):
+    """pool_size bounds driver/broadcast state to O(pool) — never O(n) —
+    while the statistic stays a valid folded p_sim, bit-identical at any
+    parallelism; deg > pool candidates raises instead of silently
+    truncating the null."""
+    import pytest as _pytest
+
+    from crankshaft_spark.operators.getis import _hash_pool, getis_gstar_sim
+
+    values, edges = getis_input
+    n = values.count()
+    pool = 16  # fixture max degree is 9
+    assert pool < n
+    # the helper itself returns at most pool rows (the O(pool) guarantee:
+    # everything the sim paths hold on the driver comes from this helper)
+    ids, yl = _hash_pool(values, "value", "gsim-pool", pool)
+    assert len(ids) == len(yl) == pool
+    assert ids == sorted(ids)
+    # deterministic: same hash-ranked subsample every call
+    assert _hash_pool(values, "value", "gsim-pool", pool)[0] == ids
+
+    r1 = getis_gstar_sim(values, edges, permutations=49, seed=7,
+                         pool_size=pool).collect()
+    r2 = getis_gstar_sim(values.repartition(7), edges.repartition(5),
+                         permutations=49, seed=7, pool_size=pool).collect()
+    key = lambda rows: sorted(
+        (r["id"], round(r["gs"], 6), r["p_sim"]) for r in rows)
+    assert key(r1) == key(r2)
+    assert len(r1) == n
+    assert all(0.0 < r["p_sim"] <= 1.0 for r in r1)
+
+    # a pool smaller than the max degree cannot supply a deg-sized SRSWOR
+    with _pytest.raises(Exception, match="pool"):
+        getis_gstar_sim(values, edges, permutations=3, seed=7,
+                        pool_size=2).collect()

@@ -38,6 +38,43 @@ def norm_val(v):
     return str(v)
 
 
+def canon_spark_type(t: str) -> str:
+    """Spark dtype string -> engine-neutral canonical type.  The round
+    driver's value hash is TYPE-aware (round-3: corpus_select failed on
+    HUGEINT/INT drift with bit-identical values), so selfcheck must
+    compare dtypes too — strictly, with NO widening allowance."""
+    t = t.lower().strip()
+    if t.startswith("array<") and t.endswith(">"):
+        return f"list<{canon_spark_type(t[6:-1])}>"
+    if t.startswith("decimal"):
+        return "dec"
+    return {
+        "tinyint": "i8", "smallint": "i16", "int": "i32",
+        "integer": "i32", "bigint": "i64", "float": "f32",
+        "double": "f64", "string": "str", "boolean": "bool",
+        "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+        "binary": "bytes",
+    }.get(t, t)
+
+
+def canon_duck_type(t) -> str:
+    """DuckDB result type -> the same canonical space.  HUGEINT maps to
+    i128 (NOT i64) on purpose: an oracle emitting it must CAST."""
+    t = str(t).lower().strip()
+    if t.endswith("[]"):
+        return f"list<{canon_duck_type(t[:-2])}>"
+    if t.startswith("decimal"):
+        return "dec"
+    return {
+        "tinyint": "i8", "smallint": "i16", "integer": "i32",
+        "int": "i32", "bigint": "i64", "hugeint": "i128",
+        "float": "f32", "real": "f32", "double": "f64",
+        "varchar": "str", "boolean": "bool", "date": "date",
+        "timestamp": "ts", "timestamp with time zone": "ts",
+        "blob": "bytes",
+    }.get(t, t)
+
+
 def canon(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = sorted(
@@ -99,15 +136,24 @@ def main():
             continue
         ok_schema = sorted(scols) == sorted(ocols)
         ok_count = len(srows) == len(orows)
+        stypes = {c: canon_spark_type(t) for c, t in sdf.dtypes}
+        otypes = {c: canon_duck_type(t) for c, t in zip(ocols, ores.types)}
+        dtype_diffs = {
+            c: (stypes[c], otypes[c])
+            for c in stypes if c in otypes and stypes[c] != otypes[c]
+        }
+        ok_dtype = not dtype_diffs
         sc = canon([tuple(r) for r in srows], scols)
         oc = canon(orows, ocols)
         ok_vals = sc == oc
-        status = "OK" if (ok_schema and ok_count and ok_vals) else "FAIL"
+        status = ("OK" if (ok_schema and ok_count and ok_vals and ok_dtype)
+                  else "FAIL")
         if status == "FAIL":
             failures.append(name)
         print(
             f"[{name}] {status} rows={len(srows)}/{len(orows)} "
             f"schema={'ok' if ok_schema else f'{sorted(scols)} vs {sorted(ocols)}'} "
+            f"dtypes={'ok' if ok_dtype else dtype_diffs} "
             f"values={'ok' if ok_vals else 'MISMATCH'} {time.time()-t0:.1f}s"
         )
         if not ok_vals and ok_count:
