@@ -562,3 +562,302 @@ def kmeans_silhouette_oracle_sql(pts_sql: str, *, k: int,
         AS silhouette,
       round(inert.inertia, 0) AS inertia
     FROM asg JOIN ab ON ab.id = asg.id, inert"""
+
+
+# ------------------------------------------- weighted multi-dim Lloyd arm ---
+
+def _wd2_expr(cols: list[str], center, weights) -> F.Column:
+    """Weighted squared distance Σ_d w_d·((col_d − cen_d)²), terms summed
+    in column order — the oracle formats the identical expression, so on
+    integer-valued inputs both engines produce the same double bits."""
+    e = None
+    for c, ctr, w in zip(cols, center, weights):
+        diff = F.col(c) - F.lit(float(ctr))
+        t = F.lit(float(w)) * (diff * diff)
+        e = t if e is None else e + t
+    return e
+
+
+def _nearest_center_nd(centers, cols, weights):
+    """D-dim weighted twin of _nearest_center_expr: array_min over
+    (d2, center idx) structs — (distance asc, index asc) tie-break in
+    whole-stage codegen."""
+    return F.array_min(F.array(*[
+        F.struct(_wd2_expr(cols, ctr, weights).alias("d2"),
+                 F.lit(i).alias("c"))
+        for i, ctr in enumerate(centers)
+    ]))
+
+
+def kmeans_features_lloyd(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    k: int,
+    iters: int = 4,
+    n_init: int = 2,
+    seed: int = 42,
+    standardize: bool = True,
+) -> DataFrame:
+    """CDB_KMeansNonspatial's ORACLE-REPLAYABLE arm → (id, cluster_label,
+    silhouette, inertia_fx, best_init).
+
+    Deterministic best-of-``n_init`` Lloyd over arbitrary feature columns
+    with sklearn-style standardization folded into the DISTANCE instead of
+    the data: Lloyd on (x−μ)/σ per dimension is identical to Lloyd on the
+    RAW coordinates under the weighted metric Σ_d (x_d−c_d)²/σ_d²
+    (standardization is affine per dimension, so cluster means commute
+    with it).  That keeps every center update an EXACT mean of
+    integer-valued coordinates — the property the whole oracle-parity
+    construction rests on — while matching what kmeans_nonspatial's
+    _scale_pop + fit computes.  σ² comes from integer power sums
+    (Σx, Σx², n — population variance, sklearn semantics; σ²=0 → weight
+    1), so the weights are bit-identical in any engine.
+
+    Everything downstream reuses the proven 2-d machinery shapes:
+    hash-ranked SRSWOR init per restart (md5 'km:seed:j:id'), stacked
+    restarts advancing in one Spark job per iteration, fixed-point
+    inertia Σ floor(d2·1000) with (fx, restart) winner selection, and the
+    sqeuclidean silhouette decomposed per dimension into cluster power
+    sums (never a float sum over member pairs).  The pyspark.ml
+    ``kmeans_nonspatial`` stays the reference-parity fit (k-means||,
+    n_init Mersenne restarts — not replayable cross-engine by design),
+    pytest-covered.
+
+    Scale shape: per restart per iteration one map-side-combined k-row
+    aggregate; assignment/silhouette are codegen column math over k·D
+    literal terms; only k-row tables and 2·D+1 BIGINTs reach the driver.
+    Integer power sums bound the input domain: Σx² must stay < 2^63
+    (|x| ≤ ~30k keeps that true past 10^13 rows).
+    """
+    pts = df.select(
+        F.col("id").cast("long").alias("id"),
+        *[F.col(c).cast("double").alias(c) for c in cols],
+    ).na.drop().cache()
+    gaggs = [F.count("*").alias("n")]
+    for c in cols:
+        xl = F.col(c).cast("long")
+        gaggs += [F.sum(xl).alias(f"s1_{c}"), F.sum(xl * xl).alias(f"s2_{c}")]
+    g = pts.agg(*gaggs).collect()[0]
+    n = int(g["n"])
+    if n == 0:
+        pts.unpersist()
+        raise ValueError("kmeans_features_lloyd: no rows with non-null "
+                         "feature values")
+    weights = []
+    for c in cols:
+        if standardize:
+            S1, S2 = int(g[f"s1_{c}"]), int(g[f"s2_{c}"])
+            var = S2 / n - (S1 / n) * (S1 / n)
+            weights.append(1.0 / var if var > 0 else 1.0)
+        else:
+            weights.append(1.0)
+
+    n_init = max(1, n_init)
+    centers: list[list[tuple]] = []
+    for j in range(n_init):
+        init = (
+            pts.withColumn("_h", _portable_init_hash(seed, j))
+            .orderBy("_h", "id").limit(k).collect()
+        )
+        centers.append([tuple(float(r[c]) for c in cols) for r in init])
+
+    def stacked(keep_d2: bool = False) -> DataFrame:
+        arrs = []
+        for j in range(n_init):
+            m = _nearest_center_nd(centers[j], cols, weights)
+            fields = [F.lit(j).alias("j"), m["c"].alias("cluster")]
+            if keep_d2:
+                fields.append(m["d2"].alias("_d2"))
+            arrs.append(F.struct(*fields))
+        return pts.select(
+            "id", *cols, F.explode(F.array(*arrs)).alias("_s")
+        ).select("id", *cols, "_s.*")
+
+    for _ in range(iters):
+        upd = (
+            stacked().groupBy("j", "cluster")
+            .agg(*[F.avg(c).alias(f"c_{c}") for c in cols])
+            .collect()
+        )
+        new = [list(cn) for cn in centers]
+        for r in upd:
+            new[r["j"]][r["cluster"]] = tuple(
+                float(r[f"c_{c}"]) for c in cols)
+        centers = new
+    fxs = {
+        r["j"]: int(r["fx"])
+        for r in stacked(keep_d2=True).groupBy("j").agg(
+            F.sum(F.floor(F.col("_d2") * F.lit(1000.0)).cast("long"))
+            .alias("fx")).collect()
+    }
+    fx_best, j_best = min((fxs[j], j) for j in range(n_init))
+
+    assigned = pts.withColumn(
+        "_m", _nearest_center_nd(centers[j_best], cols, weights)
+    ).withColumn("cluster", F.col("_m")["c"]).drop("_m")
+
+    caggs = [F.count("*").alias("n")]
+    for c in cols:
+        xl = F.col(c).cast("long")
+        caggs += [F.sum(xl).alias(f"s1_{c}"), F.sum(xl * xl).alias(f"s2_{c}")]
+    st = {int(r["cluster"]): r
+          for r in assigned.groupBy("cluster").agg(*caggs).collect()}
+
+    def dmean(cid):
+        r = st[cid]
+        nc = int(r["n"])
+        e = None
+        for c, w in zip(cols, weights):
+            S1, S2 = int(r[f"s1_{c}"]), int(r[f"s2_{c}"])
+            x = F.col(c)
+            t = F.lit(w) * (
+                x * x - F.lit(2.0) * (x * F.lit(S1 / nc)) + F.lit(S2 / nc)
+            )
+            e = t if e is None else e + t
+        return e
+
+    own = F.col("cluster")
+    a = F.lit(0.0)
+    n_own = F.lit(0)
+    for cid in sorted(st):
+        nc = int(st[cid]["n"])
+        a_c = ((dmean(cid) * F.lit(float(nc))) / F.lit(float(nc - 1))
+               if nc > 1 else F.lit(0.0))
+        a = F.when(own == cid, a_c).otherwise(a)
+        n_own = F.when(own == cid, F.lit(nc)).otherwise(n_own)
+    INF = float("inf")
+    b = F.array_min(F.array(*[
+        F.when(own == cid, F.lit(INF)).otherwise(dmean(cid))
+        for cid in sorted(st)
+    ]))
+    denom = F.greatest(a, b)
+    sil = F.when((n_own > 1) & (denom > 0), (b - a) / denom).otherwise(0.0)
+    out = assigned.select(
+        "id",
+        F.col("cluster").cast("int").alias("cluster_label"),
+        F.round(sil, 6).alias("silhouette"),
+        F.lit(fx_best).cast("long").alias("inertia_fx"),
+        F.lit(j_best).cast("int").alias("best_init"),
+    )
+    pts.unpersist()
+    return out
+
+
+def kmeans_features_oracle_sql(
+    pts_sql: str,
+    cols: list[str],
+    *,
+    k: int,
+    iters: int = 4,
+    n_init: int = 2,
+    seed: int = 42,
+    standardize: bool = True,
+) -> str:
+    """DuckDB mirror of ``kmeans_features_lloyd``: identical integer power
+    sums → per-dim weights, per-restart hash-ranked init, unrolled
+    weighted Lloyd, fixed-point winner, per-dim silhouette decomposition.
+    ``pts_sql`` must yield (id, *cols) with integer-valued columns."""
+    n_init = max(1, n_init)
+
+    def wname(c):
+        return f"w_{c}"
+
+    wexprs = []
+    for c in cols:
+        if standardize:
+            var = (f"(CAST(s2_{c} AS DOUBLE)/n - "
+                   f"(CAST(s1_{c} AS DOUBLE)/n)*(CAST(s1_{c} AS DOUBLE)/n))")
+            wexprs.append(f"CASE WHEN {var} > 0 THEN 1.0/{var} ELSE 1.0 END "
+                          f"AS {wname(c)}")
+        else:
+            wexprs.append(f"1.0 AS {wname(c)}")
+    gsums = ", ".join(
+        f"sum(CAST({c} AS BIGINT)) AS s1_{c}, "
+        f"sum(CAST({c} AS BIGINT) * CAST({c} AS BIGINT)) AS s2_{c}"
+        for c in cols)
+
+    def d2(t):
+        return " + ".join(
+            f"w.{wname(c)} * ((p.{c} - {t}.cx_{c})*(p.{c} - {t}.cx_{c}))"
+            for c in cols)
+
+    parts = [
+        f"WITH pts AS MATERIALIZED ({pts_sql})",
+        f", g AS (SELECT count(*) AS n, {gsums} FROM pts)",
+        f", w AS (SELECT {', '.join(wexprs)} FROM g)",
+    ]
+    pcols = ", ".join(f"p.{c}" for c in cols)
+    finals = []
+    for j in range(n_init):
+        hx = (f"('0x' || substring(md5(concat_ws(':', 'km', '{int(seed)}', "
+              f"'{int(j)}', CAST(id AS VARCHAR))), 1, 8))::BIGINT")
+        ccols = ", ".join(f"{c} AS cx_{c}" for c in cols)
+        parts.append(
+            f", r{j}c0 AS (SELECT row_number() OVER (ORDER BY {hx}, id) - 1 "
+            f"AS c, {ccols} FROM pts ORDER BY {hx}, id LIMIT {k})"
+        )
+        for i in range(iters):
+            prev, an, cn = f"r{j}c{i}", f"r{j}a{i + 1}", f"r{j}c{i + 1}"
+            parts.append(
+                f", {an} AS (SELECT id, {', '.join(cols)}, c FROM ("
+                f"SELECT p.id, {pcols}, {prev}.c, row_number() OVER ("
+                f"PARTITION BY p.id ORDER BY {d2(prev)} ASC, {prev}.c ASC) "
+                f"AS rk FROM pts p CROSS JOIN {prev} CROSS JOIN w) "
+                f"WHERE rk = 1)"
+            )
+            ucols = ", ".join(f"avg({c}) AS cx_{c}" for c in cols)
+            carry = ", ".join(
+                f"coalesce(u.cx_{c}, prev.cx_{c}) AS cx_{c}" for c in cols)
+            parts.append(
+                f", {cn} AS (SELECT prev.c, {carry} FROM {prev} prev "
+                f"LEFT JOIN (SELECT c, {ucols} FROM {an} GROUP BY c) u "
+                f"USING (c))"
+            )
+        fc = f"r{j}c{iters}"
+        parts.append(
+            f", r{j}fin AS (SELECT id, c, d2 FROM ("
+            f"SELECT p.id, {fc}.c, {d2(fc)} AS d2, row_number() OVER ("
+            f"PARTITION BY p.id ORDER BY {d2(fc)} ASC, {fc}.c ASC) AS rk "
+            f"FROM pts p CROSS JOIN {fc} CROSS JOIN w) WHERE rk = 1)"
+        )
+        parts.append(
+            f", r{j}fx AS (SELECT {j} AS init, CAST("
+            f"sum(CAST(floor(d2 * 1000.0) AS BIGINT)) AS BIGINT) AS fx "
+            f"FROM r{j}fin)"
+        )
+        finals.append(j)
+    union_fx = " UNION ALL ".join(f"SELECT * FROM r{j}fx" for j in finals)
+    union_fin = " UNION ALL ".join(
+        f"SELECT {j} AS init, id, c FROM r{j}fin" for j in finals)
+    csums = ", ".join(
+        f"sum(CAST(p.{c} AS BIGINT)) AS s1_{c}, "
+        f"sum(CAST(p.{c} AS BIGINT) * CAST(p.{c} AS BIGINT)) AS s2_{c}"
+        for c in cols)
+    dmean_sql = " + ".join(
+        f"w.{wname(c)} * (a.{c}*a.{c} - 2.0*(a.{c}*"
+        f"(CAST(s.s1_{c} AS DOUBLE)/s.n)) + CAST(s.s2_{c} AS DOUBLE)/s.n)"
+        for c in cols)
+    parts.append(
+        f", best AS (SELECT init, fx FROM ({union_fx}) "
+        f"ORDER BY fx, init LIMIT 1)"
+        f", asg AS (SELECT f.id, f.c, {pcols} FROM ({union_fin}) f "
+        f"JOIN pts p ON p.id = f.id, best WHERE f.init = best.init)"
+        f", stats AS (SELECT c, count(*) AS n, {csums} "
+        f"FROM asg p GROUP BY c)"
+        f", prs AS (SELECT a.id, a.c AS own, s.c, s.n, "
+        f"{dmean_sql} AS dmean FROM asg a CROSS JOIN stats s CROSS JOIN w)"
+        f", ab AS (SELECT id, "
+        f"max(CASE WHEN c = own THEN CASE WHEN n > 1 "
+        f"THEN (dmean * n) / (n - 1.0) ELSE 0.0 END END) AS a, "
+        f"max(CASE WHEN c = own THEN n END) AS n_own, "
+        f"min(CASE WHEN c <> own THEN dmean END) AS b "
+        f"FROM prs GROUP BY id)"
+        f" SELECT asg.id, CAST(asg.c AS INT) AS cluster_label, "
+        f"round(CASE WHEN ab.n_own > 1 AND greatest(ab.a, ab.b) > 0 "
+        f"THEN (ab.b - ab.a) / greatest(ab.a, ab.b) ELSE 0.0 END, 6) "
+        f"AS silhouette, best.fx AS inertia_fx, "
+        f"CAST(best.init AS INT) AS best_init "
+        f"FROM asg JOIN ab ON ab.id = asg.id, best"
+    )
+    return "".join(parts)

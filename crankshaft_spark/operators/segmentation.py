@@ -133,3 +133,160 @@ def create_and_predict_segment_arrays(
         f"id long, {', '.join(c + ' double' for c in cols)}",
     )
     return create_and_predict_segment(train, "target", cols, predict, **params)
+
+
+# ---------------------------------------------------------------- OLS arm ---
+# Shared expression templates: the Python fit and the DuckDB oracle format
+# the SAME strings, so the coefficient arithmetic cannot drift between
+# engines (both evaluate an identical IEEE-double DAG on identical inputs).
+
+_DET3_T = (
+    "{a00}*({a11}*{a22} - {a12}*{a21}) "
+    "- {a01}*({a10}*{a22} - {a12}*{a20}) "
+    "+ {a02}*({a10}*{a21} - {a11}*{a20})"
+)
+
+_SSE_T = (
+    "{syy} - 2.0*({b0}*{sy} + {b1}*{s1y} + {b2}*{s2y}) "
+    "+ ({b0}*{b0}*{n} + {b1}*{b1}*{s11} + {b2}*{b2}*{s22} "
+    "+ 2.0*({b0}*{b1}*{s1} + {b0}*{b2}*{s2} + {b1}*{b2}*{s12}))"
+)
+
+_SUM_NAMES = ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y", "syy")
+
+
+def _eval_t(template: str, env: dict) -> float:
+    """Evaluate a shared template on Python floats (IEEE doubles — the
+    same operator DAG DuckDB runs when the oracle formats the template
+    with column references)."""
+    expr = template.format(**{k: k for k in env})
+    return float(eval(expr, {"__builtins__": {}}, dict(env)))  # noqa: S307
+
+
+def segmentation_ols(
+    train: DataFrame,
+    target_col: str,
+    feature_cols: list[str],
+    predict: DataFrame,
+    *,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Closed-form least-squares segmentation (intercept + 2 features) →
+    (id, prediction, accuracy): the ORACLE-REPLAYABLE learner arm of
+    CDB_CreateAndPredictSegment (05_segmentation.sql:39-102 trains a
+    model on one table and predicts another; the GBM arm is
+    create_and_predict_segment, pyspark.ml, fixture-tested — sklearn GBM
+    subsample streams are not replayable cross-engine by design).
+
+    The normal equations are solved by Cramer's rule over EXACT integer
+    power sums: features/target must be INTEGER-VALUED (the derived.py
+    oracle contract), every Σ is a BIGINT (map-side-combinable,
+    order-free), and the determinant/SSE arithmetic is evaluated from
+    shared templates (_DET3_T/_SSE_T) so coefficients are bit-identical
+    at any parallelism and in DuckDB.  ``accuracy`` is the TRAINING MSE
+    expanded algebraically to power sums (never a float sum over rows),
+    repeated per row like the reference's accuracy column.
+
+    Scale shape: ONE aggregate over train (10 BIGINT sums to the
+    driver), prediction is whole-stage-codegen column math over
+    ``predict`` — no shuffle, no Python stage, linear at 100 TB.
+    """
+    if len(feature_cols) != 2:
+        raise ValueError("segmentation_ols: exactly 2 feature columns "
+                         "(intercept is implicit); use the GBM arm for "
+                         "wider feature sets")
+    f1, f2 = feature_cols
+    tl = lambda c: F.col(c).cast("long")  # noqa: E731
+    row = train.agg(
+        F.count("*").alias("n"),
+        F.sum(tl(f1)).alias("s1"), F.sum(tl(f2)).alias("s2"),
+        F.sum(tl(f1) * tl(f1)).alias("s11"),
+        F.sum(tl(f1) * tl(f2)).alias("s12"),
+        F.sum(tl(f2) * tl(f2)).alias("s22"),
+        F.sum(tl(target_col)).alias("sy"),
+        F.sum(tl(f1) * tl(target_col)).alias("s1y"),
+        F.sum(tl(f2) * tl(target_col)).alias("s2y"),
+        F.sum(tl(target_col) * tl(target_col)).alias("syy"),
+    ).collect()[0]
+    s = {k: float(row[k]) for k in _SUM_NAMES}
+
+    def det(m):
+        names = {f"a{i}{j}": m[i][j] for i in range(3) for j in range(3)}
+        return _eval_t(_DET3_T, names)
+
+    A = [["n", "s1", "s2"], ["s1", "s11", "s12"], ["s2", "s12", "s22"]]
+    col_b = ["sy", "s1y", "s2y"]
+    dd = det([[s[c] for c in r] for r in A])
+    if dd == 0.0:
+        raise ValueError("segmentation_ols: singular normal equations "
+                         "(collinear features)")
+    betas = []
+    for j in range(3):
+        M = [[s[col_b[i]] if jj == j else s[A[i][jj]] for jj in range(3)]
+             for i in range(3)]
+        betas.append(det(M) / dd)
+    b0, b1, b2 = betas
+    sse = _eval_t(_SSE_T, {**s, "b0": b0, "b1": b1, "b2": b2})
+    mse = sse / s["n"]
+    pred = F.lit(b0) + F.lit(b1) * F.col(f1) + F.lit(b2) * F.col(f2)
+    return predict.select(
+        "id",
+        F.round(pred, round_dp).alias("prediction"),
+        F.round(F.lit(mse), round_dp).alias("accuracy"),
+    )
+
+
+def segmentation_ols_oracle_sql(
+    train_sql: str,
+    predict_sql: str,
+    *,
+    target: str = "target",
+    f1: str = "f1",
+    f2: str = "f2",
+    round_dp: int = 6,
+) -> str:
+    """DuckDB mirror of ``segmentation_ols``: identical BIGINT power sums
+    (cast to DOUBLE once), the same _DET3_T/_SSE_T templates formatted
+    with column references, prediction = b0 + b1*f1 + b2*f2."""
+    names = {k: k for k in _SUM_NAMES}
+    A = [["n", "s1", "s2"], ["s1", "s11", "s12"], ["s2", "s12", "s22"]]
+    col_b = ["sy", "s1y", "s2y"]
+
+    def det_sql(m):
+        return _DET3_T.format(**{f"a{i}{j}": m[i][j]
+                                 for i in range(3) for j in range(3)})
+
+    dets = [det_sql(A)]
+    for j in range(3):
+        dets.append(det_sql(
+            [[col_b[i] if jj == j else A[i][jj] for jj in range(3)]
+             for i in range(3)]))
+    sse = _SSE_T.format(**names, b0="b0", b1="b1", b2="b2")
+    return f"""
+    WITH tr AS ({train_sql}),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(CAST({f1} AS BIGINT)) AS s1,
+             sum(CAST({f2} AS BIGINT)) AS s2,
+             sum(CAST({f1} AS BIGINT) * CAST({f1} AS BIGINT)) AS s11,
+             sum(CAST({f1} AS BIGINT) * CAST({f2} AS BIGINT)) AS s12,
+             sum(CAST({f2} AS BIGINT) * CAST({f2} AS BIGINT)) AS s22,
+             sum(CAST({target} AS BIGINT)) AS sy,
+             sum(CAST({f1} AS BIGINT) * CAST({target} AS BIGINT)) AS s1y,
+             sum(CAST({f2} AS BIGINT) * CAST({target} AS BIGINT)) AS s2y,
+             sum(CAST({target} AS BIGINT) * CAST({target} AS BIGINT)) AS syy
+      FROM tr),
+    dbl AS (SELECT {', '.join(f'CAST({k} AS DOUBLE) AS {k}'
+                              for k in _SUM_NAMES)} FROM agg),
+    beta AS (
+      SELECT ({dets[1]}) / ({dets[0]}) AS b0,
+             ({dets[2]}) / ({dets[0]}) AS b1,
+             ({dets[3]}) / ({dets[0]}) AS b2,
+             n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy
+      FROM dbl),
+    fin AS (SELECT b0, b1, b2, ({sse}) / n AS mse FROM beta)
+    SELECT p.id,
+           round(fin.b0 + fin.b1 * p.{f1} + fin.b2 * p.{f2}, {round_dp})
+             AS prediction,
+           round(fin.mse, {round_dp}) AS accuracy
+    FROM ({predict_sql}) p, fin"""

@@ -2060,13 +2060,48 @@ def o_kmeans_spatial():
                                   n_init=3, seed=42)
 
 
-def q_kmeans_nonspatial(spark, sf_dir):
-    from crankshaft_spark.operators.kmeans import kmeans_nonspatial
+_KMNS_COLS = ["x", "y", "v"]
+_KMNS_PTS_SQL = (
+    "SELECT c_custkey AS id, "
+    "CAST((c_custkey * 9973) % 24000 AS DOUBLE) AS x, "
+    "CAST((c_custkey * 7919) % 9600 AS DOUBLE) AS y, "
+    "CAST((c_custkey * 31) % 5000 AS DOUBLE) AS v FROM customer"
+)
 
-    pts = customer_points(spark, sf_dir)
-    return kmeans_nonspatial(
-        pts, ["x", "y", "value"], k=5, n_init=2, max_iter=40
-    ).select("id", "cluster_label", "silhouette", "inertia")
+
+def _kmns_pts(spark, sf_dir):
+    """Integer-valued 3-feature table (the Spark half of _KMNS_PTS_SQL) —
+    the exactness contract of kmeans_features_lloyd requires integer
+    coordinates so every center mean / power sum is engine-exact."""
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    return cust.select(
+        key.alias("id"),
+        ((key * 9973) % 24000).cast("double").alias("x"),
+        ((key * 7919) % 9600).cast("double").alias("y"),
+        ((key * 31) % 5000).cast("double").alias("v"),
+    )
+
+
+def q_kmeans_nonspatial(spark, sf_dir):
+    """CDB_KMeansNonspatial as the deterministic weighted-Lloyd arm
+    (standardization folded into the distance metric; best-of-n_init;
+    per-dim power-sum silhouette) — fully value-hash oracled since r4.
+    The pyspark.ml fit (operators.kmeans.kmeans_nonspatial) remains the
+    reference-parity path, pytest-covered in tests/test_ml.py (sklearn/
+    k-means|| init streams are not replayable cross-engine by design)."""
+    from crankshaft_spark.operators.kmeans import kmeans_features_lloyd
+
+    return kmeans_features_lloyd(
+        _kmns_pts(spark, sf_dir), _KMNS_COLS, k=5, iters=4, n_init=2,
+        seed=42)
+
+
+def o_kmeans_nonspatial():
+    from crankshaft_spark.operators.kmeans import kmeans_features_oracle_sql
+
+    return kmeans_features_oracle_sql(
+        _KMNS_PTS_SQL, _KMNS_COLS, k=5, iters=4, n_init=2, seed=42)
 
 
 KM_K = 8
@@ -2124,16 +2159,59 @@ def o_kmeans_silhouette():
     return kmeans_silhouette_oracle_sql(_KM_PTS_SQL, k=KM_K, iters=KM_ITERS)
 
 
-def q_segmentation(spark, sf_dir):
-    from crankshaft_spark.operators.segmentation import create_and_predict_segment
+_SEG_TRAIN_SQL = (
+    "SELECT s_suppkey AS id, "
+    "CAST((s_suppkey * 9973) % 24000 AS DOUBLE) AS f1, "
+    "CAST((s_suppkey * 7919) % 9600 AS DOUBLE) AS f2, "
+    "CAST(3 * ((s_suppkey * 9973) % 24000) "
+    "+ 2 * ((s_suppkey * 7919) % 9600) "
+    "+ (s_suppkey * s_suppkey) % 97 AS DOUBLE) AS target FROM supplier"
+)
+_SEG_PREDICT_SQL = (
+    "SELECT c_custkey AS id, "
+    "CAST((c_custkey * 9973) % 24000 AS DOUBLE) AS f1, "
+    "CAST((c_custkey * 7919) % 9600 AS DOUBLE) AS f2 FROM customer"
+)
 
-    train = supplier_points(spark, sf_dir).select(
-        "id", F.col("weight").alias("target"), "x", "y"
+
+def q_segmentation(spark, sf_dir):
+    """CDB_CreateAndPredictSegment's train-on-suppliers / predict-on-
+    customers contract with the closed-form OLS learner arm (Cramer's
+    rule over exact integer power sums — oracle-replayable since r4;
+    target = 3·f1 + 2·f2 + noise so the fit has real signal).  The
+    reference's GBM learner (create_and_predict_segment, pyspark.ml
+    GBTRegressor) remains the parity arm, fixture-tested in
+    tests/test_ml.py — a subsampled sklearn/GBT stream is not replayable
+    cross-engine by design, so the gate entry carries the deterministic
+    learner."""
+    from crankshaft_spark.operators.segmentation import segmentation_ols
+
+    sup = load_table(spark, sf_dir, "supplier")
+    sk = F.col("s_suppkey")
+    train = sup.select(
+        sk.alias("id"),
+        ((sk * 9973) % 24000).cast("double").alias("f1"),
+        ((sk * 7919) % 9600).cast("double").alias("f2"),
+        (3 * ((sk * 9973) % 24000) + 2 * ((sk * 7919) % 9600)
+         + (sk * sk) % 97).cast("double").alias("target"),
     )
-    predict = customer_points(spark, sf_dir).select("id", "x", "y")
-    return create_and_predict_segment(
-        train, "target", ["x", "y"], predict, n_estimators=20
+    cust = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    predict = cust.select(
+        ck.alias("id"),
+        ((ck * 9973) % 24000).cast("double").alias("f1"),
+        ((ck * 7919) % 9600).cast("double").alias("f2"),
     )
+    return segmentation_ols(train, "target", ["f1", "f2"], predict)
+
+
+def o_segmentation():
+    from crankshaft_spark.operators.segmentation import (
+        segmentation_ols_oracle_sql)
+
+    return segmentation_ols_oracle_sql(
+        _SEG_TRAIN_SQL, _SEG_PREDICT_SQL, target="target", f1="f1",
+        f2="f2")
 
 
 # ------------------------------------------------- merged catalog entries ---
@@ -2636,7 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_silhouette": q_kmeans_silhouette,
         "kmeans_spatial": q_kmeans_spatial,
         "kmeans_nonspatial": q_kmeans_nonspatial,
-        "segmentation_gbt": q_segmentation,
+        "segmentation_ols": q_segmentation,
         "gwr": q_gwr,
         "gwr_predict": q_gwr_predict,
         "pia": q_pia,
@@ -2698,6 +2776,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": o_kmeans_assign(),
         "kmeans_silhouette": o_kmeans_silhouette(),
         "kmeans_spatial": o_kmeans_spatial(),
+        "kmeans_nonspatial": o_kmeans_nonspatial(),
+        "segmentation_ols": o_segmentation(),
         "pia": o_pia(),
         "voronoi": o_voronoi(),
         "densify": o_densify(),
