@@ -9,9 +9,11 @@ min/max/avg of the interpolated value.
 Spark-first: the grid is sequence+explode (no driver loop), interpolation is
 the distributed kNN-join (NN/IDW) or broadcast-TIN (barycentric) operator,
 classification is a tiny broadcast join against the break edges, and the
-per-bin rollup is one aggregation.  Instead of the reference's empirical
-time→cell-count cost model (19_contour.sql:31-37, fitted constants we do not
-port), resolution is an explicit ``cell_size`` parameter.
+per-bin rollup is one aggregation.  Resolution is an explicit ``cell_size``
+parameter; the reference's empirical time→cell-count cost model
+(19_contour.sql:31-37, fitted PG-box constants we do not port) is exposed
+as the Spark-native ``max_cells`` budget instead — the grid is coarsened
+deterministically until it fits (``_cap_cell_size``).
 
 Cell geometry is returned as (cx, cy) grid indices + bounds rather than a
 unioned multipolygon (no geometry lib here); a consumer can reassemble the
@@ -59,6 +61,34 @@ def classify_bins(df: DataFrame, breaks_df: DataFrame,
     )
 
 
+def _cap_cell_size(ext, cell_size: float, buffer_frac: float,
+                   max_cells: int) -> float:
+    """Spark-native stand-in for the reference's max_time→cell_count cost
+    model (19_contour.sql:31-37 maps a time budget to a cell count with
+    PG-box-fitted constants we deliberately do not port): grow
+    ``cell_size`` until the buffered grid holds at most ``max_cells``
+    cells.  Deterministic pure arithmetic over the sample extent — no
+    timing measurements — using the exact nx/ny formula of
+    ``rectangle_grid``'s consumer below, so the cap is a guarantee, not
+    an estimate.  ≤ 6 sqrt-scaling rounds converge (each round shrinks
+    the count to ~max_cells; the recheck absorbs the dx/dy coupling)."""
+    from math import ceil, sqrt
+
+    if max_cells < 1:
+        raise ValueError(f"max_cells must be >= 1, got {max_cells}")
+    for _ in range(6):
+        dx = (ext["x1"] - ext["x0"]) * buffer_frac + cell_size
+        dy = (ext["y1"] - ext["y0"]) * buffer_frac + cell_size
+        nx = ceil(((ext["x1"] + dx) - (ext["x0"] - dx)) / cell_size)
+        ny = ceil(((ext["y1"] + dy) - (ext["y0"] - dy)) / cell_size)
+        if nx * ny <= max_cells:
+            return cell_size
+        cell_size *= sqrt(nx * ny / max_cells) * 1.000001
+    raise ValueError(
+        f"contour max_cells={max_cells} unreachable for this extent "
+        f"(degenerate buffer/extent combination)")
+
+
 def contour(
     samples: DataFrame,
     *,
@@ -69,14 +99,18 @@ def contour(
     steps: int = 5,
     buffer_frac: float = 0.2,
     num_neighbors: int = 8,
+    max_cells: int | None = None,
 ) -> DataFrame:
     """→ (bin, min_value, max_value, avg_value, n_cells) per contour bin
     (CDB_Contour's RETURNS TABLE minus the unioned geometry — see module
-    docstring), plus a companion cell-level frame via ``contour_cells``."""
+    docstring), plus a companion cell-level frame via ``contour_cells``.
+    ``max_cells`` is the cost-budget knob (the reference's ``max_time``
+    analogue): the grid is coarsened until it fits the budget."""
     cells = contour_cells(
         samples, value_col=value_col, cell_size=cell_size,
         intmethod=intmethod, classmethod=classmethod, steps=steps,
         buffer_frac=buffer_frac, num_neighbors=num_neighbors,
+        max_cells=max_cells,
     )
     return (
         cells.where(F.col("bin").isNotNull())
@@ -102,12 +136,17 @@ def contour_cells(
     buffer_frac: float = 0.2,
     num_neighbors: int = 8,
     persist: bool = True,
+    max_cells: int | None = None,
 ) -> DataFrame:
-    """Cell-level contour frame → (id, cx, cy, x, y, est, bin)."""
+    """Cell-level contour frame → (id, cx, cy, x, y, est, bin).
+    ``max_cells`` coarsens ``cell_size`` until the grid fits the budget
+    (see ``_cap_cell_size``)."""
     ext = samples.agg(
         F.min("x").alias("x0"), F.max("x").alias("x1"),
         F.min("y").alias("y0"), F.max("y").alias("y1"),
     ).collect()[0]
+    if max_cells is not None:
+        cell_size = _cap_cell_size(ext, cell_size, buffer_frac, max_cells)
     dx = (ext["x1"] - ext["x0"]) * buffer_frac + cell_size
     dy = (ext["y1"] - ext["y0"]) * buffer_frac + cell_size
     grid = rectangle_grid(
@@ -163,12 +202,22 @@ def contour_wkt(
     steps: int = 5,
     buffer_frac: float = 0.2,
     num_neighbors: int = 8,
+    max_cells: int | None = None,
 ) -> DataFrame:
     """→ (bin, geom_wkt, min_value, max_value, avg_value, n_cells): the
     CDB_Contour ``the_geom`` analogue — each bin's region as a MULTIPOLYGON
     of its grid-cell rectangles (undissolved; the cell set is the exact
     region, a dissolve is cosmetic).  WKT assembly is a string aggregation,
     deterministic via sort_array."""
+    if max_cells is not None:
+        # resolve the budgeted cell size HERE (one extra 1-row aggregate)
+        # so the WKT box half-width below matches the grid the cells
+        # actually used
+        ext = samples.agg(
+            F.min("x").alias("x0"), F.max("x").alias("x1"),
+            F.min("y").alias("y0"), F.max("y").alias("y1"),
+        ).collect()[0]
+        cell_size = _cap_cell_size(ext, cell_size, buffer_frac, max_cells)
     cells = contour_cells(
         samples, value_col=value_col, cell_size=cell_size,
         intmethod=intmethod, classmethod=classmethod, steps=steps,

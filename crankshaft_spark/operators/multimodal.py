@@ -552,7 +552,8 @@ def image_ahash(media: DataFrame, *, decoder: str = "fake") -> DataFrame:
 
 
 def ahash_pairs(hashes: DataFrame, *, max_hamming: int = 4,
-                col: str = "ahash") -> DataFrame:
+                col: str = "ahash",
+                max_bucket: int | None = None) -> DataFrame:
     """(a, b, hamming) — media near-dup candidate pairs with Hamming
     distance <= max_hamming between 64-bit fingerprints (``col``: 16 hex
     chars — image_ahash's ``ahash`` by default, audio_fingerprint's
@@ -561,7 +562,18 @@ def ahash_pairs(hashes: DataFrame, *, max_hamming: int = 4,
     distance <= 7 guarantees at least one of 8 bytes identical — hence
     the max_hamming <= 7 bound), candidates dedupe, and the exact
     distance refines JVM-side as the sum of per-byte bit_count(xor).
-    Never an all-pairs product."""
+
+    Scale caveat: band keys are single hex BYTES (256 distinct values per
+    band), so the bucket join's candidate fan-out grows ~n²/256 at corpus
+    scale and skews hard on common bytes (flat images band to 0x00/0xff)
+    — the popcount prune filters candidates but does not bound the join
+    itself.  ``max_bucket`` is the documented bailout: buckets holding
+    more than that many signatures are DROPPED from candidate generation
+    (per (band, key) frequency cap — standard hot-bucket LSH practice;
+    pairs agreeing only on dropped bands are missed, trading bounded
+    recall loss for a hard n·max_bucket join bound).  Default None keeps
+    exact max_hamming<=7 recall for the fingerprint-table scales the
+    media entries run at; set it (e.g. 10_000) for crawl-scale corpora."""
     if not 0 <= max_hamming <= 7:
         raise ValueError("max_hamming must be in 0..7 (8-band pigeonhole)")
     bands = F.array(*[
@@ -577,6 +589,14 @@ def ahash_pairs(hashes: DataFrame, *, max_hamming: int = 4,
     sig = hashes.select(F.col("media_id"), F.col(col).alias("ahash"),
                         pop.cast("int").alias("pc"),
                         F.posexplode(bands).alias("band", "key"))
+    if max_bucket is not None:
+        # hot-bucket cap: one map-side-combinable count per (band, key),
+        # broadcast-joined back (bounded: <= 8*256 rows by construction)
+        hot = (sig.groupBy("band", "key")
+               .agg(F.count("*").alias("_bn"))
+               .where(F.col("_bn") > int(max_bucket))
+               .select("band", "key"))
+        sig = sig.join(F.broadcast(hot), ["band", "key"], "left_anti")
     left = sig.select(F.col("media_id").alias("a"),
                       F.col("ahash").alias("ha"),
                       F.col("pc").alias("pa"), "band", "key")

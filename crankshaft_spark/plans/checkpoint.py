@@ -1,8 +1,12 @@
 """Resumable pipeline stages: per-stage materialization + lineage manifest.
 
-Each pipeline stage writes its result as parquet (Iceberg ``writeTo`` on a
-real cluster — parquet is the sandbox stand-in, same layout semantics) next
-to a ``_lineage.json`` manifest recording the stage id, an input token
+Each pipeline stage writes its result as parquet by default, or as an
+Iceberg table with ``StageRunner(..., table_format='iceberg')`` — the
+concrete ``writeTo(...).using('iceberg')`` production path of the north
+rule, config-gated on an Iceberg catalog being present (no Iceberg runtime
+ships in this sandbox; parquet has the same layout semantics).  The parquet
+path writes a ``_lineage.json`` manifest recording the stage id, an input
+token
 (caller-supplied fingerprint of upstream config/snapshots), total and
 *per-partition* row counts, output schema, and wall time.  A rerun whose
 stage name + token match an existing manifest skips the compute and reads
@@ -33,15 +37,23 @@ class StageRunner:
     """
 
     def __init__(self, spark: SparkSession, base_dir: str | None = None,
-                 pipeline_version: str = "v1"):
+                 pipeline_version: str = "v1",
+                 table_format: str = "parquet"):
+        if table_format not in ("parquet", "iceberg"):
+            raise ValueError(
+                f"table_format must be 'parquet' or 'iceberg', "
+                f"got {table_format!r}")
         self.spark = spark
         self.base_dir = base_dir
         self.version = pipeline_version
+        self.table_format = table_format
         self.metrics: dict[str, dict] = {}
 
     def stage(self, name: str, fn, token: str = "") -> DataFrame:
         if self.base_dir is None:
             return fn()
+        if self.table_format == "iceberg":
+            return self._stage_iceberg(name, fn, token)
         path = os.path.join(self.base_dir, name)
         mpath = os.path.join(path, MANIFEST)
         full_token = f"{self.version}:{token}"
@@ -89,5 +101,58 @@ class StageRunner:
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, mpath)
+        self.metrics[name] = {**manifest, "resumed": False}
+        return out
+
+    def _stage_iceberg(self, name: str, fn, token: str) -> DataFrame:
+        """Iceberg sink path — the production table format of the north
+        rule, selected with ``table_format='iceberg'`` (parquet is the
+        in-sandbox default; no Iceberg runtime ships in this container,
+        so the path is config-gated: it requires a session whose
+        ``spark.sql.catalog.<cat>`` points at an Iceberg catalog and the
+        iceberg-spark runtime jar on the classpath).
+
+        ``base_dir`` is the ``catalog.namespace`` prefix (e.g.
+        ``local.db``) instead of a filesystem path.  Same
+        materialize-or-resume contract as the parquet path: the resume
+        token rides the ``crankshaft.token`` table property, and
+        per-partition lineage comes from the table's own ``.files``
+        metadata relation (file_path, record_count) — Iceberg's snapshot
+        log supplants the _lineage.json manifest file."""
+        table = f"{self.base_dir}.{name}"
+        full_token = f"{self.version}:{token}"
+        spark = self.spark
+        try:
+            props = {r[0]: r[1] for r in spark.sql(
+                f"SHOW TBLPROPERTIES {table}").collect()}
+        except Exception:
+            props = None  # table absent (or first run) -> compute
+        if props is not None and props.get("crankshaft.token") == full_token:
+            self.metrics[name] = {
+                "stage": name, "token": full_token, "format": "iceberg",
+                "resumed": True,
+            }
+            return spark.read.table(table)
+        t0 = time.time()
+        fn().writeTo(table).using("iceberg").createOrReplace()
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            f"('crankshaft.token' = '{full_token}')")
+        out = spark.read.table(table)
+        parts = [
+            {"pid": i, "file": r["file_path"], "rows": r["record_count"]}
+            for i, r in enumerate(spark.sql(
+                f"SELECT file_path, record_count FROM {table}.files "
+                f"ORDER BY file_path").collect())
+        ]
+        manifest = {
+            "stage": name,
+            "token": full_token,
+            "format": "iceberg",
+            "total_rows": sum(p["rows"] for p in parts),
+            "partitions": parts,
+            "schema": out.schema.simpleString(),
+            "wall_s": round(time.time() - t0, 3),
+        }
         self.metrics[name] = {**manifest, "resumed": False}
         return out

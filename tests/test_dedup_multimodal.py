@@ -853,3 +853,38 @@ def test_near_dedup_components_reuse_and_shuffle_fallback(spark):
         assert "LeftSemi" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_ahash_pairs_hot_bucket_cap(spark):
+    """max_bucket drops over-full (band, key) buckets from candidate
+    generation (the documented n^2/256 fan-out bailout): a pair whose
+    only agreeing bytes sit in hot buckets is missed under the cap,
+    while pairs agreeing on cold buckets survive; default None keeps
+    exact pigeonhole recall."""
+    from crankshaft_spark.operators.multimodal import ahash_pairs
+
+    # (1,2): bytes 0-3 = "00" (will be hot), bytes 4-7 differ by 1 bit
+    # each -> hamming 4, shared bytes are ONLY the hot ones
+    h1 = "00" * 4 + "11" * 4
+    h2 = "00" * 4 + "13" * 4
+    # (10,11): hamming 1, agree on cold "aa" bytes
+    h3 = "aa" * 8
+    h4 = "aa" * 7 + "ab"
+    fillers = [
+        (100 + i, "00" * 4 + "".join(f"{(0x20 + 4 * i + j):02x}"
+                                     for j in range(4)))
+        for i in range(6)
+    ]
+    rows = [(1, h1), (2, h2), (10, h3), (11, h4)] + fillers
+    hashes = spark.createDataFrame(rows, "media_id long, ahash string")
+
+    base = {(r["a"], r["b"]): r["hamming"]
+            for r in ahash_pairs(hashes, max_hamming=4).collect()}
+    assert base[(1, 2)] == 4
+    assert base[(10, 11)] == 1
+
+    capped = {(r["a"], r["b"]): r["hamming"]
+              for r in ahash_pairs(hashes, max_hamming=4,
+                                   max_bucket=6).collect()}
+    assert (1, 2) not in capped       # only hot buckets agreed -> dropped
+    assert capped[(10, 11)] == 1      # cold-bucket pair survives

@@ -350,3 +350,40 @@ def test_tile_bounds_round_trip(spark):
     berlin = next(r for r in rows if r["tx"] == 550)
     assert berlin["west"] <= 13.4 <= berlin["east"]
     assert berlin["south"] <= 52.52 <= berlin["north"]
+
+
+def test_contour_max_cells_budget(spark):
+    """max_cells (the reference's max_time cost knob re-expressed as a
+    deterministic grid budget, 19_contour.sql:31-37) caps the cell count
+    as a hard guarantee: a tight budget coarsens the grid, the default
+    leaves it alone, and bin aggregates stay well-formed."""
+    rng = np.random.RandomState(11)
+    sp = rng.uniform(0, 20, size=(60, 2))
+    samples = spark.createDataFrame(
+        [(i, float(x), float(y), float(x + y)) for i, (x, y) in enumerate(sp)],
+        "id long, x double, y double, value double",
+    )
+    free = contour_cells(samples, cell_size=0.5, intmethod="idw",
+                         classmethod="equal", steps=4, persist=False)
+    n_free = free.count()
+    assert n_free > 100
+    budget = 100
+    capped = contour_cells(samples, cell_size=0.5, intmethod="idw",
+                           classmethod="equal", steps=4, persist=False,
+                           max_cells=budget)
+    n_capped = capped.count()
+    assert 0 < n_capped <= budget
+    out = contour(samples, cell_size=0.5, intmethod="idw",
+                  classmethod="equal", steps=4, max_cells=budget).collect()
+    assert sum(r["n_cells"] for r in out) <= budget
+    avgs = [r["avg_value"] for r in sorted(out, key=lambda r: r["bin"])]
+    assert avgs == sorted(avgs)
+    # a generous budget leaves the requested resolution untouched
+    same = contour_cells(samples, cell_size=2.0, intmethod="idw",
+                         classmethod="equal", steps=4, persist=False,
+                         max_cells=10_000_000)
+    base = contour_cells(samples, cell_size=2.0, intmethod="idw",
+                         classmethod="equal", steps=4, persist=False)
+    assert same.count() == base.count()
+    with pytest.raises(ValueError, match="max_cells"):
+        contour_cells(samples, cell_size=0.5, max_cells=0, persist=False)

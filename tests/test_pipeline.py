@@ -103,3 +103,42 @@ def test_hotspot_labels_stable(spark, parts):
     rows = {r.cell: (r.n_pages, r.label) for r in res.collect()}
     assert len(rows) > 50
     assert any(v[1] == "hot" for v in rows.values())
+
+
+def _has_iceberg_catalog(spark):
+    """True when the session has an Iceberg catalog configured (the
+    in-sandbox container ships no iceberg-spark runtime, so the writeTo
+    path only runs where a deployment provides one)."""
+    try:
+        confs = spark.sparkContext.getConf().getAll()
+    except Exception:
+        return False
+    return any(k.startswith("spark.sql.catalog.")
+               and "iceberg" in str(v).lower() for k, v in confs)
+
+
+def test_stage_runner_iceberg_flag(spark, tmp_path):
+    """table_format='iceberg' selects the writeTo code path (config-gated:
+    executes only under a configured Iceberg catalog); bad formats are
+    rejected up front; the parquet default is untouched."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="table_format"):
+        StageRunner(spark, str(tmp_path), table_format="delta")
+
+    # parquet default still materializes + resumes
+    r = StageRunner(spark, str(tmp_path / "pq"))
+    df = r.stage("s1", lambda: spark.range(5).toDF("id"), token="t")
+    assert df.count() == 5
+    assert r.metrics["s1"]["resumed"] is False
+
+    if not _has_iceberg_catalog(spark):
+        _pytest.skip("no Iceberg catalog configured in this session "
+                     "(sandbox has no iceberg-spark runtime)")
+    ri = StageRunner(spark, "local.db", table_format="iceberg")
+    out = ri.stage("s1", lambda: spark.range(5).toDF("id"), token="t")
+    assert out.count() == 5
+    ri2 = StageRunner(spark, "local.db", table_format="iceberg")
+    out2 = ri2.stage("s1", lambda: spark.range(99).toDF("id"), token="t")
+    assert out2.count() == 5  # resumed, not recomputed
+    assert ri2.metrics["s1"]["resumed"] is True
