@@ -70,23 +70,28 @@ def _cap_cell_size(ext, cell_size: float, buffer_frac: float,
     cells.  Deterministic pure arithmetic over the sample extent — no
     timing measurements — using the exact nx/ny formula of
     ``rectangle_grid``'s consumer below, so the cap is a guarantee, not
-    an estimate.  ≤ 6 sqrt-scaling rounds converge (each round shrinks
-    the count to ~max_cells; the recheck absorbs the dx/dy coupling)."""
+    an estimate.  The sqrt-scaling factor is floored at 2% growth per
+    round: near the budget the ceil() plateaus make sqrt(count/max) ~ 1
+    and a pure-sqrt loop stalls (a 6-round version raised 'unreachable'
+    on reachable budgets, e.g. 12 -> 10 cells); 256 rounds of >= 2%
+    growth cover any plateau while big ratios still converge in 2-3
+    sqrt steps."""
     from math import ceil, sqrt
 
     if max_cells < 1:
         raise ValueError(f"max_cells must be >= 1, got {max_cells}")
-    for _ in range(6):
+    for _ in range(256):
         dx = (ext["x1"] - ext["x0"]) * buffer_frac + cell_size
         dy = (ext["y1"] - ext["y0"]) * buffer_frac + cell_size
         nx = ceil(((ext["x1"] + dx) - (ext["x0"] - dx)) / cell_size)
         ny = ceil(((ext["y1"] + dy) - (ext["y0"] - dy)) / cell_size)
         if nx * ny <= max_cells:
             return cell_size
-        cell_size *= sqrt(nx * ny / max_cells) * 1.000001
+        cell_size *= max(sqrt(nx * ny / max_cells) * 1.000001, 1.02)
     raise ValueError(
-        f"contour max_cells={max_cells} unreachable for this extent "
-        f"(degenerate buffer/extent combination)")
+        f"contour max_cells={max_cells} unreachable: the buffered grid "
+        f"is always >= 3x3 (the buffer adds one cell_size per side), so "
+        f"budgets below 9 cells cannot be satisfied")
 
 
 def contour(

@@ -198,7 +198,14 @@ def near_dedup(
             ).localCheckpoint(eager=True)
         components = dedup_components(docs, pairs, id_col=id_col)
     keepers = _keepers_from_components(docs, components, id_col, keep_col)
-    return docs.join(keepers, id_col, "semi")
+    # docs ids ABSENT from the components table are unclustered singletons
+    # and must survive: dedup_components seeds every docs id, but a
+    # caller-supplied components= built from a different docs snapshot
+    # (stale checkpoint, pre-filter docs) would otherwise silently delete
+    # every uncovered row via the semi-join
+    uncovered = docs.select(id_col).distinct().join(
+        components.select(id_col), id_col, "left_anti")
+    return docs.join(keepers.unionByName(uncovered), id_col, "semi")
 
 
 def minhash_oracle_sql(docs_sql: str, *, n: int = 4, k: int = MINHASH_K,

@@ -627,8 +627,16 @@ def kmeans_features_lloyd(
     Scale shape: per restart per iteration one map-side-combined k-row
     aggregate; assignment/silhouette are codegen column math over k·D
     literal terms; only k-row tables and 2·D+1 BIGINTs reach the driver.
-    Integer power sums bound the input domain: Σx² must stay < 2^63
-    (|x| ≤ ~30k keeps that true past 10^13 rows).
+    Exactness bounds (be honest about both): CROSS-ENGINE oracle parity
+    needs every power sum exactly representable as a double — DuckDB
+    casts its HUGEINT sums to DOUBLE before dividing while Python
+    divides exact ints with one correctly-rounded op, and the two agree
+    only while Σx² < 2^53 (n ≲ 10^7 rows at |x| ≈ 30k; far beyond any
+    gate scale).  Spark-side PARALLELISM-INVARIANCE holds further: the
+    fixed-point inertia is a LONG sum (exact), and F.avg's double
+    partial sums stay exact while a cluster's Σ|x| < 2^53 (n_c ≲ 3·10^8
+    at |x| ≈ 30k); past that, center bits can depend on partial-sum
+    order — use coarser integer features or pre-aggregate.
     """
     pts = df.select(
         F.col("id").cast("long").alias("id"),

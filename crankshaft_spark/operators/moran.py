@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from crankshaft_spark.operators.getis import SIM_POOL_DEFAULT
 from crankshaft_spark.operators.weights import spatial_lag
 
 
@@ -51,7 +52,7 @@ def moran_local(
     value_col: str = "value",
     permutations: int = 0,
     seed: int = 1234,
-    pool_size: int | None = 65536,  # getis.SIM_POOL_DEFAULT
+    pool_size: int | None = SIM_POOL_DEFAULT,
 ) -> DataFrame:
     """Local Moran's I.
 
@@ -114,7 +115,7 @@ def _local_permutation_p(
     edges: DataFrame,
     permutations: int,
     seed: int,
-    pool_size: int | None = 65536,
+    pool_size: int | None = SIM_POOL_DEFAULT,
 ) -> DataFrame:
     """Conditional-randomization p_sim for local Moran.
 
@@ -185,7 +186,11 @@ def _local_permutation_p(
                 )[:, : int(d)]
                 w_vec = np.asarray(ws, dtype=float)
                 sims = (n - 1) * float(zi) * (others[idx] @ w_vec) / den
-                larger = int((sims >= li).sum())
+                # 6dp pin (CLAUDE.md float rule): zi/li come from the
+                # in-plan _with_z aggregates while zpool/den come from
+                # separately-collected sums — three independent float
+                # aggregation orders feeding one knife-edge comparison
+                larger = int((np.round(sims, 6) >= round(float(li), 6)).sum())
                 if (permutations - larger) < larger:
                     larger = permutations - larger
                 out_p[row_i] = (larger + 1.0) / (permutations + 1.0)
@@ -211,7 +216,7 @@ def moran_local_hash_sim(
     value_col: str = "value",
     permutations: int = 19,
     seed: int = 1234,
-    pool_size: int | None = 65536,  # getis.SIM_POOL_DEFAULT
+    pool_size: int | None = SIM_POOL_DEFAULT,
 ) -> DataFrame:
     """Local Moran with an ORACLE-EXPRESSIBLE permutation p_sim →
     (id, quad, local_i, p_sim).

@@ -591,8 +591,12 @@ def ahash_pairs(hashes: DataFrame, *, max_hamming: int = 4,
                         F.posexplode(bands).alias("band", "key"))
     if max_bucket is not None:
         # hot-bucket cap: one map-side-combinable count per (band, key),
-        # broadcast-joined back (bounded: <= 8*256 rows by construction)
-        hot = (sig.groupBy("band", "key")
+        # broadcast-joined back (bounded: <= 8*256 rows by construction).
+        # The count scans a NARROW re-derivation of the band keys from the
+        # raw hashes table — counting from `sig` would re-run the popcount
+        # projection too when the unpersisted lineage executes twice
+        hot = (hashes.select(F.posexplode(bands).alias("band", "key"))
+               .groupBy("band", "key")
                .agg(F.count("*").alias("_bn"))
                .where(F.col("_bn") > int(max_bucket))
                .select("band", "key"))

@@ -208,6 +208,9 @@ def segmentation_ols(
         F.sum(tl(f2) * tl(target_col)).alias("s2y"),
         F.sum(tl(target_col) * tl(target_col)).alias("syy"),
     ).collect()[0]
+    if int(row["n"]) == 0:
+        raise ValueError("segmentation_ols: train has no rows "
+                         "(sums are NULL; nothing to fit)")
     s = {k: float(row[k]) for k in _SUM_NAMES}
 
     def det(m):

@@ -134,10 +134,12 @@ class StageRunner:
             }
             return spark.read.table(table)
         t0 = time.time()
-        fn().writeTo(table).using("iceberg").createOrReplace()
-        spark.sql(
-            f"ALTER TABLE {table} SET TBLPROPERTIES "
-            f"('crankshaft.token' = '{full_token}')")
+        # token rides the SAME atomic commit as the data (a separate ALTER
+        # would leave a crash window where a fully-written stage lacks its
+        # token and recomputes; tableProperty also avoids quoting a
+        # caller-supplied token into literal SQL)
+        (fn().writeTo(table).using("iceberg")
+         .tableProperty("crankshaft.token", full_token).createOrReplace())
         out = spark.read.table(table)
         parts = [
             {"pid": i, "file": r["file_path"], "rows": r["record_count"]}

@@ -888,3 +888,21 @@ def test_ahash_pairs_hot_bucket_cap(spark):
                                    max_bucket=6).collect()}
     assert (1, 2) not in capped       # only hot buckets agreed -> dropped
     assert capped[(10, 11)] == 1      # cold-bucket pair survives
+
+
+def test_near_dedup_uncovered_docs_survive(spark):
+    """A caller-supplied components= table built from a different docs
+    snapshot must not silently delete docs ids it never saw: uncovered
+    ids are unclustered singletons and survive."""
+    from crankshaft_spark.operators.dedup import dedup_components, near_dedup
+
+    old_docs = spark.createDataFrame(
+        [(1, "a"), (2, "a")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    comp = dedup_components(old_docs, pairs)
+    # new snapshot gained doc 7, absent from comp
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (7, "new")], "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in near_dedup(
+        docs, components=comp).collect())
+    assert got == [1, 7]
