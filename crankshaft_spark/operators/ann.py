@@ -414,3 +414,42 @@ def ivf_oracle_sql(
     FROM scored
     QUALIFY rank <= {k}""")
     return "".join(parts)
+
+
+def embedding_near_dedup(
+    embeddings: DataFrame,
+    *,
+    dims: int,
+    n_planes: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Keep one vector per embedding near-dup cluster — the embedding
+    member of the one-call near-dedup family (text: dedup.near_dedup,
+    image: multimodal.media_near_dedup, audio: audio_near_dedup), i.e.
+    SemDeDup-style semantic dedup (public recipe: embed → bucket →
+    cosine pairs → keep one per connected cluster):
+    embedding_neardup_pairs (SRP-bucketed candidate join, never
+    all-pairs) → connected components → keep the best-scoring member
+    under ``keep_col`` (higher = better; ties and NULLs fall back to min
+    id) or the min-id member by default → the surviving rows, all
+    columns intact.
+
+    The pair table is localCheckpointed before components:
+    dedup_components references its pair input several times (edges
+    union + node seeding) and an unmaterialized SRP pipeline would
+    re-run the bucket join per reference (CLAUDE.md round-3 lesson).
+    Pairs endpoints are embeddings ids by construction, so the keeper is
+    always a real row (no external-pairs hazard here)."""
+    from crankshaft_spark.operators.dedup import dedup_components
+
+    pairs = embedding_neardup_pairs(
+        embeddings, dims=dims, n_planes=n_planes, threshold=threshold,
+        id_col=id_col, vec_col=vec_col,
+    ).localCheckpoint(eager=True)
+    comp = dedup_components(
+        embeddings, pairs, id_col=id_col, keep_col=keep_col)
+    dropped = comp.where(~F.col("is_keep")).select(id_col)
+    return embeddings.join(dropped, id_col, "anti")

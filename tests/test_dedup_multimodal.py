@@ -906,3 +906,24 @@ def test_near_dedup_uncovered_docs_survive(spark):
     got = sorted(r["doc_id"] for r in near_dedup(
         docs, components=comp).collect())
     assert got == [1, 7]
+
+
+def test_embedding_near_dedup_one_call(spark):
+    """SemDeDup-style one-call embedding dedup: near-identical vectors
+    collapse to one survivor (best keep_col member, min id by default);
+    distinct vectors pass through untouched."""
+    from crankshaft_spark.operators.ann import embedding_near_dedup
+
+    base = [1.0, 0.5, -0.25, 0.125]
+    near = [1.0001, 0.5001, -0.2501, 0.1251]
+    far = [-1.0, 0.5, 0.25, -0.125]
+    rows = [(1, base, 0.2), (2, near, 0.9), (3, far, 0.5)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, quality double")
+    dflt = sorted(r["vec_id"] for r in embedding_near_dedup(
+        emb, dims=4, n_planes=4, threshold=0.999).collect())
+    assert dflt == [1, 3]
+    best = sorted(r["vec_id"] for r in embedding_near_dedup(
+        emb, dims=4, n_planes=4, threshold=0.999,
+        keep_col="quality").collect())
+    assert best == [2, 3]
