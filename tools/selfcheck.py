@@ -46,6 +46,9 @@ def canon_spark_type(t: str) -> str:
     t = t.lower().strip()
     if t.startswith("array<") and t.endswith(">"):
         return f"list<{canon_spark_type(t[6:-1])}>"
+    if t.startswith("map<") and t.endswith(">"):
+        k, _, v = t[4:-1].partition(",")
+        return f"map<{canon_spark_type(k)},{canon_spark_type(v)}>"
     if t.startswith("decimal"):
         return "dec"
     return {
@@ -63,6 +66,9 @@ def canon_duck_type(t) -> str:
     t = str(t).lower().strip()
     if t.endswith("[]"):
         return f"list<{canon_duck_type(t[:-2])}>"
+    if t.startswith("map(") and t.endswith(")"):
+        k, _, v = t[4:-1].partition(",")
+        return f"map<{canon_duck_type(k)},{canon_duck_type(v)}>"
     if t.startswith("decimal"):
         return "dec"
     return {
