@@ -38,6 +38,22 @@ def norm_val(v):
     return str(v)
 
 
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on sep at bracket depth 0 only (<>, ()) — nested map/struct
+    type strings carry commas inside their brackets."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
 def canon_spark_type(t: str) -> str:
     """Spark dtype string -> engine-neutral canonical type.  The round
     driver's value hash is TYPE-aware (round-3: corpus_select failed on
@@ -47,8 +63,14 @@ def canon_spark_type(t: str) -> str:
     if t.startswith("array<") and t.endswith(">"):
         return f"list<{canon_spark_type(t[6:-1])}>"
     if t.startswith("map<") and t.endswith(">"):
-        k, _, v = t[4:-1].partition(",")
+        k, v = _split_top(t[4:-1])
         return f"map<{canon_spark_type(k)},{canon_spark_type(v)}>"
+    if t.startswith("struct<") and t.endswith(">"):
+        fields = []
+        for f in _split_top(t[7:-1]):
+            name, _, ft = f.partition(":")
+            fields.append(f"{name.strip()}:{canon_spark_type(ft)}")
+        return "struct<" + ",".join(fields) + ">"
     if t.startswith("decimal"):
         return "dec"
     return {
@@ -67,8 +89,16 @@ def canon_duck_type(t) -> str:
     if t.endswith("[]"):
         return f"list<{canon_duck_type(t[:-2])}>"
     if t.startswith("map(") and t.endswith(")"):
-        k, _, v = t[4:-1].partition(",")
+        k, v = _split_top(t[4:-1])
         return f"map<{canon_duck_type(k)},{canon_duck_type(v)}>"
+    if t.startswith("struct(") and t.endswith(")"):
+        fields = []
+        for f in _split_top(t[7:-1]):
+            name, _, ft = f.strip().partition(" ")
+            fields.append(
+                f"{name.strip().strip(chr(34))}:{canon_duck_type(ft)}"
+            )
+        return "struct<" + ",".join(fields) + ">"
     if t.startswith("decimal"):
         return "dec"
     return {
