@@ -140,8 +140,9 @@ def _h32(s: str) -> int:
 
 SIM_POOL_DEFAULT = 65536
 """Default bounded size of the broadcast value pool the permutation-sim
-paths draw from.  Caps BOTH driver/broadcast state (O(pool), never O(n))
-and per-row compute (O(permutations·pool)).  When n ≤ pool the null is the
+paths draw from.  Caps BOTH driver/broadcast state (O(perms·pool), never
+O(n)) and per-row compute (O(pool·log pool + permutations·deg) — one π
+ranking per row plus template gathers).  When n ≤ pool the null is the
 exact conditional randomization; when n > pool the draws come from a
 hash-uniform subsample of the other values — statistically equivalent for
 inference (the empirical distribution of a 64k uniform subsample is the
@@ -185,6 +186,85 @@ def _pool_cte(values_sql: str, tag: str, pool_size) -> str:
       ORDER BY _pu, id LIMIT {int(pool_size)}"""
 
 
+def _sim_slots(tag: str, seed: int, permutations: int, m: int):
+    """Shared per-permutation draw templates — the PySAL ``__crand`` shape
+    (one rank-slot template per permutation, shared by every row), made
+    portable: for permutation p, τ_p = the slots q ∈ [1, m−1] ordered by
+    the keyed linear hash (c_p·G_q + e_p) mod P, tie-broken by q, with
+    G_q = h32(f"{tag}-G:{q}"), c_p/e_p keyed by (seed, p).  Row i's
+    deg-d draw is the pool elements holding π_i-ranks τ_p[0..d−1] (see
+    ``_crand_rank_sums``) — a uniform d-subset because π_i is a keyed
+    uniform ordering and any FIXED slot set of a uniform random bijection
+    is a uniform subset.  Returns an int64 (permutations × m−1) matrix of
+    1-based rank slots; driver cost O(perm·pool·log pool) numpy, broadcast
+    payload O(perm·pool) — bounded, never O(n)."""
+    q = np.arange(1, m, dtype=np.int64)
+    G = np.array([_h32(f"{tag}-G:{i}") % _HASH_P for i in q],
+                 dtype=np.int64)
+    c = np.array([1 + _h32(f"{tag}-c:{seed}:{p}") % (_HASH_P - 1)
+                  for p in range(permutations)], dtype=np.int64)
+    e = np.array([_h32(f"{tag}-e:{seed}:{p}") % _HASH_P
+                  for p in range(permutations)], dtype=np.int64)
+    key = (c[:, None] * G[None, :] + e[:, None]) % _HASH_P
+    key *= np.int64(m)
+    key += q[None, :]  # tie-break by slot (oracle: ORDER BY hash, q)
+    return q[np.argsort(key, axis=1)]
+
+
+def _crand_rank_sums(rids, degs, excl, gv, yv, seed, tag, slots,
+                     max_elems=1 << 24):
+    """Conditional-randomization draw sums for a whole Arrow batch →
+    (len(rids) × permutations) matrix of Σ yv over each drawn subset.
+
+    Row i is π-ranked ONCE: order the pool under u_ij = (A_i·g_j + B_i)
+    mod P, tie-break by pool index (== id order: the pool is id-sorted),
+    self forced to rank last (template slots stop at m−1, so self is
+    never drawn).  Permutation p then draws the elements at π-ranks
+    ``slots[p, :deg]`` — per-row cost O(pool·log pool + perms·deg)
+    instead of the O(perms·pool) per-permutation ranking it replaces
+    (~30× at the 10M-row simscale shape), same PySAL-crand statistics
+    (per-row shuffle + shared rank templates), still bit-identical at any
+    parallelism and replayed verbatim by the DuckDB oracles.  A_i/B_i are
+    keyed by (seed, id): 2 md5 per row, not 2·perms.
+
+    Rows are processed in chunks bounded by ``max_elems`` int64 elements
+    (default 16.7M ≈ 134 MB row-chunk × pool working buffer)."""
+    rids = list(rids)
+    n_rows, m = len(rids), len(gv)
+    perms = slots.shape[0]
+    out = np.zeros((n_rows, perms), dtype=yv.dtype)
+    if n_rows == 0 or perms == 0:
+        return out
+    A = np.array([1 + _h32(f"{tag}-A:{seed}:{r}") % (_HASH_P - 1)
+                  for r in rids], dtype=np.int64)
+    B = np.array([_h32(f"{tag}-B:{seed}:{r}") % _HASH_P for r in rids],
+                 dtype=np.int64)
+    degs = np.asarray(degs, dtype=np.int64)
+    excl = np.asarray(excl, dtype=np.int64)
+    j_key = np.arange(m, dtype=np.int64)[None, :]
+    chunk = max(1, max_elems // m)
+    for s0 in range(0, n_rows, chunk):
+        rr = slice(s0, min(s0 + chunk, n_rows))
+        key = A[rr, None] * gv[None, :]
+        key += B[rr, None]
+        key %= _HASH_P
+        key *= m
+        key += j_key
+        has = np.flatnonzero(excl[rr] >= 0)
+        if len(has):
+            key[has, excl[rr][has]] = np.iinfo(np.int64).max  # self last
+        pv = yv[np.argsort(key, axis=1)]  # values in π-rank order
+        cd = degs[rr]
+        for d in np.unique(cd):
+            rows = np.flatnonzero(cd == d)
+            d = int(d)
+            if d == 0:
+                continue  # empty subset: sum stays 0
+            sel = slots[:, :d] - 1  # 1-based rank slots → 0-based columns
+            out[s0 + rows] = pv[rows][:, sel].sum(axis=2)
+    return out
+
+
 def getis_gstar_sim(
     values: DataFrame,
     edges: DataFrame,
@@ -208,28 +288,31 @@ def getis_gstar_sim(
     contour_cells convention).
 
     Distributed permutation inference (replaces the driver-serial PySAL
-    replica): the value vector is broadcast once; each row's ``permutations``
-    deg(i)-sized samples-without-replacement are drawn by ranking the other
-    rows under a keyed linear hash u_j = (A_ip·g_j + B_ip) mod (2^31−1) and
-    taking the deg(i) smallest — the top-d of a (pairwise-independent)
-    pseudo-random ordering is a uniform d-subset, and the construction is
-    pure integer arithmetic seeded from (seed, id, p), so results are
-    bit-identical at any parallelism AND expressible verbatim in the DuckDB
-    oracle (no numpy RNG stream).  Statistics mirror PySAL G_Local:
-    two-sided folded p_sim, pooled-moment z_sim (EG/seG over all rows ×
-    permutations).  Per-row work is vectorized numpy over an Arrow batch;
-    everything after is column algebra.
+    replica) in the PySAL ``__crand`` shape (one ordering per row + shared
+    per-permutation rank templates), made hash-portable: row i's pool
+    ordering π_i ranks the pool under u_ij = (A_i·g_j + B_i) mod (2^31−1)
+    (A_i/B_i keyed by (seed, id), self forced last); permutation p draws
+    the elements at π_i-ranks τ_p[0..deg−1] where τ_p is a shared keyed
+    ordering of the rank slots 1..m−1 (``_sim_slots``).  Any fixed slot
+    set of a keyed uniform ordering is a uniform deg-subset, the
+    construction is pure integer arithmetic, so results are bit-identical
+    at any parallelism AND expressible verbatim in the DuckDB oracle (no
+    numpy RNG stream).  Statistics mirror PySAL G_Local: two-sided folded
+    p_sim, pooled-moment z_sim (EG/seG over all rows × permutations).
+    Per-row work is vectorized numpy over an Arrow batch; everything after
+    is column algebra.
 
     Cost bound: the candidate pool is capped at ``pool_size`` (default
     ``SIM_POOL_DEFAULT``) by a hash-ranked uniform subsample (see
-    ``_hash_pool``), so driver/broadcast state is O(pool) — never O(n) —
-    and per-row work is O(permutations·pool).  When n ≤ pool the null is
-    the exact conditional randomization (ranks all n−1 others);
-    ``pool_size=None`` forces that exact path regardless of n (bounded
-    inputs only).  At crawl scale prefer the analytic ``getis_gstar``
-    (pure column algebra) — p_sim resolution is bounded by
-    1/(permutations+1), not n — but with a small pool (1024) this path
-    runs at 10M+ rows (scalebench sim row).
+    ``_hash_pool``), so driver/broadcast state is O(pool + perms·pool
+    template) — never O(n) — and per-row work is O(pool·log pool +
+    permutations·deg) (one π ranking per ROW, not per row×permutation).
+    Requires deg ≤ pool−1 (the template's slot count).  When n ≤ pool the
+    null is the exact conditional randomization; ``pool_size=None``
+    forces that exact path regardless of n (bounded inputs only).  At
+    crawl scale prefer the analytic ``getis_gstar`` (pure column algebra)
+    — p_sim resolution is bounded by 1/(permutations+1), not n — but with
+    a small pool (1024) this path runs at 10M+ rows (scalebench sim row).
 
     The s ≥ nbrsum comparison is pinned at 6dp on both sides: nbrsum is a
     Spark float sum whose partial-aggregation order varies with
@@ -262,46 +345,43 @@ def getis_gstar_sim(
     by = spark.sparkContext.broadcast(y)
     bg = spark.sparkContext.broadcast(g)
     bpos = spark.sparkContext.broadcast({v: i for i, v in enumerate(ids)})
+    bslots = spark.sparkContext.broadcast(
+        _sim_slots("gsim", seed, permutations, m))
 
     schema = ("id long, _y double, _deg long, _nbrsum double, "
               "_larger long, _ssum double, _s2sum double")
 
     def run(pdfs):
-        yv, gv, pos = by.value, bg.value, bpos.value
+        yv, gv, pos, slots = by.value, bg.value, bpos.value, bslots.value
+        cols = ["id", "_y", "_deg", "_nbrsum", "_larger", "_ssum", "_s2sum"]
         for pdf in pdfs:
-            out = []
-            for rid, yi, d, nbrsum in zip(
-                pdf["id"], pdf["_y"], pdf["_deg"], pdf["_nbrsum"]
-            ):
-                rid, d = int(rid), int(d)
-                i = pos.get(rid, -1)  # self may be outside a bounded pool
-                avail = m - (1 if i >= 0 else 0)
-                if d > avail:
+            if not len(pdf):
+                yield pd.DataFrame([], columns=cols)
+                continue
+            rids = [int(v) for v in pdf["id"]]
+            degs = [int(v) for v in pdf["_deg"]]
+            excl = [pos.get(r, -1) for r in rids]  # self may be off-pool
+            for rid, d in zip(rids, degs):
+                if d > m - 1:
                     raise ValueError(
                         f"getis_gstar_sim: deg({rid})={d} exceeds the "
-                        f"{avail} available pool candidates — raise "
+                        f"{m - 1} pool template slots — raise "
                         f"pool_size (got {m})")
-                a = np.array(
-                    [1 + _h32(f"gsim-a:{seed}:{rid}:{p}") % (_HASH_P - 1)
-                     for p in range(permutations)], dtype=np.int64)
-                b = np.array(
-                    [_h32(f"gsim-b:{seed}:{rid}:{p}") % _HASH_P
-                     for p in range(permutations)], dtype=np.int64)
-                u = (a[:, None] * gv[None, :] + b[:, None]) % _HASH_P
-                key = u * np.int64(m) + np.arange(m, dtype=np.int64)[None, :]
-                if i >= 0:
-                    key[:, i] = np.iinfo(np.int64).max  # exclude self
-                top = np.argpartition(key, d - 1, axis=1)[:, :d]
-                s = yv[top].sum(axis=1)
-                larger = int(
-                    (np.round(s, 6) >= round(float(nbrsum), 6)).sum()
-                )
-                sv = s + yi
-                out.append((rid, float(yi), d, float(nbrsum), larger,
-                            float(sv.sum()), float((sv * sv).sum())))
-            yield pd.DataFrame(
-                out, columns=["id", "_y", "_deg", "_nbrsum", "_larger",
-                              "_ssum", "_s2sum"])
+            s = _crand_rank_sums(rids, degs, excl, gv, yv, seed,
+                                 "gsim", slots)
+            yi = pdf["_y"].to_numpy(dtype=float)
+            nbrsum = pdf["_nbrsum"].to_numpy(dtype=float)
+            # threshold keeps the scalar loop's Python round() (banker's
+            # correctly-rounded decimal), sims keep np.round — the exact
+            # pair the oracle parity was validated against
+            thr = np.array([round(float(v), 6) for v in nbrsum])
+            larger = (np.round(s, 6) >= thr[:, None]).sum(axis=1)
+            sv = s + yi[:, None]
+            yield pd.DataFrame({
+                "id": rids, "_y": yi, "_deg": degs, "_nbrsum": nbrsum,
+                "_larger": larger.astype(np.int64),
+                "_ssum": sv.sum(axis=1),
+                "_s2sum": (sv * sv).sum(axis=1)})
 
     # spread_groups: tiny-bytes input, O(permutations·n) per-row numpy —
     # without the pin AQE coalesces the whole permutation stage to one task
@@ -360,13 +440,14 @@ def getis_sim_oracle_sql(
     seed: int = 1234,
     pool_size: int | None = None,
 ) -> str:
-    """DuckDB mirror of ``getis_gstar_sim``: same keyed-linear-hash SRSWOR
-    (rank (A·g+B) mod P, take deg smallest, tie-break by id), same folded
-    p_sim and pooled z_sim, same hash-ranked bounded candidate pool when
-    ``pool_size`` is set (mirrors ``_hash_pool``).  ``values_sql`` must
-    yield (id, y) with INTEGER-VALUED y so every sum is order-exact in
-    both engines.  ``knn_cte`` is a WITH prologue providing pts and
-    knn(id, nbr)."""
+    """DuckDB mirror of ``getis_gstar_sim``: same per-row keyed π ranking
+    (order the pool by (A_i·g_j + B_i) mod P, tie-break by id, self
+    excluded) + shared per-permutation rank templates τ_p over slots
+    1..m−1 (``_sim_slots``), same folded p_sim and pooled z_sim, same
+    hash-ranked bounded candidate pool when ``pool_size`` is set (mirrors
+    ``_hash_pool``).  ``values_sql`` must yield (id, y) with
+    INTEGER-VALUED y so every sum is order-exact in both engines.
+    ``knn_cte`` is a WITH prologue providing pts and knn(id, nbr)."""
     P = _HASH_P
     pool_sql = _pool_cte("SELECT id, y FROM yv", "gsim-pool", pool_size)
     return f"""{knn_cte},
@@ -381,25 +462,45 @@ def getis_sim_oracle_sql(
                   ('0x' || substring(md5('gsim-g:' || id), 1, 8))::BIGINT
                     % {P} AS gj
            FROM vpool),
-    ab AS (
-      SELECT i.id, pp.p,
-             1 + ('0x' || substring(md5(concat_ws(':', 'gsim-a', {seed},
-                     i.id, pp.p)), 1, 8))::BIGINT % {P - 1} AS a,
-             ('0x' || substring(md5(concat_ws(':', 'gsim-b', {seed},
-                     i.id, pp.p)), 1, 8))::BIGINT % {P} AS b
-      FROM yv i, (SELECT unnest(range({permutations})) AS p) pp
+    mq AS (SELECT count(*) AS m FROM vpool),
+    pia AS (
+      SELECT id,
+             1 + ('0x' || substring(md5(concat_ws(':', 'gsim-A', {seed},
+                     id)), 1, 8))::BIGINT % {P - 1} AS a,
+             ('0x' || substring(md5(concat_ws(':', 'gsim-B', {seed},
+                     id)), 1, 8))::BIGINT % {P} AS b
+      FROM yv
     ),
-    samp AS (
-      SELECT ab.id, ab.p, o.y,
+    rk AS (
+      SELECT i.id, o.y,
              row_number() OVER (
-               PARTITION BY ab.id, ab.p
-               ORDER BY (ab.a * o.gj + ab.b) % {P} ASC, o.id ASC) AS rk
-      FROM ab JOIN gh o ON o.id <> ab.id
+               PARTITION BY i.id
+               ORDER BY (i.a * o.gj + i.b) % {P} ASC, o.id ASC) AS r
+      FROM pia i JOIN gh o ON o.id <> i.id
+    ),
+    tg AS (SELECT q, ('0x' || substring(md5('gsim-G:' || q), 1, 8))::BIGINT
+                       % {P} AS gq
+           FROM (SELECT unnest(range(1, (SELECT m FROM mq))) AS q)),
+    tab AS (
+      SELECT pp.p,
+             1 + ('0x' || substring(md5(concat_ws(':', 'gsim-c', {seed},
+                     pp.p)), 1, 8))::BIGINT % {P - 1} AS c,
+             ('0x' || substring(md5(concat_ws(':', 'gsim-e', {seed},
+                     pp.p)), 1, 8))::BIGINT % {P} AS e
+      FROM (SELECT unnest(range({permutations})) AS p) pp
+    ),
+    tau AS (
+      SELECT t.p, g.q,
+             row_number() OVER (
+               PARTITION BY t.p
+               ORDER BY (t.c * g.gq + t.e) % {P} ASC, g.q ASC) AS tr
+      FROM tab t, tg g
     ),
     sims AS (
-      SELECT sa.id, sa.p, sum(sa.y) AS s
-      FROM samp sa JOIN deg d ON d.id = sa.id
-      WHERE sa.rk <= d.d GROUP BY sa.id, sa.p
+      SELECT rk.id, tau.p, sum(rk.y) AS s
+      FROM rk JOIN deg d ON d.id = rk.id
+           JOIN tau ON tau.q = rk.r AND tau.tr <= d.d
+      GROUP BY rk.id, tau.p
     ),
     per AS (
       SELECT s.id,

@@ -222,10 +222,12 @@ def moran_local_hash_sim(
     (id, quad, local_i, p_sim).
 
     Same conditional randomization as ``moran_local(permutations=k)`` but
-    the deg(i)-subsets are drawn by the keyed-linear-hash SRSWOR of
-    getis_gstar_sim (rank (A_ip·g_j + B_ip) mod 2³¹−1, take deg smallest)
-    instead of a numpy RNG stream, so a DuckDB oracle can replay the draw
-    verbatim.
+    the deg(i)-subsets are drawn by the keyed-hash PySAL-crand scheme of
+    getis_gstar_sim (one π ordering per row under (A_i·g_j + B_i) mod
+    2³¹−1, shared per-permutation rank templates τ_p — getis._sim_slots /
+    _crand_rank_sums, per-row cost O(pool·log pool + perms·deg)) instead
+    of a numpy RNG stream, so a DuckDB oracle can replay the draw
+    verbatim.  Requires deg ≤ pool−1 (the template's slot count).
 
     Exactness contract (why every comparison is integer):
 
@@ -267,9 +269,13 @@ def moran_local_hash_sim(
         F.count("*").alias("_n"),
         F.sum(F.col(value_col).cast("long")).alias("_ysum")).collect()[0]
     n, ysum = int(trow["_n"]), int(trow["_ysum"])
+    from crankshaft_spark.operators.getis import _sim_slots
+
     by = spark.sparkContext.broadcast(y)
     bg = spark.sparkContext.broadcast(g)
     bpos = spark.sparkContext.broadcast({v: i for i, v in enumerate(ids)})
+    bslots = spark.sparkContext.broadcast(
+        _sim_slots("msim", seed, permutations, m))
 
     nbr_stats = (
         edges.select("id", "nbr")
@@ -286,41 +292,43 @@ def moran_local_hash_sim(
     schema = "id long, p_sim double"
 
     def run(pdfs):
+        from crankshaft_spark.operators.getis import _crand_rank_sums
+
         yv, gv, pos = by.value, bg.value, bpos.value
+        slots = bslots.value
         for pdf in pdfs:
-            out = []
-            for rid, d, nbrsum, yself in zip(
-                pdf["id"], pdf["_deg"], pdf["_nbrsum"], pdf["_yself"]
-            ):
-                rid, d, nbrsum = int(rid), int(d), int(nbrsum)
-                sg = int(yself) * n - ysum
-                if sg == 0:
-                    larger = permutations
-                else:
-                    i = pos.get(rid, -1)  # self may be outside the pool
-                    avail = m - (1 if i >= 0 else 0)
-                    if d > avail:
+            if not len(pdf):
+                yield pd.DataFrame([], columns=["id", "p_sim"])
+                continue
+            rids = [int(v) for v in pdf["id"]]
+            degs = [int(v) for v in pdf["_deg"]]
+            nbrsums = [int(v) for v in pdf["_nbrsum"]]
+            # sign test in unbounded Python ints (CLAUDE.md: cross-
+            # multiplied int64 comparisons wrap silently at scale)
+            sgs = [int(ys) * n - ysum for ys in pdf["_yself"]]
+            larger = np.full(len(rids), permutations, dtype=np.int64)
+            draw = [k for k, sg in enumerate(sgs) if sg != 0]
+            if draw:
+                r_d = [rids[k] for k in draw]
+                d_d = [degs[k] for k in draw]
+                excl = [pos.get(r, -1) for r in r_d]  # self may be off-pool
+                for rid, d in zip(r_d, d_d):
+                    if d > m - 1:
                         raise ValueError(
                             f"moran_local_hash_sim: deg({rid})={d} exceeds "
-                            f"the {avail} available pool candidates — raise "
+                            f"the {m - 1} pool template slots — raise "
                             f"pool_size (got {m})")
-                    a = np.array(
-                        [1 + _h32(f"msim-a:{seed}:{rid}:{p}") % (_HASH_P - 1)
-                         for p in range(permutations)], dtype=np.int64)
-                    b = np.array(
-                        [_h32(f"msim-b:{seed}:{rid}:{p}") % _HASH_P
-                         for p in range(permutations)], dtype=np.int64)
-                    u = (a[:, None] * gv[None, :] + b[:, None]) % _HASH_P
-                    key = u * np.int64(m) + np.arange(m, dtype=np.int64)[None, :]
-                    if i >= 0:
-                        key[:, i] = np.iinfo(np.int64).max  # exclude self
-                    top = np.argpartition(key, d - 1, axis=1)[:, :d]
-                    s = yv[top].sum(axis=1)
-                    larger = int((s >= nbrsum).sum() if sg > 0
-                                 else (s <= nbrsum).sum())
-                folded = min(larger, permutations - larger)
-                out.append((rid, (folded + 1.0) / (permutations + 1.0)))
-            yield pd.DataFrame(out, columns=["id", "p_sim"])
+                s = _crand_rank_sums(r_d, d_d, excl, gv, yv, seed,
+                                     "msim", slots)
+                nb = np.array([nbrsums[k] for k in draw],
+                              dtype=np.int64)[:, None]
+                pos_sign = np.array([sgs[k] > 0 for k in draw])
+                larger[draw] = np.where(
+                    pos_sign, (s >= nb).sum(axis=1), (s <= nb).sum(axis=1))
+            folded = np.minimum(larger, permutations - larger)
+            yield pd.DataFrame({
+                "id": rids,
+                "p_sim": (folded + 1.0) / (permutations + 1.0)})
 
     # same AQE pin as _local_permutation_p: tiny bytes, heavy per-row numpy
     from crankshaft_spark.functions.spread import spread_groups

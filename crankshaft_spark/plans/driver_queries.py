@@ -874,26 +874,45 @@ def o_moran_local_sim():
                   ('0x' || substring(md5('msim-g:' || id), 1, 8))::BIGINT
                     % {P} AS gj
            FROM pool),
-    ab AS (
-      SELECT i.id, pp.p,
-             1 + ('0x' || substring(md5(concat_ws(':', 'msim-a', {seed},
-                     i.id, pp.p)), 1, 8))::BIGINT % {P - 1} AS a,
-             ('0x' || substring(md5(concat_ws(':', 'msim-b', {seed},
-                     i.id, pp.p)), 1, 8))::BIGINT % {P} AS b
-      FROM (SELECT id FROM sgn WHERE sg <> 0) i,
-           (SELECT unnest(range({perms})) AS p) pp
+    mq AS (SELECT count(*) AS m FROM pool),
+    pia AS (
+      SELECT i.id,
+             1 + ('0x' || substring(md5(concat_ws(':', 'msim-A', {seed},
+                     i.id)), 1, 8))::BIGINT % {P - 1} AS a,
+             ('0x' || substring(md5(concat_ws(':', 'msim-B', {seed},
+                     i.id)), 1, 8))::BIGINT % {P} AS b
+      FROM (SELECT id FROM sgn WHERE sg <> 0) i
     ),
-    samp AS (
-      SELECT ab.id, ab.p, o.y,
+    rk AS (
+      SELECT i.id, o.y,
              row_number() OVER (
-               PARTITION BY ab.id, ab.p
-               ORDER BY (ab.a * o.gj + ab.b) % {P} ASC, o.id ASC) AS rk
-      FROM ab JOIN gh o ON o.id <> ab.id
+               PARTITION BY i.id
+               ORDER BY (i.a * o.gj + i.b) % {P} ASC, o.id ASC) AS r
+      FROM pia i JOIN gh o ON o.id <> i.id
+    ),
+    tg AS (SELECT q, ('0x' || substring(md5('msim-G:' || q), 1, 8))::BIGINT
+                       % {P} AS gq
+           FROM (SELECT unnest(range(1, (SELECT m FROM mq))) AS q)),
+    tab AS (
+      SELECT pp.p,
+             1 + ('0x' || substring(md5(concat_ws(':', 'msim-c', {seed},
+                     pp.p)), 1, 8))::BIGINT % {P - 1} AS c,
+             ('0x' || substring(md5(concat_ws(':', 'msim-e', {seed},
+                     pp.p)), 1, 8))::BIGINT % {P} AS e
+      FROM (SELECT unnest(range({perms})) AS p) pp
+    ),
+    tau AS (
+      SELECT t.p, g.q,
+             row_number() OVER (
+               PARTITION BY t.p
+               ORDER BY (t.c * g.gq + t.e) % {P} ASC, g.q ASC) AS tr
+      FROM tab t, tg g
     ),
     sims AS (
-      SELECT sa.id, sa.p, sum(sa.y) AS s
-      FROM samp sa JOIN deg d ON d.id = sa.id
-      WHERE sa.rk <= d.d GROUP BY sa.id, sa.p
+      SELECT rk.id, tau.p, sum(rk.y) AS s
+      FROM rk JOIN deg d ON d.id = rk.id
+           JOIN tau ON tau.q = rk.r AND tau.tr <= d.d
+      GROUP BY rk.id, tau.p
     ),
     per AS (
       SELECT s.id,
@@ -922,7 +941,7 @@ def o_moran_local_sim():
          stats, den"""
 
 
-GETIS_SIM_PERMS = 19  # keeps the oracle's n·perms·(n−1) ranking bounded
+GETIS_SIM_PERMS = 19  # keeps the oracle's rank⋈template join bounded
 
 
 def q_getis_sim(spark, sf_dir):
