@@ -241,7 +241,6 @@ def _crand_rank_sums(rids, degs, excl, gv, yv, seed, tag, slots,
                  dtype=np.int64)
     degs = np.asarray(degs, dtype=np.int64)
     excl = np.asarray(excl, dtype=np.int64)
-    j_key = np.arange(m, dtype=np.int64)[None, :]
     chunk = max(1, max_elems // m)
     for s0 in range(0, n_rows, chunk):
         rr = slice(s0, min(s0 + chunk, n_rows))
@@ -249,11 +248,11 @@ def _crand_rank_sums(rids, degs, excl, gv, yv, seed, tag, slots,
         key += B[rr, None]
         key %= _HASH_P
         key *= m
-        key += j_key
+        key += np.arange(m, dtype=np.int64)[None, :]  # tie-break by index
         has = np.flatnonzero(excl[rr] >= 0)
         if len(has):
             key[has, excl[rr][has]] = np.iinfo(np.int64).max  # self last
-        pv = yv[np.argsort(key, axis=1)]  # values in π-rank order
+        order = np.argsort(key, axis=1)
         cd = degs[rr]
         for d in np.unique(cd):
             rows = np.flatnonzero(cd == d)
@@ -261,7 +260,9 @@ def _crand_rank_sums(rids, degs, excl, gv, yv, seed, tag, slots,
             if d == 0:
                 continue  # empty subset: sum stays 0
             sel = slots[:, :d] - 1  # 1-based rank slots → 0-based columns
-            out[s0 + rows] = pv[rows][:, sel].sum(axis=2)
+            # gather ONLY the template-addressed ranks (perms·deg per row),
+            # never the full rank-ordered value matrix
+            out[s0 + rows] = yv[order[rows][:, sel]].sum(axis=2)
     return out
 
 
