@@ -425,6 +425,8 @@ def embedding_near_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_col: str | None = None,
+    pairs: DataFrame | None = None,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Keep one vector per embedding near-dup cluster — the embedding
     member of the one-call near-dedup family (text: dedup.near_dedup,
@@ -442,14 +444,25 @@ def embedding_near_dedup(
     union + node seeding) and an unmaterialized SRP pipeline would
     re-run the bucket join per reference (CLAUDE.md round-3 lesson).
     Pairs endpoints are embeddings ids by construction, so the keeper is
-    always a real row (no external-pairs hazard here)."""
+    always a real row (no external-pairs hazard here).
+
+    ``pairs=`` / ``components=`` reuse precomputed stages (the
+    near_dedup convention): a caller that already materialized the SRP
+    pair table or the component labels (e.g. the gate entry, which
+    surfaces all three stages) skips re-running them.  ``components``
+    must come from ``dedup_components`` over the SAME embeddings/pairs
+    with the same ``keep_col``; when given, ``pairs``/``keep_col``/SRP
+    knobs are ignored."""
     from crankshaft_spark.operators.dedup import dedup_components
 
-    pairs = embedding_neardup_pairs(
-        embeddings, dims=dims, n_planes=n_planes, threshold=threshold,
-        id_col=id_col, vec_col=vec_col,
-    ).localCheckpoint(eager=True)
-    comp = dedup_components(
-        embeddings, pairs, id_col=id_col, keep_col=keep_col)
+    comp = components
+    if comp is None:
+        if pairs is None:
+            pairs = embedding_neardup_pairs(
+                embeddings, dims=dims, n_planes=n_planes,
+                threshold=threshold, id_col=id_col, vec_col=vec_col,
+            ).localCheckpoint(eager=True)
+        comp = dedup_components(
+            embeddings, pairs, id_col=id_col, keep_col=keep_col)
     dropped = comp.where(~F.col("is_keep")).select(id_col)
     return embeddings.join(dropped, id_col, "anti")

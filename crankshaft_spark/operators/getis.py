@@ -140,9 +140,10 @@ def _h32(s: str) -> int:
 
 SIM_POOL_DEFAULT = 65536
 """Default bounded size of the broadcast value pool the permutation-sim
-paths draw from.  Caps BOTH driver/broadcast state (O(perms·pool), never
-O(n)) and per-row compute (O(pool·log pool + permutations·deg) — one π
-ranking per row plus template gathers).  When n ≤ pool the null is the
+paths draw from.  Caps BOTH driver/broadcast state (O(pool) values +
+O(perms·maxdeg) deg-truncated slot templates, never O(n)) and per-row
+compute (O(pool·log pool + permutations·deg) — one π ranking per row plus
+template gathers).  When n ≤ pool the null is the
 exact conditional randomization; when n > pool the draws come from a
 hash-uniform subsample of the other values — statistically equivalent for
 inference (the empirical distribution of a 64k uniform subsample is the
@@ -196,8 +197,9 @@ def _sim_slots(tag: str, seed: int, permutations: int, m: int):
     ``_crand_rank_sums``) — a uniform d-subset because π_i is a keyed
     uniform ordering and any FIXED slot set of a uniform random bijection
     is a uniform subset.  Returns an int64 (permutations × m−1) matrix of
-    1-based rank slots; driver cost O(perm·pool·log pool) numpy, broadcast
-    payload O(perm·pool) — bounded, never O(n)."""
+    1-based rank slots; driver cost O(perm·pool·log pool) numpy.  Callers
+    broadcast only the ``[:, :maxdeg]`` prefix (draws never read past a
+    row's degree), so the shipped payload is O(perm·maxdeg)."""
     q = np.arange(1, m, dtype=np.int64)
     G = np.array([_h32(f"{tag}-G:{i}") % _HASH_P for i in q],
                  dtype=np.int64)
@@ -228,7 +230,11 @@ def _crand_rank_sums(rids, degs, excl, gv, yv, seed, tag, slots,
     keyed by (seed, id): 2 md5 per row, not 2·perms.
 
     Rows are processed in chunks bounded by ``max_elems`` int64 elements
-    (default 16.7M ≈ 134 MB row-chunk × pool working buffer)."""
+    (default 16.7M ≈ 134 MB per working buffer).  The bound covers BOTH
+    per-row buffers: the (chunk × pool) ranking keys AND the
+    (chunk × perms × deg) template gather — at PySAL-reference knobs
+    (permutations=999, deg≈30) the gather is the larger one, so sizing
+    on the pool alone would overshoot the bound by perms·deg/pool."""
     rids = list(rids)
     n_rows, m = len(rids), len(gv)
     perms = slots.shape[0]
@@ -241,7 +247,8 @@ def _crand_rank_sums(rids, degs, excl, gv, yv, seed, tag, slots,
                  dtype=np.int64)
     degs = np.asarray(degs, dtype=np.int64)
     excl = np.asarray(excl, dtype=np.int64)
-    chunk = max(1, max_elems // m)
+    maxd = int(degs.max()) if n_rows else 0
+    chunk = max(1, max_elems // max(m, perms * max(maxd, 1)))
     for s0 in range(0, n_rows, chunk):
         rr = slice(s0, min(s0 + chunk, n_rows))
         key = A[rr, None] * gv[None, :]
@@ -305,7 +312,7 @@ def getis_gstar_sim(
 
     Cost bound: the candidate pool is capped at ``pool_size`` (default
     ``SIM_POOL_DEFAULT``) by a hash-ranked uniform subsample (see
-    ``_hash_pool``), so driver/broadcast state is O(pool + perms·pool
+    ``_hash_pool``), so driver/broadcast state is O(pool + perms·maxdeg
     template) — never O(n) — and per-row work is O(pool·log pool +
     permutations·deg) (one π ranking per ROW, not per row×permutation).
     Requires deg ≤ pool−1 (the template's slot count).  When n ≤ pool the
@@ -343,11 +350,22 @@ def getis_gstar_sim(
     y = np.array(yl, dtype=float)
     g = np.array([_h32(f"gsim-g:{i}") % _HASH_P for i in ids], dtype=np.int64)
     m = len(y)  # pool size (== n when pool_size is None or n <= pool_size)
+    # max degree bounds the template: only the first deg rank slots of
+    # each permutation are ever drawn, so the broadcast is O(perms·maxdeg)
+    # (≈99×5 at kNN defaults), not O(perms·pool) (99×64k ≈ 52 MB at the
+    # defaults, ~n·perms·8 bytes with pool_size=None).  One tiny extra
+    # aggregate job over nbr_stats; truncation is value-invariant
+    # (slots[:, :d] is a prefix, unchanged for every d ≤ maxd).
+    maxd = int(nbr_stats.agg(F.max("_deg")).first()[0] or 0)
+    if maxd > m - 1:
+        raise ValueError(
+            f"getis_gstar_sim: max deg {maxd} exceeds the {m - 1} pool "
+            f"template slots — raise pool_size (got {m})")
     by = spark.sparkContext.broadcast(y)
     bg = spark.sparkContext.broadcast(g)
     bpos = spark.sparkContext.broadcast({v: i for i, v in enumerate(ids)})
     bslots = spark.sparkContext.broadcast(
-        _sim_slots("gsim", seed, permutations, m))
+        _sim_slots("gsim", seed, permutations, m)[:, :maxd])
 
     schema = ("id long, _y double, _deg long, _nbrsum double, "
               "_larger long, _ssum double, _s2sum double")

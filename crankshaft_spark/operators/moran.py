@@ -241,12 +241,13 @@ def moran_local_hash_sim(
     w_ij = 1/deg(i)), which also makes sample order irrelevant.  p_sim is
     PySAL-folded: (min(larger, perms−larger)+1)/(perms+1).
 
-    ``pool_size`` bounds driver/broadcast state to O(pool) and per-row
-    compute to O(permutations·pool): samples are drawn from a hash-ranked
-    uniform subsample of the values (getis._hash_pool, tag 'msim-pool') —
-    exact conditional randomization when n ≤ pool, replayable by the
-    DuckDB oracle either way.  ``pool_size=None`` forces the exact
-    all-values pool (bounded inputs only).
+    ``pool_size`` bounds driver/broadcast state to O(pool + perms·maxdeg)
+    (value pool + deg-truncated slot templates) and per-row compute to
+    O(pool·log pool + permutations·deg): samples are drawn from a
+    hash-ranked uniform subsample of the values (getis._hash_pool, tag
+    'msim-pool') — exact conditional randomization when n ≤ pool,
+    replayable by the DuckDB oracle either way.  ``pool_size=None``
+    forces the exact all-values pool (bounded inputs only).
     """
     from crankshaft_spark.operators.getis import _HASH_P, _h32, _hash_pool
 
@@ -271,12 +272,6 @@ def moran_local_hash_sim(
     n, ysum = int(trow["_n"]), int(trow["_ysum"])
     from crankshaft_spark.operators.getis import _sim_slots
 
-    by = spark.sparkContext.broadcast(y)
-    bg = spark.sparkContext.broadcast(g)
-    bpos = spark.sparkContext.broadcast({v: i for i, v in enumerate(ids)})
-    bslots = spark.sparkContext.broadcast(
-        _sim_slots("msim", seed, permutations, m))
-
     nbr_stats = (
         edges.select("id", "nbr")
         .join(values.select(F.col("id").alias("nbr"),
@@ -288,6 +283,18 @@ def moran_local_hash_sim(
                             F.col(value_col).cast("long").alias("_yself")),
               "id")
     )
+    # deg-truncated templates: only the first deg rank slots are drawn,
+    # so the broadcast is O(perms·maxdeg) not O(perms·pool) (getis twin)
+    maxd = int(nbr_stats.agg(F.max("_deg")).first()[0] or 0)
+    if maxd > m - 1:
+        raise ValueError(
+            f"moran_local_hash_sim: max deg {maxd} exceeds the {m - 1} "
+            f"pool template slots — raise pool_size (got {m})")
+    by = spark.sparkContext.broadcast(y)
+    bg = spark.sparkContext.broadcast(g)
+    bpos = spark.sparkContext.broadcast({v: i for i, v in enumerate(ids)})
+    bslots = spark.sparkContext.broadcast(
+        _sim_slots("msim", seed, permutations, m)[:, :maxd])
 
     schema = "id long, p_sim double"
 

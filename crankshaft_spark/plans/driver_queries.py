@@ -1669,16 +1669,53 @@ def o_ann_ivf():
 
 
 def q_embed_neardup(spark, sf_dir):
-    from crankshaft_spark.operators.ann import embedding_neardup_pairs
+    """SRP-bucketed near-dup pairs UNION their connected-component
+    resolution UNION the embedding_near_dedup survivor set — the
+    SemDeDup-style semantic-dedup composition's three stages in one
+    gate entry (the minhash_lsh arm pattern).  The survivor arm reuses
+    the member arm's components (embedding_near_dedup components=), so
+    the entry pays the SRP join once and label propagation once."""
+    from crankshaft_spark.operators.ann import (
+        embedding_near_dedup, embedding_neardup_pairs)
+    from crankshaft_spark.operators.dedup import dedup_components
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_neardup_pairs(emb, dims=64, threshold=0.25)
+    pairs = embedding_neardup_pairs(
+        emb, dims=64, threshold=0.25).localCheckpoint(eager=True)
+    comp = dedup_components(emb, pairs, id_col="vec_id")
+    pair_rows = pairs.select(F.lit("pair").alias("kind"), "a", "b", "cos")
+    member_rows = comp.select(
+        F.lit("member").alias("kind"),
+        F.col("vec_id").alias("a"),
+        F.col("component").alias("b"),
+        F.col("n_members").cast("double").alias("cos"),
+    )
+    survivor_rows = embedding_near_dedup(
+        emb, dims=64, components=comp).select(
+        F.lit("survivor").alias("kind"),
+        F.col("vec_id").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.lit(None).cast("double").alias("cos"),
+    )
+    return pair_rows.unionByName(member_rows).unionByName(survivor_rows)
 
 
 def o_embed_neardup():
     from crankshaft_spark.operators.ann import neardup_oracle_sql
+    from crankshaft_spark.operators.dedup import components_oracle_sql
 
-    return neardup_oracle_sql("embeddings", dims=64, threshold=0.25)
+    pairs_sql = neardup_oracle_sql("embeddings", dims=64, threshold=0.25)
+    comp_sql = components_oracle_sql(
+        "SELECT vec_id AS doc_id FROM embeddings", "SELECT * FROM prs0")
+    return f"""WITH prs0 AS MATERIALIZED ({pairs_sql}),
+    comp AS ({comp_sql})
+    SELECT 'pair' AS kind, a, b, cos FROM prs0
+    UNION ALL
+    SELECT 'member' AS kind, doc_id AS a, component AS b,
+           CAST(n_members AS DOUBLE) AS cos FROM comp
+    UNION ALL
+    SELECT 'survivor' AS kind, doc_id AS a, CAST(NULL AS BIGINT) AS b,
+           CAST(NULL AS DOUBLE) AS cos FROM comp WHERE is_keep"""
 
 
 # ------------------------------------------------------- multimodal ---------

@@ -927,3 +927,18 @@ def test_embedding_near_dedup_one_call(spark):
         emb, dims=4, n_planes=4, threshold=0.999,
         keep_col="quality").collect())
     assert best == [2, 3]
+    # stage-reuse params (the gate entry's path): precomputed pairs /
+    # components give the same survivors as the one-call form
+    from crankshaft_spark.operators.ann import embedding_neardup_pairs
+    from crankshaft_spark.operators.dedup import dedup_components
+
+    pairs = embedding_neardup_pairs(
+        emb, dims=4, n_planes=4, threshold=0.999).localCheckpoint(
+        eager=True)
+    via_pairs = sorted(r["vec_id"] for r in embedding_near_dedup(
+        emb, dims=4, pairs=pairs).collect())
+    assert via_pairs == dflt
+    comp = dedup_components(emb, pairs, id_col="vec_id")
+    via_comp = sorted(r["vec_id"] for r in embedding_near_dedup(
+        emb, dims=4, components=comp).collect())
+    assert via_comp == dflt
