@@ -140,3 +140,54 @@ def test_getis_sim_bounded_pool(getis_input):
     with _pytest.raises(Exception, match="pool"):
         getis_gstar_sim(values, edges, permutations=3, seed=7,
                         pool_size=2).collect()
+
+
+def test_crand_rank_sums_kernel_properties():
+    """Pure-numpy pins on the crand draw kernel: (a) an independent
+    scalar replay of the π-ranking + template-gather definition matches
+    the vectorized kernel for in-pool and off-pool rows, (b) chunking
+    (max_elems) never changes values — guards the chunk-size formula,
+    (c) deg-truncated templates (slots[:, :maxdeg], what the operators
+    broadcast) are draw-invariant."""
+    import numpy as np
+
+    from crankshaft_spark.operators.getis import (
+        _HASH_P, _crand_rank_sums, _h32, _sim_slots)
+
+    m, perms, seed = 37, 11, 99
+    ids = list(range(100, 100 + m))
+    yv = np.arange(m, dtype=float) * 3.0
+    gv = np.array([_h32(f"t-g:{i}") % _HASH_P for i in ids], dtype=np.int64)
+    slots = _sim_slots("t", seed, perms, m)
+    assert slots.shape == (perms, m - 1)
+    # every template row is a permutation of slots 1..m-1
+    assert all(sorted(row) == list(range(1, m)) for row in slots)
+
+    rids = [ids[0], ids[5], 999]   # 999 = off-pool row (excl -1)
+    degs = [4, 7, 3]
+    excl = [0, 5, -1]
+    s = _crand_rank_sums(rids, degs, excl, gv, yv, seed, "t", slots)
+
+    # (a) independent scalar replay of the definition
+    for k, (rid, d, ex) in enumerate(zip(rids, degs, excl)):
+        A = 1 + _h32(f"t-A:{seed}:{rid}") % (_HASH_P - 1)
+        B = _h32(f"t-B:{seed}:{rid}") % _HASH_P
+        key = [((A * int(g) + B) % _HASH_P, j) for j, g in enumerate(gv)]
+        if ex >= 0:
+            key[ex] = (_HASH_P, ex)  # self forced past every real key
+        order = [j for _, j in sorted(key)]
+        for p in range(perms):
+            drawn = [order[q - 1] for q in slots[p, :d]]
+            assert ex not in drawn            # self never drawn
+            assert len(set(drawn)) == d       # a true d-subset
+            assert s[k, p] == sum(yv[j] for j in drawn)
+
+    # (b) chunk invariance: max_elems=1 forces one-row chunks
+    s1 = _crand_rank_sums(rids, degs, excl, gv, yv, seed, "t", slots,
+                          max_elems=1)
+    assert np.array_equal(s, s1)
+
+    # (c) truncation invariance at maxdeg
+    st = _crand_rank_sums(rids, degs, excl, gv, yv, seed, "t",
+                          slots[:, :max(degs)])
+    assert np.array_equal(s, st)
