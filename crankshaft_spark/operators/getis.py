@@ -21,10 +21,11 @@ reference fixture (neighbors_getis.json → getis.json):
   * distributed permutation path (``getis_gstar_sim``) — the scale path for
     simulated inference: same conditional-randomization semantics (SRSWOR
     of deg_i others, folded p_sim, pooled z_sim) but samples are drawn by a
-    keyed linear hash ranked per (seed, id, permutation), so the plan is a
-    broadcast value vector + one Arrow-batched mapInPandas stage, results
-    are parallelism-independent, and the whole construction is expressible
-    in the DuckDB oracle (``getis_sim_oracle_sql``).
+    keyed affine walk of a hash-shuffled bounded value pool (no RNG
+    stream, no per-row sort), so the plan is a broadcast pool + one
+    Arrow-batched mapInPandas stage, results are parallelism-independent,
+    and the whole construction is expressible in the DuckDB oracle
+    (``getis_sim_oracle_sql``).
   * analytic path (``getis_gstar``) gives the closed-form moments of the
     same conditional randomization (sampling deg_i values without
     replacement from the other n−1), fully distributed and SQL-expressible —
@@ -138,12 +139,23 @@ def _h32(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
+def _h32_col(tag_key: str, seed: int):
+    """JVM codegen twin of ``_h32(f"{tag_key}:{seed}:{id}")`` over the id
+    column — per-row hashes stay in whole-stage codegen instead of Python
+    hashlib inside the Arrow stage."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(tag_key), F.lit(str(seed)),
+                              F.col("id").cast("string"))), 1, 8),
+        16, 10).cast("long")
+
+
 SIM_POOL_DEFAULT = 65536
 """Default bounded size of the broadcast value pool the permutation-sim
 paths draw from.  Caps BOTH driver/broadcast state (O(pool) values +
 O(perms·maxdeg) deg-truncated slot templates, never O(n)) and per-row
-compute (O(pool·log pool + permutations·deg) — one π ranking per row plus
-template gathers).  When n ≤ pool the null is the
+compute (O(permutations·deg) — a closed-form affine rank→position map
+per row, see ``_crand_rank_sums``).  When n ≤ pool the null is the
 exact conditional randomization; when n > pool the draws come from a
 hash-uniform subsample of the other values — statistically equivalent for
 inference (the empirical distribution of a 64k uniform subsample is the
@@ -153,14 +165,21 @@ population distribution to ~1/256 resolution, far finer than the
 
 def _hash_pool(values: DataFrame, value_col: str, tag: str,
                pool_size, cast: str = "double"):
-    """Collect a bounded, hash-selected value pool → (ids, values) sorted
-    by id.  Pool = the ``pool_size`` rows with the smallest portable md5
-    rank of ``f"{tag}:{id}"`` (tie-broken by id) — a deterministic uniform
-    subsample both engines replay verbatim (DuckDB: ``ORDER BY
-    ('0x'||substring(md5(tag||':'||id),1,8))::BIGINT, id LIMIT pool``).
-    The plan is TakeOrderedAndProject (distributed top-k): no global sort,
-    no O(n) collect.  ``pool_size=None`` collects everything — exact
-    conditional randomization, bounded inputs only."""
+    """Collect a bounded, hash-selected value pool → (ids, values) in
+    hash-shuffled POSITION order.  Pool = the ``pool_size`` rows with the
+    smallest portable md5 rank of ``f"{tag}:{id}"`` (tie-broken by id) — a
+    deterministic uniform subsample both engines replay verbatim (DuckDB:
+    ``ORDER BY ('0x'||substring(md5(tag||':'||id),1,8))::BIGINT, id LIMIT
+    pool``).  The plan is TakeOrderedAndProject (distributed top-k): no
+    global sort, no O(n) collect.  ``pool_size=None`` collects everything —
+    exact conditional randomization, bounded inputs only.
+
+    Position order (the list index) is a SECOND independent keyed hash,
+    ``f"{tag}-pos:{id}"`` (tie id): the affine rank→position draw in
+    ``_crand_rank_sums`` walks pool positions in closed form, so the
+    position→value assignment must itself be hash-generic — id order would
+    alias id-correlated values (value = f(id) synthetics, time-ordered
+    ids) into the affine position sets."""
     df = values.select("id", F.col(value_col).cast(cast).alias("_y"))
     if pool_size is not None:
         pu = F.conv(
@@ -170,7 +189,8 @@ def _hash_pool(values: DataFrame, value_col: str, tag: str,
             16, 10).cast("long")
         df = (df.withColumn("_pu", pu)
               .orderBy("_pu", "id").limit(int(pool_size)).drop("_pu"))
-    rows = df.sort("id").collect()
+    rows = df.collect()
+    rows.sort(key=lambda r: (_h32(f"{tag}-pos:{r[0]}"), int(r[0])))
     return [int(r[0]) for r in rows], [r[1] for r in rows]
 
 
@@ -187,16 +207,29 @@ def _pool_cte(values_sql: str, tag: str, pool_size) -> str:
       ORDER BY _pu, id LIMIT {int(pool_size)}"""
 
 
+def _pool_pos_cte(pool_sql: str, tag: str) -> str:
+    """DuckDB mirror of ``_hash_pool``'s position order: 0-based pool
+    position of each pool row under the ``f"{tag}-pos:{id}"`` keyed hash
+    (tie id).  ``pool_sql`` must yield (id, y)."""
+    return f"""
+      SELECT id, y,
+             row_number() OVER (
+               ORDER BY ('0x' || substring(md5('{tag}-pos:' || id),
+                         1, 8))::BIGINT ASC, id ASC) - 1 AS pos
+      FROM ({pool_sql})"""
+
+
 def _sim_slots(tag: str, seed: int, permutations: int, m: int):
     """Shared per-permutation draw templates — the PySAL ``__crand`` shape
     (one rank-slot template per permutation, shared by every row), made
     portable: for permutation p, τ_p = the slots q ∈ [1, m−1] ordered by
     the keyed linear hash (c_p·G_q + e_p) mod P, tie-broken by q, with
     G_q = h32(f"{tag}-G:{q}"), c_p/e_p keyed by (seed, p).  Row i's
-    deg-d draw is the pool elements holding π_i-ranks τ_p[0..d−1] (see
-    ``_crand_rank_sums``) — a uniform d-subset because π_i is a keyed
-    uniform ordering and any FIXED slot set of a uniform random bijection
-    is a uniform subset.  Returns an int64 (permutations × m−1) matrix of
+    deg-d draw is the pool positions π_i(τ_p[0..d−1]) under the row's
+    keyed affine bijection (see ``_crand_rank_sums``) — a true d-subset
+    (bijections preserve distinctness), and bijections preserve slot-set
+    overlaps, so the across-permutation correlation structure is exactly
+    the template overlap.  Returns an int64 (permutations × m−1) matrix of
     1-based rank slots; driver cost O(perm·pool·log pool) numpy.  Callers
     broadcast only the ``[:, :maxdeg]`` prefix (draws never read past a
     row's degree), so the shipped payload is O(perm·maxdeg)."""
@@ -213,63 +246,85 @@ def _sim_slots(tag: str, seed: int, permutations: int, m: int):
     return q[np.argsort(key, axis=1)]
 
 
-def _crand_rank_sums(rids, degs, excl, gv, yv, seed, tag, slots,
-                     max_elems=1 << 24):
-    """Conditional-randomization draw sums for a whole Arrow batch →
-    (len(rids) × permutations) matrix of Σ yv over each drawn subset.
+_A_TRIES = 64
+"""Coprime-rejection window for the affine multiplier: the first k in
+[0, 64) with gcd(1 + (a0-1+k) mod (m-1), m) = 1 is taken.  64 consecutive
+candidates always contain a unit mod m for every m < 2^31: the maximal gap
+between units mod m is Jacobsthal's function g(m), and g(m) <= 46 for every
+m with <= 10 distinct prime factors (m < 2^31 has <= 9); for m-1 < 64 the
+wrapped window covers all of 1..m-1, which contains 1."""
 
-    Row i is π-ranked ONCE: order the pool under u_ij = (A_i·g_j + B_i)
-    mod P, tie-break by pool index (== id order: the pool is id-sorted),
-    self forced to rank last (template slots stop at m−1, so self is
-    never drawn).  Permutation p then draws the elements at π-ranks
-    ``slots[p, :deg]`` — per-row cost O(pool·log pool + perms·deg)
-    instead of the O(perms·pool) per-permutation ranking it replaces
-    (~30× at the 10M-row simscale shape), same PySAL-crand statistics
-    (per-row shuffle + shared rank templates), still bit-identical at any
-    parallelism and replayed verbatim by the DuckDB oracles.  A_i/B_i are
-    keyed by (seed, id): 2 md5 per row, not 2·perms.
+
+def _crand_rank_sums(ha, hb, degs, excl, yv, slots, max_elems=1 << 24):
+    """Conditional-randomization draw sums for a whole Arrow batch →
+    (n_rows × permutations) matrix of Σ yv over each drawn subset.
+
+    Row i's pool ordering is a keyed AFFINE bijection of pool positions:
+    rank r holds position π_i(r) = (c_i + a_i·r) mod m, where a_i is the
+    first unit mod m in a 64-candidate window keyed by ha_i (``_A_TRIES``)
+    and c_i = the row's own pool position when it is in the pool, else
+    hb_i mod m.  Rank 0 is the self position (in-pool rows) — template
+    slots span 1..m−1, so self is never drawn and every draw is a true
+    deg-subset (x → a·x is bijective for gcd(a, m) = 1).  Permutation p
+    draws positions π_i(slots[p, :deg]) — per-row cost O(perms·deg) with
+    NO ranking matrix and NO argsort (the previous sort-based π built an
+    O(pool) key matrix + argsort per row: ~24 µs/row and memory-bandwidth
+    bound, which capped N→4N core scaling at ~0.45 — this form is ~1 µs/row
+    and gather-bound).
+
+    Statistical shape is unchanged from the sort-based kernel: both are
+    2-parameter keyed orderings drawn against the same shared slot
+    templates, and |π(S_p) ∩ π(S_q)| = |S_p ∩ S_q| under ANY bijection,
+    so the across-permutation overlap structure is identical.  Marginal
+    genericity of the drawn VALUE sets comes from the pool's own
+    hash-shuffled position order (``_hash_pool`` ``-pos`` key): positions
+    hold exchangeable hash-assigned values, so affine position sets are
+    distributionally uniform value draws.
+
+    ``ha``/``hb`` are the portable 32-bit hashes
+    h32(f"{tag}-A:{seed}:{id}") / h32(f"{tag}-B:{seed}:{id}") — computed
+    JVM-side by the operators (codegen md5), keeping Python free of
+    per-row hashing.
 
     Rows are processed in chunks bounded by ``max_elems`` int64 elements
-    (default 16.7M ≈ 134 MB per working buffer).  The bound covers BOTH
-    per-row buffers: the (chunk × pool) ranking keys AND the
-    (chunk × perms × deg) template gather — at PySAL-reference knobs
-    (permutations=999, deg≈30) the gather is the larger one, so sizing
-    on the pool alone would overshoot the bound by perms·deg/pool."""
-    rids = list(rids)
-    n_rows, m = len(rids), len(gv)
+    (default 16.7M ≈ 134 MB per working buffer) covering both the
+    (chunk × 64) coprime-candidate buffer and the (chunk × perms × deg)
+    template gather."""
+    ha = np.asarray(ha, dtype=np.int64)
+    hb = np.asarray(hb, dtype=np.int64)
+    n_rows, m = len(ha), len(yv)
     perms = slots.shape[0]
     out = np.zeros((n_rows, perms), dtype=yv.dtype)
-    if n_rows == 0 or perms == 0:
-        return out
-    A = np.array([1 + _h32(f"{tag}-A:{seed}:{r}") % (_HASH_P - 1)
-                  for r in rids], dtype=np.int64)
-    B = np.array([_h32(f"{tag}-B:{seed}:{r}") % _HASH_P for r in rids],
-                 dtype=np.int64)
+    if n_rows == 0 or perms == 0 or m < 2:
+        return out  # m < 2 ⇒ every deg ≤ m−1 = 0 (callers enforce)
     degs = np.asarray(degs, dtype=np.int64)
     excl = np.asarray(excl, dtype=np.int64)
     maxd = int(degs.max()) if n_rows else 0
-    chunk = max(1, max_elems // max(m, perms * max(maxd, 1)))
+    c = np.where(excl >= 0, excl, hb % m)
+    chunk = max(1, max_elems // max(_A_TRIES, perms * max(maxd, 1)))
     for s0 in range(0, n_rows, chunk):
         rr = slice(s0, min(s0 + chunk, n_rows))
-        key = A[rr, None] * gv[None, :]
-        key += B[rr, None]
-        key %= _HASH_P
-        key *= m
-        key += np.arange(m, dtype=np.int64)[None, :]  # tie-break by index
-        has = np.flatnonzero(excl[rr] >= 0)
-        if len(has):
-            key[has, excl[rr][has]] = np.iinfo(np.int64).max  # self last
-        order = np.argsort(key, axis=1)
+        a0 = 1 + ha[rr] % (m - 1)
+        cand = 1 + (a0[:, None] - 1 + np.arange(_A_TRIES)) % (m - 1)
+        ok = np.gcd(cand, m) == 1
+        first = ok.argmax(axis=1)
+        if not ok[np.arange(len(a0)), first].all():
+            raise AssertionError(
+                f"no unit mod {m} in {_A_TRIES} candidates")  # unreachable
+        a = cand[np.arange(len(a0)), first]
+        cc = c[rr]
         cd = degs[rr]
         for d in np.unique(cd):
             rows = np.flatnonzero(cd == d)
             d = int(d)
             if d == 0:
                 continue  # empty subset: sum stays 0
-            sel = slots[:, :d] - 1  # 1-based rank slots → 0-based columns
-            # gather ONLY the template-addressed ranks (perms·deg per row),
-            # never the full rank-ordered value matrix
-            out[s0 + rows] = yv[order[rows][:, sel]].sum(axis=2)
+            # drawn pool positions: (c + a·slot) mod m over the first d
+            # template slots — a (rows × perms × d) gather, no O(pool)
+            # per-row state
+            idx = (cc[rows, None, None]
+                   + a[rows, None, None] * slots[None, :, :d]) % m
+            out[s0 + rows] = yv[idx].sum(axis=2)
     return out
 
 
@@ -297,24 +352,25 @@ def getis_gstar_sim(
 
     Distributed permutation inference (replaces the driver-serial PySAL
     replica) in the PySAL ``__crand`` shape (one ordering per row + shared
-    per-permutation rank templates), made hash-portable: row i's pool
-    ordering π_i ranks the pool under u_ij = (A_i·g_j + B_i) mod (2^31−1)
-    (A_i/B_i keyed by (seed, id), self forced last); permutation p draws
-    the elements at π_i-ranks τ_p[0..deg−1] where τ_p is a shared keyed
-    ordering of the rank slots 1..m−1 (``_sim_slots``).  Any fixed slot
-    set of a keyed uniform ordering is a uniform deg-subset, the
-    construction is pure integer arithmetic, so results are bit-identical
-    at any parallelism AND expressible verbatim in the DuckDB oracle (no
-    numpy RNG stream).  Statistics mirror PySAL G_Local: two-sided folded
-    p_sim, pooled-moment z_sim (EG/seG over all rows × permutations).
-    Per-row work is vectorized numpy over an Arrow batch; everything after
-    is column algebra.
+    per-permutation rank templates), made hash-portable and sort-free:
+    row i's pool ordering π_i is a keyed affine bijection of the
+    hash-shuffled pool positions (rank r ↦ (c_i + a_i·r) mod m, a_i a
+    keyed unit mod m, c_i the self position / keyed offset — see
+    ``_crand_rank_sums``); permutation p draws the positions at π_i-ranks
+    τ_p[0..deg−1] where τ_p is a shared keyed ordering of the rank slots
+    1..m−1 (``_sim_slots``).  The construction is pure integer
+    arithmetic, so results are bit-identical at any parallelism AND
+    expressible verbatim in the DuckDB oracle (no numpy RNG stream).
+    Statistics mirror PySAL G_Local: two-sided folded p_sim,
+    pooled-moment z_sim (EG/seG over all rows × permutations).  Per-row
+    work is vectorized numpy over an Arrow batch; everything after is
+    column algebra.
 
     Cost bound: the candidate pool is capped at ``pool_size`` (default
     ``SIM_POOL_DEFAULT``) by a hash-ranked uniform subsample (see
     ``_hash_pool``), so driver/broadcast state is O(pool + perms·maxdeg
-    template) — never O(n) — and per-row work is O(pool·log pool +
-    permutations·deg) (one π ranking per ROW, not per row×permutation).
+    template) — never O(n) — and per-row work is O(permutations·deg)
+    (closed-form rank→position map: no per-row ranking or sort at all).
     Requires deg ≤ pool−1 (the template's slot count).  When n ≤ pool the
     null is the exact conditional randomization; ``pool_size=None``
     forces that exact path regardless of n (bounded inputs only).  At
@@ -348,7 +404,6 @@ def getis_gstar_sim(
     )
     ids, yl = _hash_pool(values, value_col, "gsim-pool", pool_size)
     y = np.array(yl, dtype=float)
-    g = np.array([_h32(f"gsim-g:{i}") % _HASH_P for i in ids], dtype=np.int64)
     m = len(y)  # pool size (== n when pool_size is None or n <= pool_size)
     # max degree bounds the template: only the first deg rank slots of
     # each permutation are ever drawn, so the broadcast is O(perms·maxdeg)
@@ -362,7 +417,6 @@ def getis_gstar_sim(
             f"getis_gstar_sim: max deg {maxd} exceeds the {m - 1} pool "
             f"template slots — raise pool_size (got {m})")
     by = spark.sparkContext.broadcast(y)
-    bg = spark.sparkContext.broadcast(g)
     bpos = spark.sparkContext.broadcast({v: i for i, v in enumerate(ids)})
     bslots = spark.sparkContext.broadcast(
         _sim_slots("gsim", seed, permutations, m)[:, :maxd])
@@ -371,7 +425,7 @@ def getis_gstar_sim(
               "_larger long, _ssum double, _s2sum double")
 
     def run(pdfs):
-        yv, gv, pos, slots = by.value, bg.value, bpos.value, bslots.value
+        yv, pos, slots = by.value, bpos.value, bslots.value
         cols = ["id", "_y", "_deg", "_nbrsum", "_larger", "_ssum", "_s2sum"]
         for pdf in pdfs:
             if not len(pdf):
@@ -386,8 +440,8 @@ def getis_gstar_sim(
                         f"getis_gstar_sim: deg({rid})={d} exceeds the "
                         f"{m - 1} pool template slots — raise "
                         f"pool_size (got {m})")
-            s = _crand_rank_sums(rids, degs, excl, gv, yv, seed,
-                                 "gsim", slots)
+            s = _crand_rank_sums(pdf["_ha"], pdf["_hb"], degs, excl, yv,
+                                 slots)
             yi = pdf["_y"].to_numpy(dtype=float)
             nbrsum = pdf["_nbrsum"].to_numpy(dtype=float)
             # threshold keeps the scalar loop's Python round() (banker's
@@ -410,7 +464,9 @@ def getis_gstar_sim(
     base = spread_groups(
         values.select("id", F.col(value_col).cast("double").alias("_y"))
         .join(nbr_stats, "id")
-        .select("id", "_y", "_deg", "_nbrsum"),
+        .select("id", "_y", "_deg", "_nbrsum",
+                _h32_col("gsim-A", seed).alias("_ha"),
+                _h32_col("gsim-B", seed).alias("_hb")),
         "id",
     )
     # per feeds BOTH the pooled moments and the final join — without the
@@ -459,43 +515,51 @@ def getis_sim_oracle_sql(
     seed: int = 1234,
     pool_size: int | None = None,
 ) -> str:
-    """DuckDB mirror of ``getis_gstar_sim``: same per-row keyed π ranking
-    (order the pool by (A_i·g_j + B_i) mod P, tie-break by id, self
-    excluded) + shared per-permutation rank templates τ_p over slots
-    1..m−1 (``_sim_slots``), same folded p_sim and pooled z_sim, same
+    """DuckDB mirror of ``getis_gstar_sim``: same keyed affine
+    rank→position draw (position (c_i + a_i·q) mod m for template slot q,
+    a_i the first unit mod m in the 64-candidate window keyed by
+    h32('gsim-A:seed:id'), c_i = own hash-shuffled pool position or
+    h32('gsim-B:seed:id') mod m — ``_crand_rank_sums``) + shared
+    per-permutation rank templates τ_p over slots 1..m−1
+    (``_sim_slots``), same folded p_sim and pooled z_sim, same
     hash-ranked bounded candidate pool when ``pool_size`` is set (mirrors
-    ``_hash_pool``).  ``values_sql`` must yield (id, y) with
-    INTEGER-VALUED y so every sum is order-exact in both engines.
-    ``knn_cte`` is a WITH prologue providing pts and knn(id, nbr)."""
+    ``_hash_pool``, position order included).  ``values_sql`` must yield
+    (id, y) with INTEGER-VALUED y so every sum is order-exact in both
+    engines.  ``knn_cte`` is a WITH prologue providing pts and
+    knn(id, nbr)."""
     P = _HASH_P
     pool_sql = _pool_cte("SELECT id, y FROM yv", "gsim-pool", pool_size)
+    pos_sql = _pool_pos_cte("SELECT id, y FROM vpool", "gsim-pool")
     return f"""{knn_cte},
     yv AS ({values_sql}),
     vpool AS ({pool_sql}),
+    vp AS ({pos_sql}),
     tot AS (SELECT sum(y) AS ysum, count(*) AS n FROM yv),
     deg AS (
       SELECT k.id, count(*) AS d, sum(yn.y) AS nbrsum
       FROM knn k JOIN yv yn ON k.nbr = yn.id GROUP BY k.id
     ),
-    gh AS (SELECT id, y,
-                  ('0x' || substring(md5('gsim-g:' || id), 1, 8))::BIGINT
-                    % {P} AS gj
-           FROM vpool),
     mq AS (SELECT count(*) AS m FROM vpool),
-    pia AS (
+    hh AS (
       SELECT id,
-             1 + ('0x' || substring(md5(concat_ws(':', 'gsim-A', {seed},
-                     id)), 1, 8))::BIGINT % {P - 1} AS a,
+             ('0x' || substring(md5(concat_ws(':', 'gsim-A', {seed},
+                     id)), 1, 8))::BIGINT AS ha,
              ('0x' || substring(md5(concat_ws(':', 'gsim-B', {seed},
-                     id)), 1, 8))::BIGINT % {P} AS b
+                     id)), 1, 8))::BIGINT AS hb
       FROM yv
     ),
-    rk AS (
-      SELECT i.id, o.y,
-             row_number() OVER (
-               PARTITION BY i.id
-               ORDER BY (i.a * o.gj + i.b) % {P} ASC, o.id ASC) AS r
-      FROM pia i JOIN gh o ON o.id <> i.id
+    pa AS (
+      SELECT id, arg_min(cand, k) AS a FROM (
+        SELECT h.id, t.k,
+               1 + (h.ha % (q.m - 1) + t.k) % (q.m - 1) AS cand
+        FROM hh h, mq q, range({_A_TRIES}) t(k))
+      WHERE gcd(cand, (SELECT m FROM mq)) = 1
+      GROUP BY id
+    ),
+    cc AS (
+      SELECT h.id, pa.a, coalesce(vp.pos, h.hb % q.m) AS c
+      FROM hh h JOIN pa ON pa.id = h.id
+           LEFT JOIN vp ON vp.id = h.id, mq q
     ),
     tg AS (SELECT q, ('0x' || substring(md5('gsim-G:' || q), 1, 8))::BIGINT
                        % {P} AS gq
@@ -516,10 +580,12 @@ def getis_sim_oracle_sql(
       FROM tab t, tg g
     ),
     sims AS (
-      SELECT rk.id, tau.p, sum(rk.y) AS s
-      FROM rk JOIN deg d ON d.id = rk.id
-           JOIN tau ON tau.q = rk.r AND tau.tr <= d.d
-      GROUP BY rk.id, tau.p
+      SELECT cc.id, tau.p, sum(vpd.y) AS s
+      FROM cc JOIN deg d ON d.id = cc.id
+           JOIN tau ON tau.tr <= d.d
+           JOIN vp vpd
+             ON vpd.pos = (cc.c + cc.a * tau.q) % (SELECT m FROM mq)
+      GROUP BY cc.id, tau.p
     ),
     per AS (
       SELECT s.id,

@@ -223,11 +223,12 @@ def moran_local_hash_sim(
 
     Same conditional randomization as ``moran_local(permutations=k)`` but
     the deg(i)-subsets are drawn by the keyed-hash PySAL-crand scheme of
-    getis_gstar_sim (one π ordering per row under (A_i·g_j + B_i) mod
-    2³¹−1, shared per-permutation rank templates τ_p — getis._sim_slots /
-    _crand_rank_sums, per-row cost O(pool·log pool + perms·deg)) instead
-    of a numpy RNG stream, so a DuckDB oracle can replay the draw
-    verbatim.  Requires deg ≤ pool−1 (the template's slot count).
+    getis_gstar_sim (a keyed affine bijection of hash-shuffled pool
+    positions per row, shared per-permutation rank templates τ_p —
+    getis._sim_slots / _crand_rank_sums, per-row cost O(perms·deg), no
+    sort) instead of a numpy RNG stream, so a DuckDB oracle can replay
+    the draw verbatim.  Requires deg ≤ pool−1 (the template's slot
+    count).
 
     Exactness contract (why every comparison is integer):
 
@@ -243,13 +244,13 @@ def moran_local_hash_sim(
 
     ``pool_size`` bounds driver/broadcast state to O(pool + perms·maxdeg)
     (value pool + deg-truncated slot templates) and per-row compute to
-    O(pool·log pool + permutations·deg): samples are drawn from a
+    O(permutations·deg): samples are drawn from a
     hash-ranked uniform subsample of the values (getis._hash_pool, tag
     'msim-pool') — exact conditional randomization when n ≤ pool,
     replayable by the DuckDB oracle either way.  ``pool_size=None``
     forces the exact all-values pool (bounded inputs only).
     """
-    from crankshaft_spark.operators.getis import _HASH_P, _h32, _hash_pool
+    from crankshaft_spark.operators.getis import _h32_col, _hash_pool
 
     analytic = moran_local(values, edges, value_col=value_col)
 
@@ -262,7 +263,6 @@ def moran_local_hash_sim(
     ids, yl = _hash_pool(values, value_col, "msim-pool", pool_size,
                          cast="long")
     y = np.array([int(v) for v in yl], dtype=np.int64)
-    g = np.array([_h32(f"msim-g:{i}") % _HASH_P for i in ids], dtype=np.int64)
     m = len(y)  # pool size (== n when pool_size is None or n <= pool_size)
     # n and Σy are GLOBAL (the sign test z_i = y_i·n − Σy uses the global
     # mean), never pool aggregates
@@ -282,6 +282,8 @@ def moran_local_hash_sim(
         .join(values.select("id",
                             F.col(value_col).cast("long").alias("_yself")),
               "id")
+        .withColumn("_ha", _h32_col("msim-A", seed))
+        .withColumn("_hb", _h32_col("msim-B", seed))
     )
     # deg-truncated templates: only the first deg rank slots are drawn,
     # so the broadcast is O(perms·maxdeg) not O(perms·pool) (getis twin)
@@ -291,7 +293,6 @@ def moran_local_hash_sim(
             f"moran_local_hash_sim: max deg {maxd} exceeds the {m - 1} "
             f"pool template slots — raise pool_size (got {m})")
     by = spark.sparkContext.broadcast(y)
-    bg = spark.sparkContext.broadcast(g)
     bpos = spark.sparkContext.broadcast({v: i for i, v in enumerate(ids)})
     bslots = spark.sparkContext.broadcast(
         _sim_slots("msim", seed, permutations, m)[:, :maxd])
@@ -301,7 +302,7 @@ def moran_local_hash_sim(
     def run(pdfs):
         from crankshaft_spark.operators.getis import _crand_rank_sums
 
-        yv, gv, pos = by.value, bg.value, bpos.value
+        yv, pos = by.value, bpos.value
         slots = bslots.value
         for pdf in pdfs:
             if not len(pdf):
@@ -325,8 +326,9 @@ def moran_local_hash_sim(
                             f"moran_local_hash_sim: deg({rid})={d} exceeds "
                             f"the {m - 1} pool template slots — raise "
                             f"pool_size (got {m})")
-                s = _crand_rank_sums(r_d, d_d, excl, gv, yv, seed,
-                                     "msim", slots)
+                ha = pdf["_ha"].to_numpy(dtype=np.int64)[draw]
+                hb = pdf["_hb"].to_numpy(dtype=np.int64)[draw]
+                s = _crand_rank_sums(ha, hb, d_d, excl, yv, slots)
                 nb = np.array([nbrsums[k] for k in draw],
                               dtype=np.int64)[:, None]
                 pos_sign = np.array([sgs[k] > 0 for k in draw])
@@ -341,7 +343,8 @@ def moran_local_hash_sim(
     from crankshaft_spark.functions.spread import spread_groups
 
     p = spread_groups(
-        nbr_stats.select("id", "_deg", "_nbrsum", "_yself"), "id"
+        nbr_stats.select("id", "_deg", "_nbrsum", "_yself", "_ha", "_hb"),
+        "id"
     ).mapInPandas(run, schema)
     return analytic.join(p, "id").select(
         "id", "quad", "local_i", "p_sim"

@@ -870,25 +870,33 @@ def o_moran_local_sim():
                  AS _pu
         FROM yv)
       ORDER BY _pu, id LIMIT {SIM_POOL}),
-    gh AS (SELECT id, y,
-                  ('0x' || substring(md5('msim-g:' || id), 1, 8))::BIGINT
-                    % {P} AS gj
-           FROM pool),
+    vp AS (
+      SELECT id, y,
+             row_number() OVER (
+               ORDER BY ('0x' || substring(md5('msim-pool-pos:' || id),
+                         1, 8))::BIGINT ASC, id ASC) - 1 AS pos
+      FROM pool),
     mq AS (SELECT count(*) AS m FROM pool),
-    pia AS (
+    hh AS (
       SELECT i.id,
-             1 + ('0x' || substring(md5(concat_ws(':', 'msim-A', {seed},
-                     i.id)), 1, 8))::BIGINT % {P - 1} AS a,
+             ('0x' || substring(md5(concat_ws(':', 'msim-A', {seed},
+                     i.id)), 1, 8))::BIGINT AS ha,
              ('0x' || substring(md5(concat_ws(':', 'msim-B', {seed},
-                     i.id)), 1, 8))::BIGINT % {P} AS b
+                     i.id)), 1, 8))::BIGINT AS hb
       FROM (SELECT id FROM sgn WHERE sg <> 0) i
     ),
-    rk AS (
-      SELECT i.id, o.y,
-             row_number() OVER (
-               PARTITION BY i.id
-               ORDER BY (i.a * o.gj + i.b) % {P} ASC, o.id ASC) AS r
-      FROM pia i JOIN gh o ON o.id <> i.id
+    pa AS (
+      SELECT id, arg_min(cand, k) AS a FROM (
+        SELECT h.id, t.k,
+               1 + (h.ha % (q.m - 1) + t.k) % (q.m - 1) AS cand
+        FROM hh h, mq q, range(64) t(k))
+      WHERE gcd(cand, (SELECT m FROM mq)) = 1
+      GROUP BY id
+    ),
+    cc AS (
+      SELECT h.id, pa.a, coalesce(vp.pos, h.hb % q.m) AS c
+      FROM hh h JOIN pa ON pa.id = h.id
+           LEFT JOIN vp ON vp.id = h.id, mq q
     ),
     tg AS (SELECT q, ('0x' || substring(md5('msim-G:' || q), 1, 8))::BIGINT
                        % {P} AS gq
@@ -909,10 +917,12 @@ def o_moran_local_sim():
       FROM tab t, tg g
     ),
     sims AS (
-      SELECT rk.id, tau.p, sum(rk.y) AS s
-      FROM rk JOIN deg d ON d.id = rk.id
-           JOIN tau ON tau.q = rk.r AND tau.tr <= d.d
-      GROUP BY rk.id, tau.p
+      SELECT cc.id, tau.p, sum(vpd.y) AS s
+      FROM cc JOIN deg d ON d.id = cc.id
+           JOIN tau ON tau.tr <= d.d
+           JOIN vp vpd
+             ON vpd.pos = (cc.c + cc.a * tau.q) % (SELECT m FROM mq)
+      GROUP BY cc.id, tau.p
     ),
     per AS (
       SELECT s.id,

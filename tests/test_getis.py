@@ -122,7 +122,12 @@ def test_getis_sim_bounded_pool(getis_input):
     # everything the sim paths hold on the driver comes from this helper)
     ids, yl = _hash_pool(values, "value", "gsim-pool", pool)
     assert len(ids) == len(yl) == pool
-    assert ids == sorted(ids)
+    # position order is the '-pos' keyed hash shuffle, not id order (the
+    # affine draw walks positions, so id-correlated values must not sit
+    # in id order)
+    from crankshaft_spark.operators.getis import _h32
+    assert ids == sorted(ids, key=lambda i: (_h32(f"gsim-pool-pos:{i}"), i))
+    assert ids != sorted(ids)
     # deterministic: same hash-ranked subsample every call
     assert _hash_pool(values, "value", "gsim-pool", pool)[0] == ids
 
@@ -144,50 +149,55 @@ def test_getis_sim_bounded_pool(getis_input):
 
 def test_crand_rank_sums_kernel_properties():
     """Pure-numpy pins on the crand draw kernel: (a) an independent
-    scalar replay of the π-ranking + template-gather definition matches
-    the vectorized kernel for in-pool and off-pool rows, (b) chunking
-    (max_elems) never changes values — guards the chunk-size formula,
-    (c) deg-truncated templates (slots[:, :maxdeg], what the operators
-    broadcast) are draw-invariant."""
+    scalar replay of the affine rank→position definition matches the
+    vectorized kernel for in-pool and off-pool rows (self never drawn,
+    every draw a true d-subset), (b) chunking (max_elems) never changes
+    values — guards the chunk-size formula, (c) deg-truncated templates
+    (slots[:, :maxdeg], what the operators broadcast) are draw-invariant,
+    (d) the coprime window always yields a unit mod m (gcd(a, m) = 1),
+    including at a highly-composite m."""
+    import math
+
     import numpy as np
 
     from crankshaft_spark.operators.getis import (
-        _HASH_P, _crand_rank_sums, _h32, _sim_slots)
+        _A_TRIES, _crand_rank_sums, _h32, _sim_slots)
 
-    m, perms, seed = 37, 11, 99
-    ids = list(range(100, 100 + m))
-    yv = np.arange(m, dtype=float) * 3.0
-    gv = np.array([_h32(f"t-g:{i}") % _HASH_P for i in ids], dtype=np.int64)
-    slots = _sim_slots("t", seed, perms, m)
-    assert slots.shape == (perms, m - 1)
-    # every template row is a permutation of slots 1..m-1
-    assert all(sorted(row) == list(range(1, m)) for row in slots)
+    for m in (37, 36, 64, 30030):  # prime / composite / 2^k / primorial
+        perms, seed = 11, 99
+        yv = np.arange(m, dtype=float) * 3.0
+        slots = _sim_slots("t", seed, perms, m)
+        assert slots.shape == (perms, m - 1)
+        # every template row is a permutation of slots 1..m-1
+        assert all(sorted(row) == list(range(1, m)) for row in slots)
 
-    rids = [ids[0], ids[5], 999]   # 999 = off-pool row (excl -1)
-    degs = [4, 7, 3]
-    excl = [0, 5, -1]
-    s = _crand_rank_sums(rids, degs, excl, gv, yv, seed, "t", slots)
+        rids = [100, 105, 999]   # 999 = off-pool row (excl -1)
+        degs = [4, 7, 3]
+        excl = [0, 5, -1]
+        ha = np.array([_h32(f"t-A:{seed}:{r}") for r in rids],
+                      dtype=np.int64)
+        hb = np.array([_h32(f"t-B:{seed}:{r}") for r in rids],
+                      dtype=np.int64)
+        s = _crand_rank_sums(ha, hb, degs, excl, yv, slots)
 
-    # (a) independent scalar replay of the definition
-    for k, (rid, d, ex) in enumerate(zip(rids, degs, excl)):
-        A = 1 + _h32(f"t-A:{seed}:{rid}") % (_HASH_P - 1)
-        B = _h32(f"t-B:{seed}:{rid}") % _HASH_P
-        key = [((A * int(g) + B) % _HASH_P, j) for j, g in enumerate(gv)]
-        if ex >= 0:
-            key[ex] = (_HASH_P, ex)  # self forced past every real key
-        order = [j for _, j in sorted(key)]
-        for p in range(perms):
-            drawn = [order[q - 1] for q in slots[p, :d]]
-            assert ex not in drawn            # self never drawn
-            assert len(set(drawn)) == d       # a true d-subset
-            assert s[k, p] == sum(yv[j] for j in drawn)
+        # (a) independent scalar replay of the definition
+        for k, (d, ex) in enumerate(zip(degs, excl)):
+            a0 = 1 + int(ha[k]) % (m - 1)
+            a = next(1 + (a0 - 1 + t) % (m - 1) for t in range(_A_TRIES)
+                     if math.gcd(1 + (a0 - 1 + t) % (m - 1), m) == 1)
+            assert math.gcd(a, m) == 1                       # (d)
+            c = ex if ex >= 0 else int(hb[k]) % m
+            for p in range(perms):
+                drawn = [(c + a * int(q)) % m for q in slots[p, :d]]
+                assert ex not in drawn            # self never drawn
+                assert len(set(drawn)) == d       # a true d-subset
+                assert s[k, p] == sum(yv[j] for j in drawn)
 
-    # (b) chunk invariance: max_elems=1 forces one-row chunks
-    s1 = _crand_rank_sums(rids, degs, excl, gv, yv, seed, "t", slots,
-                          max_elems=1)
-    assert np.array_equal(s, s1)
+        # (b) chunk invariance: max_elems=1 forces one-row chunks
+        s1 = _crand_rank_sums(ha, hb, degs, excl, yv, slots, max_elems=1)
+        assert np.array_equal(s, s1)
 
-    # (c) truncation invariance at maxdeg
-    st = _crand_rank_sums(rids, degs, excl, gv, yv, seed, "t",
-                          slots[:, :max(degs)])
-    assert np.array_equal(s, st)
+        # (c) truncation invariance at maxdeg
+        st = _crand_rank_sums(ha, hb, degs, excl, yv,
+                              slots[:, :max(degs)])
+        assert np.array_equal(s, st)
