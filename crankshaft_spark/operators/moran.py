@@ -217,6 +217,8 @@ def moran_local_hash_sim(
     permutations: int = 19,
     seed: int = 1234,
     pool_size: int | None = SIM_POOL_DEFAULT,
+    persist: bool = True,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Local Moran with an ORACLE-EXPRESSIBLE permutation p_sim →
     (id, quad, local_i, p_sim).
@@ -285,6 +287,13 @@ def moran_local_hash_sim(
         .withColumn("_ha", _h32_col("msim-A", seed))
         .withColumn("_hb", _h32_col("msim-B", seed))
     )
+    # nbr_stats feeds TWO actions — the maxd aggregate and the sim input —
+    # so pin it or the edge join+groupBy executes twice (getis twin; same
+    # persist contract: callers collect the handle via persist_registry)
+    if persist:
+        nbr_stats = nbr_stats.persist()
+        if persist_registry is not None:
+            persist_registry.append(nbr_stats)
     # deg-truncated templates: only the first deg rank slots are drawn,
     # so the broadcast is O(perms·maxdeg) not O(perms·pool) (getis twin)
     maxd = int(nbr_stats.agg(F.max("_deg")).first()[0] or 0)
