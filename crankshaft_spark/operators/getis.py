@@ -272,14 +272,29 @@ def _crand_rank_sums(ha, hb, degs, excl, yv, slots, max_elems=1 << 24):
     bound, which capped N→4N core scaling at ~0.45 — this form is ~1 µs/row
     and gather-bound).
 
-    Statistical shape is unchanged from the sort-based kernel: both are
-    2-parameter keyed orderings drawn against the same shared slot
-    templates, and |π(S_p) ∩ π(S_q)| = |S_p ∩ S_q| under ANY bijection,
-    so the across-permutation overlap structure is identical.  Marginal
-    genericity of the drawn VALUE sets comes from the pool's own
-    hash-shuffled position order (``_hash_pool`` ``-pos`` key): positions
-    hold exchangeable hash-assigned values, so affine position sets are
-    distributionally uniform value draws.
+    Statistical shape vs the sort-based kernel: the ACROSS-permutation
+    structure is identical (|π(S_p) ∩ π(S_q)| = |S_p ∩ S_q| under ANY
+    bijection, so overlap correlation is exactly the shared-template
+    overlap, the PySAL ``__crand`` shape), and marginal genericity of the
+    drawn VALUE sets comes from the pool's own hash-shuffled position
+    order (``_hash_pool`` ``-pos`` key): positions hold exchangeable
+    hash-assigned values, so affine position sets are distributionally
+    uniform value draws.  The ACROSS-ROW ordering family is coarser,
+    though: the affine map has at most m·φ(m) distinct (a, c) pairs
+    (~2^31 at the 64k default pool) where the sort-based keyed-hash
+    ranking had ~2^62 — so once n ≫ √(m·φ(m)), birthday-colliding row
+    pairs (expected ≈ n²/(2·m·φ(m))) share a FULL ordering and hence
+    identical null draws: their p_sims are perfectly correlated (each
+    row's marginal null law is unchanged — a collision duplicates a
+    valid draw, it doesn't bias it, and pooled z_sim moments just
+    average duplicated draws).  At the 64k default that is ~23k
+    colliding pairs per 10M rows (5e-10 of all pairs) — negligible;
+    tiny pools (the 512-value gate/simscale settings) accept a real
+    coarsening in exchange for test-scale oracle replay.  PySAL's own
+    crand re-shuffles ids per row (full per-row entropy) but shares the
+    rank templates across all rows — our templates mirror that; only
+    the per-row ordering family is narrower, and only below ~√(m·φ(m))
+    rows of headroom.
 
     ``ha``/``hb`` are the portable 32-bit hashes
     h32(f"{tag}-A:{seed}:{id}") / h32(f"{tag}-B:{seed}:{id}") — computed
@@ -515,6 +530,79 @@ def getis_gstar_sim(
     )
 
 
+def crand_draw_ctes(tag: str, *, seed: int, permutations: int,
+                    pool_size: int | None,
+                    ids_sql: str = "SELECT id FROM yv") -> str:
+    """Shared DuckDB CTE block replaying the keyed affine crand draw —
+    ``_hash_pool`` (bounded pool + hash-shuffled positions),
+    ``_sim_slots`` (shared per-permutation rank templates) and
+    ``_crand_rank_sums`` (per-row affine rank→position bijection,
+    ``_A_TRIES`` coprime window) — so every sim oracle interpolates ONE
+    definition of the draw (a tuned ``_A_TRIES`` or ``-pos`` hash scheme
+    changes every oracle together, or none).
+
+    Callers must define ``yv(id, y)`` and ``deg(id, d, nbrsum)`` CTEs
+    BEFORE splicing this block (no leading/trailing comma); it
+    contributes ``vpool/vp/mq/hh/pa/cc/tg/tab/tau/sims``, where
+    ``sims(id, p, s)`` is row id's drawn value sum under permutation p.
+    ``ids_sql`` narrows the rows that draw (moran skips z = 0 rows);
+    hash preimages are ``{tag}-pool`` / ``{tag}-pool-pos`` (pool) and
+    ``{tag}-A/B/G/c/e`` (draw), matching the Spark operators' tags."""
+    P = _HASH_P
+    pool_sql = _pool_cte("SELECT id, y FROM yv", f"{tag}-pool", pool_size)
+    pos_sql = _pool_pos_cte("SELECT id, y FROM vpool", f"{tag}-pool")
+    return f"""vpool AS ({pool_sql}),
+    vp AS ({pos_sql}),
+    mq AS (SELECT count(*) AS m FROM vpool),
+    hh AS (
+      SELECT id,
+             ('0x' || substring(md5(concat_ws(':', '{tag}-A', {seed},
+                     id)), 1, 8))::BIGINT AS ha,
+             ('0x' || substring(md5(concat_ws(':', '{tag}-B', {seed},
+                     id)), 1, 8))::BIGINT AS hb
+      FROM ({ids_sql})
+    ),
+    pa AS (
+      SELECT id, arg_min(cand, k) AS a FROM (
+        SELECT h.id, t.k,
+               1 + (h.ha % (q.m - 1) + t.k) % (q.m - 1) AS cand
+        FROM hh h, mq q, range({_A_TRIES}) t(k))
+      WHERE gcd(cand, (SELECT m FROM mq)) = 1
+      GROUP BY id
+    ),
+    cc AS (
+      SELECT h.id, pa.a, coalesce(vp.pos, h.hb % q.m) AS c
+      FROM hh h JOIN pa ON pa.id = h.id
+           LEFT JOIN vp ON vp.id = h.id, mq q
+    ),
+    tg AS (SELECT q, ('0x' || substring(md5('{tag}-G:' || q), 1, 8))::BIGINT
+                       % {P} AS gq
+           FROM (SELECT unnest(range(1, (SELECT m FROM mq))) AS q)),
+    tab AS (
+      SELECT pp.p,
+             1 + ('0x' || substring(md5(concat_ws(':', '{tag}-c', {seed},
+                     pp.p)), 1, 8))::BIGINT % {P - 1} AS c,
+             ('0x' || substring(md5(concat_ws(':', '{tag}-e', {seed},
+                     pp.p)), 1, 8))::BIGINT % {P} AS e
+      FROM (SELECT unnest(range({permutations})) AS p) pp
+    ),
+    tau AS (
+      SELECT t.p, g.q,
+             row_number() OVER (
+               PARTITION BY t.p
+               ORDER BY (t.c * g.gq + t.e) % {P} ASC, g.q ASC) AS tr
+      FROM tab t, tg g
+    ),
+    sims AS (
+      SELECT cc.id, tau.p, sum(vpd.y) AS s
+      FROM cc JOIN deg d ON d.id = cc.id
+           JOIN tau ON tau.tr <= d.d
+           JOIN vp vpd
+             ON vpd.pos = (cc.c + cc.a * tau.q) % (SELECT m FROM mq)
+      GROUP BY cc.id, tau.p
+    )"""
+
+
 def getis_sim_oracle_sql(
     values_sql: str,
     knn_cte: str,
@@ -535,66 +623,16 @@ def getis_sim_oracle_sql(
     (id, y) with INTEGER-VALUED y so every sum is order-exact in both
     engines.  ``knn_cte`` is a WITH prologue providing pts and
     knn(id, nbr)."""
-    P = _HASH_P
-    pool_sql = _pool_cte("SELECT id, y FROM yv", "gsim-pool", pool_size)
-    pos_sql = _pool_pos_cte("SELECT id, y FROM vpool", "gsim-pool")
+    draw = crand_draw_ctes("gsim", seed=seed, permutations=permutations,
+                           pool_size=pool_size)
     return f"""{knn_cte},
     yv AS ({values_sql}),
-    vpool AS ({pool_sql}),
-    vp AS ({pos_sql}),
     tot AS (SELECT sum(y) AS ysum, count(*) AS n FROM yv),
     deg AS (
       SELECT k.id, count(*) AS d, sum(yn.y) AS nbrsum
       FROM knn k JOIN yv yn ON k.nbr = yn.id GROUP BY k.id
     ),
-    mq AS (SELECT count(*) AS m FROM vpool),
-    hh AS (
-      SELECT id,
-             ('0x' || substring(md5(concat_ws(':', 'gsim-A', {seed},
-                     id)), 1, 8))::BIGINT AS ha,
-             ('0x' || substring(md5(concat_ws(':', 'gsim-B', {seed},
-                     id)), 1, 8))::BIGINT AS hb
-      FROM yv
-    ),
-    pa AS (
-      SELECT id, arg_min(cand, k) AS a FROM (
-        SELECT h.id, t.k,
-               1 + (h.ha % (q.m - 1) + t.k) % (q.m - 1) AS cand
-        FROM hh h, mq q, range({_A_TRIES}) t(k))
-      WHERE gcd(cand, (SELECT m FROM mq)) = 1
-      GROUP BY id
-    ),
-    cc AS (
-      SELECT h.id, pa.a, coalesce(vp.pos, h.hb % q.m) AS c
-      FROM hh h JOIN pa ON pa.id = h.id
-           LEFT JOIN vp ON vp.id = h.id, mq q
-    ),
-    tg AS (SELECT q, ('0x' || substring(md5('gsim-G:' || q), 1, 8))::BIGINT
-                       % {P} AS gq
-           FROM (SELECT unnest(range(1, (SELECT m FROM mq))) AS q)),
-    tab AS (
-      SELECT pp.p,
-             1 + ('0x' || substring(md5(concat_ws(':', 'gsim-c', {seed},
-                     pp.p)), 1, 8))::BIGINT % {P - 1} AS c,
-             ('0x' || substring(md5(concat_ws(':', 'gsim-e', {seed},
-                     pp.p)), 1, 8))::BIGINT % {P} AS e
-      FROM (SELECT unnest(range({permutations})) AS p) pp
-    ),
-    tau AS (
-      SELECT t.p, g.q,
-             row_number() OVER (
-               PARTITION BY t.p
-               ORDER BY (t.c * g.gq + t.e) % {P} ASC, g.q ASC) AS tr
-      FROM tab t, tg g
-    ),
-    sims AS (
-      SELECT cc.id, tau.p, sum(vpd.y) AS s
-      FROM cc JOIN deg d ON d.id = cc.id
-           JOIN tau ON tau.tr <= d.d
-           JOIN vp vpd
-             ON vpd.pos = (cc.c + cc.a * tau.q) % (SELECT m FROM mq)
-      GROUP BY cc.id, tau.p
-    ),
+    {draw},
     per AS (
       SELECT s.id,
              sum(CASE WHEN s.s >= d.nbrsum THEN 1 ELSE 0 END) AS larger,

@@ -846,8 +846,15 @@ def q_moran_local_sim(spark, sf_dir):
 
 
 def o_moran_local_sim():
-    P = 2147483647
+    from crankshaft_spark.operators.getis import crand_draw_ctes
+
     perms, seed = GETIS_SIM_PERMS, 1234
+    # one shared definition of the crand draw (pool, positions, affine
+    # bijection, templates): any kernel tuning flows to BOTH sim oracles
+    # through getis.crand_draw_ctes or to neither (round-4 review item)
+    draw = crand_draw_ctes("msim", seed=seed, permutations=perms,
+                           pool_size=SIM_POOL,
+                           ids_sql="SELECT id FROM sgn WHERE sg <> 0")
     return f"""{_KNN_CTE},
     yv AS (SELECT id, (id * 41) % 1000 AS y FROM pts),
     tot AS (SELECT sum(y) AS ysum, count(*) AS n FROM yv),
@@ -863,67 +870,7 @@ def o_moran_local_sim():
       FROM knn k JOIN yv yn ON k.nbr = yn.id GROUP BY k.id
     ),
     sgn AS (SELECT yv.id, yv.y * t.n - t.ysum AS sg FROM yv, tot t),
-    pool AS (
-      SELECT id, y FROM (
-        SELECT id, y,
-               ('0x' || substring(md5('msim-pool:' || id), 1, 8))::BIGINT
-                 AS _pu
-        FROM yv)
-      ORDER BY _pu, id LIMIT {SIM_POOL}),
-    vp AS (
-      SELECT id, y,
-             row_number() OVER (
-               ORDER BY ('0x' || substring(md5('msim-pool-pos:' || id),
-                         1, 8))::BIGINT ASC, id ASC) - 1 AS pos
-      FROM pool),
-    mq AS (SELECT count(*) AS m FROM pool),
-    hh AS (
-      SELECT i.id,
-             ('0x' || substring(md5(concat_ws(':', 'msim-A', {seed},
-                     i.id)), 1, 8))::BIGINT AS ha,
-             ('0x' || substring(md5(concat_ws(':', 'msim-B', {seed},
-                     i.id)), 1, 8))::BIGINT AS hb
-      FROM (SELECT id FROM sgn WHERE sg <> 0) i
-    ),
-    pa AS (
-      SELECT id, arg_min(cand, k) AS a FROM (
-        SELECT h.id, t.k,
-               1 + (h.ha % (q.m - 1) + t.k) % (q.m - 1) AS cand
-        FROM hh h, mq q, range(64) t(k))
-      WHERE gcd(cand, (SELECT m FROM mq)) = 1
-      GROUP BY id
-    ),
-    cc AS (
-      SELECT h.id, pa.a, coalesce(vp.pos, h.hb % q.m) AS c
-      FROM hh h JOIN pa ON pa.id = h.id
-           LEFT JOIN vp ON vp.id = h.id, mq q
-    ),
-    tg AS (SELECT q, ('0x' || substring(md5('msim-G:' || q), 1, 8))::BIGINT
-                       % {P} AS gq
-           FROM (SELECT unnest(range(1, (SELECT m FROM mq))) AS q)),
-    tab AS (
-      SELECT pp.p,
-             1 + ('0x' || substring(md5(concat_ws(':', 'msim-c', {seed},
-                     pp.p)), 1, 8))::BIGINT % {P - 1} AS c,
-             ('0x' || substring(md5(concat_ws(':', 'msim-e', {seed},
-                     pp.p)), 1, 8))::BIGINT % {P} AS e
-      FROM (SELECT unnest(range({perms})) AS p) pp
-    ),
-    tau AS (
-      SELECT t.p, g.q,
-             row_number() OVER (
-               PARTITION BY t.p
-               ORDER BY (t.c * g.gq + t.e) % {P} ASC, g.q ASC) AS tr
-      FROM tab t, tg g
-    ),
-    sims AS (
-      SELECT cc.id, tau.p, sum(vpd.y) AS s
-      FROM cc JOIN deg d ON d.id = cc.id
-           JOIN tau ON tau.tr <= d.d
-           JOIN vp vpd
-             ON vpd.pos = (cc.c + cc.a * tau.q) % (SELECT m FROM mq)
-      GROUP BY cc.id, tau.p
-    ),
+    {draw},
     per AS (
       SELECT s.id,
              sum(CASE WHEN g.sg > 0
