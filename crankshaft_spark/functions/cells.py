@@ -194,3 +194,121 @@ def ring_cells_expr(cell: Column, ring) -> Column:
             ),
         )
     )
+
+
+# --------------------------------------------------------------- hex cells --
+# The H3-flavored face of the index (SURVEY §2.4: "own deterministic
+# hex/Z-order cell implementation" when no h3 wheel exists).  Flat-top
+# axial hexagons in lon/lat space with exact cube rounding — the standard
+# axial-coordinate construction (public reference: the hexagonal-grids
+# literature popularized by Red Blob Games; H3's gnomonic icosahedron
+# projection is deliberately NOT replicated — it needs per-face spherical
+# trig that can't be replayed bit-for-bit in the DuckDB oracle).  Every
+# step is closed-form double arithmetic written in ONE operand order, so
+# Spark and DuckDB assign identical cells (the cellv1 parity contract,
+# hexv1 here).  Hexagons tile without the rectangular grid's corner
+# ambiguity: each point has a UNIQUE nearest hex center (ties measure
+# zero and resolve by the pinned comparison order), which is what the
+# density/tiling surface wants from an H3-style key.
+
+#: circumradius multipliers (flat-top axial transform), pinned doubles.
+_HEX_C23 = 2.0 / 3.0
+_HEX_C13 = 1.0 / 3.0
+#: ≈sqrt(3)/3 and sqrt(3), PINNED literals (1 ulp from the quotient form
+#: is fine — both engines must use the SAME double, not a "truer" one;
+#: the CLAUDE.md operand-order rule applied to constants).
+_HEX_S33 = 0.5773502691896258
+_HEX_S3 = 1.7320508075688772
+
+#: axial offset keeping packed (q, r) non-negative: |q| < 2^21 covers
+#: sizes down to ~1e-4 degrees over the lon/lat domain.
+HEX_OFF = 1 << 21
+
+HEX_VERSION = "hexv1"
+
+
+def hex_cell_expr(lon: Column, lat: Column, size: float) -> Column:
+    """hexv1 cell id for points: flat-top axial (q, r) at circumradius
+    ``size`` degrees, cube-rounded, packed ``(q+OFF)*2^32 + (r+OFF)``.
+
+    Axial transform: q_f = (x·2/3)/R,  r_f = (x·(−1/3) + y·(√3/3))/R.
+    Cube rounding (x=q, z=r, y=−x−z): round each via floor(v+0.5), then
+    repair the axis with the largest rounding error so x+y+z = 0 —
+    exactly the nearest-hex-center assignment.  floor/abs/compare on
+    identically-derived doubles are engine-exact, so the DuckDB mirror
+    (``hex_cell_sql``) reproduces every id bit-for-bit."""
+    qf = (lon * F.lit(_HEX_C23)) / F.lit(size)
+    rf = (lon * F.lit(-_HEX_C13) + lat * F.lit(_HEX_S33)) / F.lit(size)
+    sf = -qf - rf
+    rx = F.floor(qf + F.lit(0.5)).cast("double")
+    ry = F.floor(sf + F.lit(0.5)).cast("double")
+    rz = F.floor(rf + F.lit(0.5)).cast("double")
+    dx = F.abs(rx - qf)
+    dy = F.abs(ry - sf)
+    dz = F.abs(rz - rf)
+    fix_x = (dx > dy) & (dx > dz)
+    q = F.when(fix_x, -ry - rz).otherwise(rx)
+    r = (F.when(fix_x, rz)
+          .when(dy > dz, rz)
+          .otherwise(-rx - ry))
+    return ((q + F.lit(float(HEX_OFF))).cast("long") * F.lit(CELL_M)
+            + (r + F.lit(float(HEX_OFF))).cast("long")).alias("hex_cell")
+
+
+def hex_cell_sql(lon_expr: str, lat_expr: str, size: float) -> str:
+    """``hex_cell_expr`` as ANSI SQL text (DuckDB oracle mirror) — the
+    identical operand order, with the axial/cube intermediates spelled
+    once in a scalar-subquery-free nested SELECT (DuckDB CSEs them)."""
+    qf = f"(({lon_expr}) * {_HEX_C23!r}) / {size!r}"
+    rf = (f"(({lon_expr}) * {-_HEX_C13!r} + ({lat_expr}) * {_HEX_S33!r})"
+          f" / {size!r}")
+    sf = f"(-({qf}) - ({rf}))"
+    rx = f"floor(({qf}) + 0.5)"
+    ry = f"floor(({sf}) + 0.5)"
+    rz = f"floor(({rf}) + 0.5)"
+    dx = f"abs(({rx}) - ({qf}))"
+    dy = f"abs(({ry}) - ({sf}))"
+    dz = f"abs(({rz}) - ({rf}))"
+    fix_x = f"(({dx}) > ({dy}) AND ({dx}) > ({dz}))"
+    q = f"(CASE WHEN {fix_x} THEN -({ry}) - ({rz}) ELSE {rx} END)"
+    r = (f"(CASE WHEN {fix_x} THEN {rz}"
+         f" WHEN ({dy}) > ({dz}) THEN {rz}"
+         f" ELSE -({rx}) - ({ry}) END)")
+    return (f"(CAST({q} + {float(HEX_OFF)!r} AS BIGINT) * {CELL_M}"
+            f" + CAST({r} + {float(HEX_OFF)!r} AS BIGINT))")
+
+
+def hex_unpack_expr(cell: Column) -> Column:
+    """``struct(q, r)`` — signed axial coordinates of a hexv1 cell id."""
+    q = (cell / F.lit(CELL_M)).cast("long") - F.lit(HEX_OFF)
+    r = (cell % F.lit(CELL_M)).cast("long") - F.lit(HEX_OFF)
+    return F.struct(q.alias("q"), r.alias("r"))
+
+
+def hex_center_expr(cell: Column, size: float) -> Column:
+    """``struct(cx, cy)`` — the hex center in lon/lat (the vector side of
+    the hex raster: centers feed symbolization/interpolation the way
+    tile_bounds_expr feeds the rectangular tiles).  Inverse of the axial
+    transform: x = (q·1.5)·R,  y = ((r + q·0.5)·√3)·R — operand order
+    pinned for oracle replay."""
+    u = hex_unpack_expr(cell)
+    q = u["q"].cast("double")
+    r = u["r"].cast("double")
+    cx = (q * F.lit(1.5)) * F.lit(size)
+    cy = ((r + q * F.lit(0.5)) * F.lit(_HEX_S3)) * F.lit(size)
+    return F.struct(cx.alias("cx"), cy.alias("cy"))
+
+
+def hex_ring_expr(cell: Column, ring: int) -> Column:
+    """Array of hexv1 ids within axial ring distance ``ring`` (the hex
+    k-ring: 1 + 3·ring·(ring+1) cells) — the candidate-expansion
+    primitive for hex-keyed joins, mirroring ``ring_cells_expr`` on the
+    rectangular grid.  Hex distance = (|dq| + |dr| + |dq+dr|)/2; the
+    offset array is constant (codegen literal adds, no Python)."""
+    offsets = [
+        dq * CELL_M + dr
+        for dq in range(-ring, ring + 1)
+        for dr in range(-ring, ring + 1)
+        if (abs(dq) + abs(dr) + abs(dq + dr)) // 2 <= ring
+    ]
+    return F.array(*[cell + F.lit(o) for o in offsets])

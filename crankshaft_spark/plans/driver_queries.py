@@ -294,27 +294,49 @@ def q_grid_density(spark, sf_dir):
     # qk adds the quadtree tile-path string per cell (7 digits at the 5°
     # base grid, 5 at the 20° parent — factor 4 = 2 dropped digits, so
     # parents are prefixes of their children; oracle-exact BIGINT/string
-    # algebra).
-    from crankshaft_spark.functions.cells import quadkey_expr
+    # algebra).  The zoom=2 arm is the hexv1 density grid (flat-top axial
+    # hex cells, cube-rounded — functions/cells.py hex block): same
+    # map-side-combine groupBy shape on the H3-style key, qk carries the
+    # signed axial 'h<q>:<r>' label instead of a quadtree path (hexagons
+    # have no 4-ary parent string).
+    from crankshaft_spark.functions.cells import (
+        hex_cell_expr, hex_unpack_expr, quadkey_expr)
 
     pts = customer_points(spark, sf_dir)
     pyr = density_pyramid(pts, base_size=5.0, factors=(4,))
     qk = (F.when(F.col("zoom") == 0, quadkey_expr("cell", levels=7))
            .otherwise(quadkey_expr("cell", levels=5)))
-    return pyr.select("zoom", "cell", "n", qk.alias("qk"))
+    rect = pyr.select("zoom", "cell", "n", qk.alias("qk"))
+    u = hex_unpack_expr(F.col("cell"))
+    hexd = (
+        pts.withColumn("cell", hex_cell_expr(F.col("x"), F.col("y"), 5.0))
+        .groupBy("cell").agg(F.count("*").alias("n"))
+        .select(
+            F.lit(2).alias("zoom"), "cell", "n",
+            F.concat(F.lit("h"), u["q"].cast("string"), F.lit(":"),
+                     u["r"].cast("string")).alias("qk"))
+    )
+    return rect.unionByName(hexd)
 
 
 def o_grid_density():
-    from crankshaft_spark.functions.cells import quadkey_sql
+    from crankshaft_spark.functions.cells import (
+        CELL_M, HEX_OFF, hex_cell_sql, quadkey_sql)
 
     c5 = cell_sql("x", "y", 5.0)
     c20 = cell_sql("x", "y", 20.0)
+    hx = hex_cell_sql("x", "y", 5.0)
     return f"""{_PTS_CTE}
     SELECT 0 AS zoom, {c5} AS cell, count(*) AS n,
            {quadkey_sql(c5, 7)} AS qk FROM pts GROUP BY 2
     UNION ALL
     SELECT 1 AS zoom, {c20} AS cell, count(*) AS n,
-           {quadkey_sql(c20, 5)} AS qk FROM pts GROUP BY 2"""
+           {quadkey_sql(c20, 5)} AS qk FROM pts GROUP BY 2
+    UNION ALL
+    SELECT 2 AS zoom, cell, count(*) AS n,
+           'h' || CAST((cell // {CELL_M}) - {HEX_OFF} AS VARCHAR)
+               || ':' || CAST((cell % {CELL_M}) - {HEX_OFF} AS VARCHAR) AS qk
+    FROM (SELECT {hx} AS cell FROM pts) GROUP BY 2"""
 
 
 IDW_K = 8

@@ -387,3 +387,69 @@ def test_contour_max_cells_budget(spark):
     assert same.count() == base.count()
     with pytest.raises(ValueError, match="max_cells"):
         contour_cells(samples, cell_size=0.5, max_cells=0, persist=False)
+
+
+def test_hex_cells_replay_nearest_center_ring(spark):
+    """hexv1 (functions/cells.py): the Spark encode matches a pure-Python
+    IEEE replay bit-for-bit (the hexv1 contract — same closed-form ops,
+    same operand order); every point is nearest its own hex center among
+    the 6 axial neighbors (cube rounding = nearest-center assignment);
+    hex_ring_expr has the 1+3r(r+1) k-ring cardinality with ring=1 being
+    exactly the 6 neighbors; re-encoding a cell's center returns the cell."""
+    from crankshaft_spark.functions.cells import (
+        CELL_M, HEX_OFF, hex_cell_expr, hex_center_expr, hex_ring_expr,
+        hex_unpack_expr)
+
+    size, s33, s3 = 5.0, 0.5773502691896258, 1.7320508075688772
+    pts = spark.range(1, 4001).select(
+        "id",
+        (F.lit(-120.0) + ((F.col("id") * 9973) % 24000).cast("double")
+         / F.lit(100.0)).alias("x"),
+        (F.lit(-48.0) + ((F.col("id") * 7919) % 9600).cast("double")
+         / F.lit(100.0)).alias("y"))
+    rows = pts.select(
+        "x", "y", hex_cell_expr(F.col("x"), F.col("y"), size).alias("h"),
+        hex_unpack_expr(F.col("h")).alias("u"),
+        hex_center_expr(F.col("h"), size).alias("c")).collect()
+
+    def replay(x, y):
+        qf = (x * (2.0 / 3.0)) / size
+        rf = (x * -(1.0 / 3.0) + y * s33) / size
+        sf = -qf - rf
+        rx, ry, rz = (float(np.floor(v + 0.5)) for v in (qf, sf, rf))
+        dx, dy, dz = abs(rx - qf), abs(ry - sf), abs(rz - rf)
+        if dx > dy and dx > dz:
+            q, r = -ry - rz, rz
+        elif dy > dz:
+            q, r = rx, rz
+        else:
+            q, r = rx, -rx - ry
+        return int(q + HEX_OFF) * CELL_M + int(r + HEX_OFF)
+
+    for w in rows:
+        assert w["h"] == replay(w["x"], w["y"])
+        q, r = w["u"]["q"], w["u"]["r"]
+        assert w["h"] == (q + HEX_OFF) * CELL_M + (r + HEX_OFF)
+        cx, cy = w["c"]["cx"], w["c"]["cy"]
+        d0 = (w["x"] - cx) ** 2 + (w["y"] - cy) ** 2
+        for dq, dr in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)):
+            nx = ((q + dq) * 1.5) * size
+            ny = ((r + dr) + (q + dq) * 0.5) * s3 * size
+            assert (w["x"] - nx) ** 2 + (w["y"] - ny) ** 2 >= d0 - 1e-9
+
+    # k-ring cardinality + ring=1 neighbors; center re-encode round-trips
+    one = spark.createDataFrame([(replay(3.3, 7.7),)], "h long")
+    rings = one.select(
+        *[F.size(hex_ring_expr(F.col("h"), k)).alias(f"n{k}")
+          for k in range(4)],
+        hex_ring_expr(F.col("h"), 1).alias("r1"),
+        hex_center_expr(F.col("h"), size).alias("c"), "h").first()
+    assert [rings[f"n{k}"] for k in range(4)] == [1, 7, 19, 37]
+    nbrs = {rings["h"] + dq * CELL_M + dr
+            for dq, dr in ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
+                           (1, -1), (-1, 1))}
+    assert set(rings["r1"]) == nbrs
+    back = spark.createDataFrame(
+        [(rings["c"]["cx"], rings["c"]["cy"])], "x double, y double"
+    ).select(hex_cell_expr(F.col("x"), F.col("y"), size).alias("h")).first()
+    assert back["h"] == rings["h"]
