@@ -312,3 +312,90 @@ def hex_ring_expr(cell: Column, ring: int) -> Column:
         if (abs(dq) + abs(dr) + abs(dq + dr)) // 2 <= ring
     ]
     return F.array(*[cell + F.lit(o) for o in offsets])
+
+
+# ------------------------------------------------------------ hilbert key --
+# The S2-flavored face of the index: S2's essential trick is ordering cells
+# along a Hilbert space-filling curve so that curve-adjacent keys are
+# spatially adjacent — the locality that makes range partitioning,
+# clustered file layout and prefix scans work for spatial data (public
+# reference: the S2 geometry library's cell-id design and the standard
+# xy2d Hilbert arithmetic).  hilbertv1 = the div/mod form below over the
+# cellv1 quadtree at a fixed ``levels``; pure BIGINT arithmetic, so Spark
+# and the DuckDB oracle agree bit-for-bit.  At 100 TB the key's job is
+# LAYOUT: ``df.repartitionByRange(F.col('hkey'))`` (or writing sorted by
+# it) co-locates spatial neighbors into the same files/partitions, so
+# cell-keyed candidate joins and tile scans touch few partitions instead
+# of all of them — a pure data-layout win the rectangular key alone
+# cannot give (Z-order/quadkey has the two famous locality seams).
+
+HILBERT_VERSION = "hilbertv1"
+
+
+def with_hilbert(df: DataFrame, cell_col: str = "cell", *, levels: int,
+                 out: str = "hkey") -> DataFrame:
+    """Append the Hilbert-curve position of each cellv1 cell at the given
+    quadtree depth (``n = 2^levels`` per axis; key in [0, 4^levels)).
+
+    One chained projection per level — O(levels) plan nodes, all
+    whole-stage-codegen integer CASE/div/mod (no Python, no shuffle).
+    Out-of-domain cells (ix or iy ≥ 2^levels, negative id) fail loudly,
+    mirroring ``quadkey_expr``.  The per-level step is the classic xy2d
+    round: d += s²·((3·rx) xor ry) spelled as CASE (rx=1 ⇒ 3−ry), then
+    the (reflect ∘ swap) rotation, with the reflection against the FULL
+    grid width n−1."""
+    n = 1 << levels
+    keep = list(df.columns)
+    ix = F.expr(f"{cell_col} div {CELL_M}")
+    iy = F.expr(f"{cell_col} % {CELL_M}")
+    ok = F.expr(f"{cell_col} >= 0") & (ix < n) & (iy < n)
+    guard = F.expr(
+        f"CAST(raise_error('hilbert: cell outside the level-{levels} "
+        f"quadtree domain') AS BIGINT)")
+    df = df.select(
+        "*",
+        F.when(ok, ix).otherwise(guard).alias("_hx"),
+        iy.alias("_hy"),
+        F.lit(0).cast("long").alias(out))
+    s = n // 2
+    while s > 0:
+        rx = F.expr(f"(_hx div {s}) % 2")
+        ry = F.expr(f"(_hy div {s}) % 2")
+        d = (F.col(out)
+             + F.lit(s * s) * F.when(rx == 1, F.lit(3) - ry).otherwise(ry))
+        nx = (F.when(ry == 1, F.col("_hx"))
+               .when(rx == 1, F.lit(n - 1) - F.col("_hy"))
+               .otherwise(F.col("_hy")))
+        ny = (F.when(ry == 1, F.col("_hy"))
+               .when(rx == 1, F.lit(n - 1) - F.col("_hx"))
+               .otherwise(F.col("_hx")))
+        df = df.select(*keep, nx.alias("_hx"), ny.alias("_hy"),
+                       d.alias(out))
+        s //= 2
+    return df.drop("_hx", "_hy")
+
+
+def hilbert_sql_query(base_sql: str, cell_expr: str = "cell", *,
+                      levels: int, out: str = "hkey") -> str:
+    """``with_hilbert`` as a DuckDB query transformer: wraps ``base_sql``
+    (whose rows carry ``cell_expr``) in one chained subquery per level —
+    the identical integer arithmetic, assuming domain-valid cells.
+    Returns the base columns plus ``out``."""
+    n = 1 << levels
+    q = (f"SELECT *, (({cell_expr}) // {CELL_M}) AS _hx,"
+         f" (({cell_expr}) % {CELL_M}) AS _hy,"
+         f" CAST(0 AS BIGINT) AS {out} FROM ({base_sql})")
+    s = n // 2
+    while s > 0:
+        rx = f"((_hx // {s}) % 2)"
+        ry = f"((_hy // {s}) % 2)"
+        q = (f"SELECT * EXCLUDE (_hx, _hy, {out}),"
+             f" (CASE WHEN {ry} = 1 THEN _hx"
+             f" WHEN {rx} = 1 THEN {n - 1} - _hy ELSE _hy END) AS _hx,"
+             f" (CASE WHEN {ry} = 1 THEN _hy"
+             f" WHEN {rx} = 1 THEN {n - 1} - _hx ELSE _hx END) AS _hy,"
+             f" {out} + {s * s} * (CASE WHEN {rx} = 1 THEN 3 - {ry}"
+             f" ELSE {ry} END) AS {out}"
+             f" FROM ({q})")
+        s //= 2
+    return f"SELECT * EXCLUDE (_hx, _hy) FROM ({q})"

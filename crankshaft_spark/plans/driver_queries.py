@@ -298,9 +298,12 @@ def q_grid_density(spark, sf_dir):
     # hex cells, cube-rounded — functions/cells.py hex block): same
     # map-side-combine groupBy shape on the H3-style key, qk carries the
     # signed axial 'h<q>:<r>' label instead of a quadtree path (hexagons
-    # have no 4-ary parent string).
+    # have no 4-ary parent string).  The zoom=3 arm re-labels the zoom=0
+    # cells with their hilbertv1 curve position ('H<d>', levels=6) — the
+    # S2-style locality/layout key, oracle-replayed through the full
+    # xy2d chain.
     from crankshaft_spark.functions.cells import (
-        hex_cell_expr, hex_unpack_expr, quadkey_expr)
+        hex_cell_expr, hex_unpack_expr, quadkey_expr, with_hilbert)
 
     pts = customer_points(spark, sf_dir)
     pyr = density_pyramid(pts, base_size=5.0, factors=(4,))
@@ -316,16 +319,25 @@ def q_grid_density(spark, sf_dir):
             F.concat(F.lit("h"), u["q"].cast("string"), F.lit(":"),
                      u["r"].cast("string")).alias("qk"))
     )
-    return rect.unionByName(hexd)
+    hil = with_hilbert(
+        pyr.where(F.col("zoom") == 0).select("cell", "n"),
+        levels=6, out="_hd"
+    ).select(
+        F.lit(3).alias("zoom"), "cell", "n",
+        F.concat(F.lit("H"), F.col("_hd").cast("string")).alias("qk"))
+    return rect.unionByName(hexd).unionByName(hil)
 
 
 def o_grid_density():
     from crankshaft_spark.functions.cells import (
-        CELL_M, HEX_OFF, hex_cell_sql, quadkey_sql)
+        CELL_M, HEX_OFF, hex_cell_sql, hilbert_sql_query, quadkey_sql)
 
     c5 = cell_sql("x", "y", 5.0)
     c20 = cell_sql("x", "y", 20.0)
     hx = hex_cell_sql("x", "y", 5.0)
+    hil = hilbert_sql_query(
+        f"SELECT {c5} AS cell, count(*) AS n FROM pts GROUP BY 1",
+        levels=6, out="_hd")
     return f"""{_PTS_CTE}
     SELECT 0 AS zoom, {c5} AS cell, count(*) AS n,
            {quadkey_sql(c5, 7)} AS qk FROM pts GROUP BY 2
@@ -336,7 +348,10 @@ def o_grid_density():
     SELECT 2 AS zoom, cell, count(*) AS n,
            'h' || CAST((cell // {CELL_M}) - {HEX_OFF} AS VARCHAR)
                || ':' || CAST((cell % {CELL_M}) - {HEX_OFF} AS VARCHAR) AS qk
-    FROM (SELECT {hx} AS cell FROM pts) GROUP BY 2"""
+    FROM (SELECT {hx} AS cell FROM pts) GROUP BY 2
+    UNION ALL
+    SELECT 3 AS zoom, cell, n, 'H' || CAST(_hd AS VARCHAR) AS qk
+    FROM ({hil})"""
 
 
 IDW_K = 8

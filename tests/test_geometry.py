@@ -453,3 +453,45 @@ def test_hex_cells_replay_nearest_center_ring(spark):
         [(rings["c"]["cx"], rings["c"]["cy"])], "x double, y double"
     ).select(hex_cell_expr(F.col("x"), F.col("y"), size).alias("h")).first()
     assert back["h"] == rings["h"]
+
+
+def test_hilbert_key_bijection_unit_steps_guard(spark):
+    """hilbertv1 (functions/cells.py): over the FULL level-4 grid the key
+    is a bijection onto [0, 256) whose consecutive positions are grid-
+    adjacent (the Hilbert locality property — the reason it's the layout/
+    range-partitioning key); matches a pure-Python replay of the same
+    div/mod arithmetic; out-of-domain cells fail loudly."""
+    from crankshaft_spark.functions.cells import CELL_M, with_hilbert
+
+    L, n = 4, 16
+    cells = [(ix * CELL_M + iy, ix, iy) for ix in range(n)
+             for iy in range(n)]
+    df = spark.createDataFrame(cells, "cell long, ix long, iy long")
+    got = with_hilbert(df, levels=L, out="hkey").collect()
+
+    def replay(x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx, ry = (x // s) % 2, (y // s) % 2
+            d += s * s * (3 - ry if rx == 1 else ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pos = {}
+    for r in got:
+        assert r["hkey"] == replay(r["ix"], r["iy"])
+        pos[r["hkey"]] = (r["ix"], r["iy"])
+    assert sorted(pos) == list(range(n * n))
+    for d in range(1, n * n):
+        (x0, y0), (x1, y1) = pos[d - 1], pos[d]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+    for bad in (n * CELL_M, -1):
+        with pytest.raises(Exception, match="hilbert"):
+            with_hilbert(
+                spark.createDataFrame([(bad,)], "cell long"), levels=L
+            ).collect()
