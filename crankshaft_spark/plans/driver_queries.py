@@ -306,7 +306,11 @@ def q_grid_density(spark, sf_dir):
         hex_cell_expr, hex_unpack_expr, quadkey_expr, with_hilbert)
 
     pts = customer_points(spark, sf_dir)
-    pyr = density_pyramid(pts, base_size=5.0, factors=(4,))
+    # the pyramid feeds TWO arms (rect rows + the hilbert relabel of its
+    # zoom=0 slice) — pin the cell-count-sized table or the second
+    # consumer re-scans the points and re-aggregates (bench clearCache
+    # between entries releases it, the contour_cells convention)
+    pyr = density_pyramid(pts, base_size=5.0, factors=(4,)).persist()
     qk = (F.when(F.col("zoom") == 0, quadkey_expr("cell", levels=7))
            .otherwise(quadkey_expr("cell", levels=5)))
     rect = pyr.select("zoom", "cell", "n", qk.alias("qk"))

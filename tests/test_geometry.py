@@ -495,3 +495,43 @@ def test_hilbert_key_bijection_unit_steps_guard(spark):
             with_hilbert(
                 spark.createDataFrame([(bad,)], "cell long"), levels=L
             ).collect()
+
+
+def test_hilbert_range_partitions_are_spatially_compact(spark):
+    """The layout claim behind hilbertv1: range-partitioning on the key
+    gives spatially COMPACT partitions.  Quantitatively: split the full
+    level-5 grid (1024 cells) into 16 equal hkey ranges — every range's
+    bounding box covers ≤ 1/4 of the domain area (Hilbert ranges are
+    quadrant-local), where contiguous row-major (iy-then-ix) ranges of
+    the same size span a full axis (bbox ≥ half the domain).  This is the
+    property that turns a tile scan into a few-partition read at 100 TB."""
+    from crankshaft_spark.functions.cells import CELL_M, with_hilbert
+
+    L, n = 5, 32
+    df = spark.createDataFrame(
+        [(ix * CELL_M + iy,) for ix in range(n) for iy in range(n)],
+        "cell long")
+    rows = with_hilbert(df, levels=L, out="hkey").selectExpr(
+        "cell div %d AS ix" % CELL_M, "cell %% %d AS iy" % CELL_M,
+        "hkey").collect()
+    per = (n * n) // 16
+    boxes = {}
+    for r in rows:
+        b = r["hkey"] // per
+        x0, y0, x1, y1 = boxes.get(b, (n, n, -1, -1))
+        boxes[b] = (min(x0, r["ix"]), min(y0, r["iy"]),
+                    max(x1, r["ix"]), max(y1, r["iy"]))
+    assert len(boxes) == 16
+    # 64 = 4^3 cells per range and ranges are 4^3-aligned, so every range
+    # is EXACTLY one 8x8 quadrant of the curve — the tightest possible box
+    for x0, y0, x1, y1 in boxes.values():
+        assert (x1 - x0 + 1, y1 - y0 + 1) == (8, 8)
+    # row-major contrast: the same-size contiguous ranges of iy*n + ix
+    # each span the grid's full x axis (width 32 vs Hilbert's 8)
+    rm = {}
+    for r in rows:
+        b = (r["iy"] * n + r["ix"]) // per
+        x0, y0, x1, y1 = rm.get(b, (n, n, -1, -1))
+        rm[b] = (min(x0, r["ix"]), min(y0, r["iy"]),
+                 max(x1, r["ix"]), max(y1, r["iy"]))
+    assert all(x1 - x0 + 1 == n for x0, y0, x1, y1 in rm.values())

@@ -53,6 +53,37 @@ def test_stream_cell_density_matches_batch(spark, tmp_path):
     assert gmap == emap
 
 
+def test_stream_hex_density_matches_batch(spark, tmp_path):
+    """hexv1 as a streaming key: the hex encode is a stateless per-row
+    projection, so keying the watermarked rollup on it composes exactly
+    like the rect cell — stream counts per hex cell must equal the batch
+    groupBy on the identical expression (parallelism/micro-batch
+    independence of the closed-form encode)."""
+    from crankshaft_spark.functions.cells import hex_cell_expr
+
+    src = str(tmp_path / "pages_hex")
+    pages = synth_webpages(spark, "/root/testdata/sf0.001")
+    pages.write.parquet(src)
+
+    stream = read_page_stream(spark, src).withColumn(
+        "hcell", hex_cell_expr(F.col("lon"), F.col("lat"), 2.0))
+    agg = (stream.withWatermark("warc_ts", "1 hour")
+           .groupBy(F.window("warc_ts", "1 hour"), "hcell")
+           .agg(F.count("*").alias("n_pages")))
+    q = (agg.writeStream.format("memory").queryName("hex_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r["hcell"]: r["n"] for r in spark.sql(
+        "SELECT hcell, sum(n_pages) AS n FROM hex_stream GROUP BY hcell"
+    ).collect()}
+    expect = {r["hcell"]: r["count"] for r in (
+        pages.withColumn(
+            "hcell", hex_cell_expr(F.col("lon"), F.col("lat"), 2.0))
+        .groupBy("hcell").count().collect())}
+    assert got == expect
+
+
 def test_image_ahash_streaming_parity(spark, tmp_path):
     """image_ahash is a stateless mapInPandas, so it composes onto a
     media readStream unchanged; the streamed fingerprints equal the
