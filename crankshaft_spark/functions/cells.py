@@ -251,8 +251,18 @@ def hex_cell_expr(lon: Column, lat: Column, size: float) -> Column:
     r = (F.when(fix_x, rz)
           .when(dy > dz, rz)
           .otherwise(-rx - ry))
-    return ((q + F.lit(float(HEX_OFF))).cast("long") * F.lit(CELL_M)
-            + (r + F.lit(float(HEX_OFF))).cast("long")).alias("hex_cell")
+    # loud domain guard (the module's cellv1 contract): |q| or |r|
+    # reaching HEX_OFF would blend sign bits across the pack — raise
+    # instead of emitting a wrong-but-plausible id (caller-chosen tiny
+    # ``size`` over the full lon/lat domain is the way to get here)
+    ok = (F.abs(q) < F.lit(float(HEX_OFF))) & \
+         (F.abs(r) < F.lit(float(HEX_OFF)))
+    packed = ((q + F.lit(float(HEX_OFF))).cast("long") * F.lit(CELL_M)
+              + (r + F.lit(float(HEX_OFF))).cast("long"))
+    guard = F.expr(
+        "CAST(raise_error('hex_cell: axial coordinate outside the "
+        "hexv1 domain (|q|,|r| < 2^21) — raise size') AS BIGINT)")
+    return F.when(ok, packed).otherwise(guard).alias("hex_cell")
 
 
 def hex_cell_sql(lon_expr: str, lat_expr: str, size: float) -> str:
@@ -344,6 +354,11 @@ def with_hilbert(df: DataFrame, cell_col: str = "cell", *, levels: int,
     round: d += s²·((3·rx) xor ry) spelled as CASE (rx=1 ⇒ 3−ry), then
     the (reflect ∘ swap) rotation, with the reflection against the FULL
     grid width n−1."""
+    if levels < 1:
+        # levels=0 would skip the loop entirely: every row gets hkey=0
+        # and the domain guard is dead code Catalyst prunes — loud
+        # ValueError instead of a silent constant column
+        raise ValueError(f"with_hilbert: levels must be >= 1, got {levels}")
     n = 1 << levels
     keep = list(df.columns)
     ix = F.expr(f"{cell_col} div {CELL_M}")

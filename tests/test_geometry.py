@@ -495,6 +495,23 @@ def test_hilbert_key_bijection_unit_steps_guard(spark):
             with_hilbert(
                 spark.createDataFrame([(bad,)], "cell long"), levels=L
             ).collect()
+    # levels=0 would make every key 0 with the guard dead — loud instead
+    with pytest.raises(ValueError, match="levels"):
+        with_hilbert(df, levels=0)
+
+
+def test_hex_cell_domain_guard(spark):
+    """hexv1 loud failure (module contract): a size small enough to push
+    |q| past 2^21 over the lon/lat domain raises instead of packing a
+    corrupted id; in-domain rows at the same size still encode."""
+    from crankshaft_spark.functions.cells import hex_cell_expr
+
+    df = spark.createDataFrame([(-180.0, 0.0)], "x double, y double")
+    with pytest.raises(Exception, match="hexv1 domain"):
+        df.select(hex_cell_expr(F.col("x"), F.col("y"), 0.00005)).collect()
+    ok = spark.createDataFrame([(0.003, 0.001)], "x double, y double")
+    assert ok.select(
+        hex_cell_expr(F.col("x"), F.col("y"), 0.00005)).first()[0] > 0
 
 
 def test_hilbert_range_partitions_are_spatially_compact(spark):
