@@ -7,7 +7,10 @@ id-ascending output
 That plan is inherently single-node; this operator re-derives the same
 *result* as a distributed filter-and-refine plan:
 
-  1. encode every point into a cellv1 grid cell (pure column math);
+  1. encode every point into a grid cell (pure column math) — either the
+     rectangular cellv1 grid or the H3-style hexv1 grid (``grid="hex"``:
+     the "kNN weights per hex neighborhood" face of the index; candidates
+     come from the hex k-ring instead of the square ring block);
   2. candidate pairs via an equi shuffle join: left side exploded to its
      k-ring of cells, right side keyed by cell — Catalyst/AQE handle
      partition coalescing and skew-splitting of hot (urban) cells;
@@ -21,7 +24,10 @@ That plan is inherently single-node; this operator re-derives the same
      the cost is one shuffle join plus a tiny remainder join.
 
 Ties are broken by (distance, neighbor id) — pinned, deterministic, and
-identical to the O(n²) oracle SQL used by the correctness harness.
+identical to the O(n²) oracle SQL used by the correctness harness.  The
+cell scheme is a performance knob, never a correctness knob: both grids
+return the identical exact edge list (tests/test_knn.py parametrizes the
+brute-force comparison over both).
 """
 
 from __future__ import annotations
@@ -30,21 +36,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from crankshaft_spark.functions.cells import cell_expr, ring_cells_expr
+from crankshaft_spark.functions.cells import (
+    cell_expr, hex_cell_expr, hex_ring_expr, ring_cells_expr)
 from crankshaft_spark.functions.distance import planar_dist2
+
+
+def _ring_guarantee2(ring: int, cell_size: float, grid: str) -> float:
+    """Squared lower bound on the distance from a point to ANY point whose
+    cell lies outside its ring-``ring`` block — the exactness certificate.
+
+    rect: a neighbor outside the Chebyshev ring is separated by strictly
+    more than ``ring*cell_size`` along some axis (floor-binning makes the
+    bound strict — see test_knn_matches_bruteforce).
+    hex: a neighbor outside the hex k-ring sits in a hex at axial distance
+    d >= ring+1; hex centers at axial distance d are >= 1.5*d*R apart (the
+    inradius of the ring-d hexagon of centers — the corner centers are the
+    farther sqrt(3)*d*R), and each point is within the circumradius R of
+    its own center, so the separation is >= (1.5*(ring+1) - 2)*R.  That
+    bound is attainable in the limit (corner-aligned points), so it is
+    shaved by 0.1% to keep the acceptance test strictly conservative —
+    a shaved bound only defers a row to the next ring, never mis-resolves.
+    """
+    if grid == "hex":
+        g = (1.5 * (ring + 1) - 2.0) * cell_size * 0.999
+    else:
+        g = ring * cell_size
+    return float(g) ** 2
 
 
 def _topk_for(
     left: DataFrame, pts: DataFrame, k: int, ring: int, cell_size: float,
-    exclude_self: bool,
+    exclude_self: bool, grid: str = "rect",
 ) -> DataFrame:
     """Top-k candidates for `left` points against `pts` within `ring` cells.
 
     Returns (id, x, y, nbr, d2, rank, knn_cnt, knn_maxd2).
     """
+    ring_arr = (hex_ring_expr(F.col("cell"), ring) if grid == "hex"
+                else ring_cells_expr(F.col("cell"), ring))
     lhs = left.select(
         "id", "x", "y",
-        F.explode(ring_cells_expr(F.col("cell"), ring)).alias("cell"),
+        F.explode(ring_arr).alias("cell"),
     )
     rhs = pts.select(
         F.col("id").alias("nbr"),
@@ -73,7 +105,12 @@ def _topk_for(
 
 
 def _norm_points(df: DataFrame, id_col: str, x: str, y: str,
-                 cell_size: float) -> DataFrame:
+                 cell_size: float, grid: str = "rect") -> DataFrame:
+    if grid not in ("rect", "hex"):
+        raise ValueError(f"knn grid must be 'rect' or 'hex', got {grid!r}")
+    key = (hex_cell_expr(F.col("x"), F.col("y"), cell_size)
+           if grid == "hex"
+           else cell_expr(F.col("x"), F.col("y"), cell_size))
     return (
         df.select(
             F.col(id_col).cast("long").alias("id"),
@@ -81,7 +118,7 @@ def _norm_points(df: DataFrame, id_col: str, x: str, y: str,
             F.col(y).cast("double").alias("y"),
         )
         .na.drop(subset=["id", "x", "y"])
-        .withColumn("cell", cell_expr(F.col("x"), F.col("y"), cell_size))
+        .withColumn("cell", key)
     )
 
 
@@ -95,14 +132,17 @@ def knn_edges(
     cell_size: float = 1.0,
     initial_ring: int = 1,
     domain_span: float = 360.0,
+    grid: str = "rect",
     persist_registry: list | None = None,
 ) -> DataFrame:
     """Exact kNN edge list ``(id, nbr, d2, rank)`` for a point DataFrame
     against itself (self-pairs excluded), matching the reference's kNN
-    neighbor query semantics."""
-    pts = _norm_points(df, id_col, x, y, cell_size)
+    neighbor query semantics.  ``grid="hex"`` indexes candidates per hexv1
+    neighborhood (H3-style k-ring) instead of the rectangular ring block —
+    same exact result, different candidate-generation locality."""
+    pts = _norm_points(df, id_col, x, y, cell_size, grid)
     return _knn_loop(pts, pts, k, cell_size, initial_ring, domain_span, True,
-                     persist_registry=persist_registry)
+                     grid=grid, persist_registry=persist_registry)
 
 
 def knn_join(
@@ -116,15 +156,16 @@ def knn_join(
     cell_size: float = 1.0,
     initial_ring: int = 1,
     domain_span: float = 360.0,
+    grid: str = "rect",
     persist_registry: list | None = None,
 ) -> DataFrame:
     """Bipartite exact kNN: for each left point, its k nearest right points
     → (id, nbr, d2, rank).  Used by IDW interpolation and gravity-style
     candidate generation."""
-    lpts = _norm_points(left, id_col, x, y, cell_size)
-    rpts = _norm_points(right, id_col, x, y, cell_size)
+    lpts = _norm_points(left, id_col, x, y, cell_size, grid)
+    rpts = _norm_points(right, id_col, x, y, cell_size, grid)
     return _knn_loop(lpts, rpts, k, cell_size, initial_ring, domain_span, False,
-                     persist_registry=persist_registry)
+                     grid=grid, persist_registry=persist_registry)
 
 
 def _brute_topk(left: DataFrame, rpts: DataFrame, k: int,
@@ -160,6 +201,7 @@ def _knn_loop(
     domain_span: float,
     exclude_self: bool,
     max_ring: int = 8,
+    grid: str = "rect",
     persist_registry: list | None = None,
 ) -> DataFrame:
     rpts.cache()
@@ -177,8 +219,9 @@ def _knn_loop(
                 .select("id", "nbr", "d2", "rank")
             )
             break
-        topk = _topk_for(unresolved, rpts, k, ring, cell_size, exclude_self)
-        guarantee = float(ring * cell_size) ** 2
+        topk = _topk_for(unresolved, rpts, k, ring, cell_size, exclude_self,
+                         grid)
+        guarantee = _ring_guarantee2(ring, cell_size, grid)
         ok = (F.col("knn_cnt") >= k) & (F.col("knn_maxd2") <= F.lit(guarantee))
         # persist: the convergence check below executes this ring's top-k;
         # without it the final union would re-run the candidate join a

@@ -99,13 +99,23 @@ def _edges_w(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- queries ---
 
 def q_knn_edges(spark, sf_dir):
-    return _knn(spark, sf_dir).select(
-        "id", "nbr", "rank", F.round("d2", 6).alias("d2r")
-    )
+    # two arms, one exact answer: the rect cellv1 index and the H3-style
+    # hexv1 k-ring index must both reproduce the brute-force kNN oracle
+    # (the cell scheme is a performance knob, never a correctness knob)
+    pts = customer_points(spark, sf_dir)
+    arms = [
+        knn_edges(pts, k=KNN_K, cell_size=KNN_CELL, grid=g).select(
+            F.lit(g).alias("grid"), "id", "nbr", "rank",
+            F.round("d2", 6).alias("d2r"))
+        for g in ("rect", "hex")
+    ]
+    return arms[0].unionByName(arms[1])
 
 
 def o_knn_edges():
-    return f"{_KNN_CTE} SELECT id, nbr, rank, round(d2, 6) AS d2r FROM knn"
+    return f"""{_KNN_CTE}
+    SELECT g.grid, k.id, k.nbr, k.rank, round(k.d2, 6) AS d2r
+    FROM knn k, (VALUES ('rect'), ('hex')) AS g(grid)"""
 
 
 def q_spatial_lag(spark, sf_dir):

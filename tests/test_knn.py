@@ -42,11 +42,12 @@ def points(spark):
     return pts
 
 
+@pytest.mark.parametrize("grid", ["rect", "hex"])
 @pytest.mark.parametrize("cell_size", [2.0, 10.0, 45.0])
-def test_knn_matches_bruteforce(spark, points, cell_size):
+def test_knn_matches_bruteforce(spark, points, cell_size, grid):
     df = spark.createDataFrame(points, "id long, x double, y double")
     got = (
-        knn_edges(df, k=5, cell_size=cell_size)
+        knn_edges(df, k=5, cell_size=cell_size, grid=grid)
         .orderBy("id", "rank")
         .collect()
     )
@@ -57,7 +58,8 @@ def test_knn_matches_bruteforce(spark, points, cell_size):
     }
     assert set(by_id) == set(expected)
     for pid in expected:
-        assert by_id[pid] == expected[pid], f"id {pid} cell_size {cell_size}"
+        assert by_id[pid] == expected[pid], \
+            f"id {pid} cell_size {cell_size} grid {grid}"
 
 
 def test_knn_rank_is_dense_and_bounded(spark, points):
