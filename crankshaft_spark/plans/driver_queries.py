@@ -2192,19 +2192,76 @@ def _km_pts(spark, sf_dir):
     )
 
 
+# ---- dbscan arm input: 12 well-separated clusters (4x3 grid of centers,
+# +-600 offsets) with a 1-in-11 scattered-noise slice — the density
+# structure DBSCAN exists to recover; every coordinate is closed-form
+# BIGINT arithmetic so the eps-ball refinement is engine-exact
+DBSCAN_EPS = 500.0
+DBSCAN_MIN_PTS = 5
+_DBSCAN_PTS_SQL = (
+    "SELECT c_custkey AS id, "
+    "CAST(CASE WHEN c_custkey % 11 = 0 THEN (c_custkey * 9973) % 24000 "
+    "ELSE 3000 + ((c_custkey % 12) % 4) * 6000 "
+    "+ ((c_custkey * 613) % 1201) - 600 END AS DOUBLE) AS x, "
+    "CAST(CASE WHEN c_custkey % 11 = 0 THEN (c_custkey * 7919) % 9600 "
+    "ELSE 1600 + (((c_custkey % 12) - ((c_custkey % 12) % 4)) / 4) * 3200 "
+    "+ ((c_custkey * 331) % 1201) - 600 END AS DOUBLE) AS y FROM customer"
+)
+
+
+def _dbscan_pts(spark, sf_dir):
+    """The Spark half of _DBSCAN_PTS_SQL — identical integer arithmetic."""
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    cid = key % 12
+    scattered = key % 11 == 0
+    return cust.select(
+        key.alias("id"),
+        F.when(scattered, (key * 9973) % 24000)
+         .otherwise(F.lit(3000) + (cid % 4) * 6000
+                    + (key * 613) % 1201 - 600)
+         .cast("double").alias("x"),
+        F.when(scattered, (key * 7919) % 9600)
+         .otherwise(F.lit(1600) + ((cid - cid % 4) / 4).cast("long") * 3200
+                    + (key * 331) % 1201 - 600)
+         .cast("double").alias("y"),
+    )
+
+
 def q_kmeans_assign(spark, sf_dir):
-    """Deterministic Lloyd assignment — the oracle-checked kmeans surface."""
+    """Deterministic Lloyd assignment — the oracle-checked kmeans surface —
+    UNION the DBSCAN arm (r4 scope widening): density clustering with
+    noise over the clustered synthetic point set, covering the PostGIS
+    ST_ClusterDBSCAN surface CARTO ships next to crankshaft's CDB_KMeans.
+    The kmeans arm's role column is a constant tag; the dbscan arm carries
+    core/border/noise with cluster = min core id of the component (NULL
+    for noise)."""
+    from crankshaft_spark.operators.dbscan import dbscan
     from crankshaft_spark.operators.kmeans import kmeans_lloyd
 
     res = kmeans_lloyd(_km_pts(spark, sf_dir), k=KM_K, iters=KM_ITERS)
-    return res.select("id", "cluster")
+    km = res.select(
+        F.lit("kmeans").alias("method"), "id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.lit("assign").alias("role"))
+    db = dbscan(_dbscan_pts(spark, sf_dir), eps=DBSCAN_EPS,
+                min_pts=DBSCAN_MIN_PTS).select(
+        F.lit("dbscan").alias("method"), "id", "cluster", "role")
+    return km.unionByName(db)
 
 
 def o_kmeans_assign():
+    from crankshaft_spark.operators.dbscan import dbscan_oracle_sql
     from crankshaft_spark.operators.kmeans import kmeans_lloyd_oracle_sql
 
     inner = kmeans_lloyd_oracle_sql(_KM_PTS_SQL, k=KM_K, iters=KM_ITERS)
-    return f"SELECT id, cluster FROM ({inner})"
+    db = dbscan_oracle_sql(_DBSCAN_PTS_SQL, eps=DBSCAN_EPS,
+                           min_pts=DBSCAN_MIN_PTS)
+    return (f"SELECT 'kmeans' AS method, id, "
+            f"CAST(cluster AS BIGINT) AS cluster, 'assign' AS role "
+            f"FROM ({inner}) "
+            f"UNION ALL SELECT 'dbscan' AS method, id, cluster, role "
+            f"FROM ({db})")
 
 
 def q_kmeans_silhouette(spark, sf_dir):
