@@ -467,6 +467,112 @@ def dedup_url(pages: DataFrame, *, url_col: str = "url",
     return _key_dedup_groups(keyed, "canon_url", id_col)
 
 
+def dedup_paragraphs(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """(doc_id, n_paras, n_kept, text) — corpus-level exact paragraph
+    dedup, the RefinedWeb/MassiveText rewrite policy (Penedo et al.
+    2023 §3.3; Rae et al. 2021): split every doc on ``sep``, drop each
+    later occurrence of a paragraph seen ANYWHERE in the corpus
+    (winner = smallest (doc_id, position), a pinned deterministic
+    stand-in for "first crawled"), and reassemble the survivors in
+    original order.  Complements the whole-doc arms of ``dedup_exact``:
+    boilerplate shared across near-unique pages (headers, cookie
+    banners, license blocks) never forms whole-doc groups but dominates
+    token counts.
+
+    Empty paragraphs (consecutive separators / leading-trailing seps)
+    are split artifacts and are removed, not deduped.  NULL text maps
+    to NULL output text with zero counts; a doc whose every paragraph
+    loses rewrites to ''.  ``sep`` is a literal separator (it is used
+    both as the split pattern and the rejoin string — do not pass regex
+    metacharacters).
+
+    Scale shape: one posexplode scan, one groupBy on md5(paragraph)
+    (map-side combinable min-of-struct winner), one equi-join back on
+    the hash, one per-doc reassembly groupBy.  No corpus-wide sort, no
+    driver state; the per-doc collect_list is bounded by document size,
+    the same bound every per-doc array op in this module rides.
+    """
+    import re as _re
+
+    paras = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.split(F.col(text_col), _re.escape(sep))
+            ).alias("pos", "para"))
+        .where(F.length("para") > 0)
+        .select("doc_id", F.col("pos").cast("long").alias("pos"),
+                "para", F.md5("para").alias("h"))
+    )
+    winners = paras.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w"))
+    kept = (
+        paras.join(winners, "h")
+        .where((F.col("doc_id") == F.col("w.doc_id"))
+               & (F.col("pos") == F.col("w.pos")))
+        .select("doc_id", "pos", "para")
+    )
+    counts = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"]),
+            sep).alias("new_text"))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("_orig"))
+    return (
+        base.join(counts, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.when(F.col("_orig").isNull(), F.lit(None).cast("string"))
+             .otherwise(F.coalesce(F.col("new_text"), F.lit("")))
+             .alias("text"))
+    )
+
+
+def dedup_paragraphs_oracle_sql(docs_sql: str, *, sep: str = "\n\n") -> str:
+    """DuckDB mirror of :func:`dedup_paragraphs`.  ``docs_sql`` must yield
+    (doc_id, text); ``sep`` is embedded as chr() concatenation so newline
+    separators survive SQL-string transport.  The winner pick mirrors the
+    Spark min-of-struct as a (doc_id, pos)-ordered row_number — identical
+    lexicographic order, engine-portable."""
+    sep_sql = " || ".join(f"chr({ord(c)})" for c in sep)
+    return f"""
+    WITH d AS MATERIALIZED ({docs_sql}),
+    paras AS MATERIALIZED (
+      SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos,
+             list_extract(ps, g.i) AS para, md5(list_extract(ps, g.i)) AS h
+      FROM (SELECT doc_id, string_split(text, {sep_sql}) AS ps
+            FROM d WHERE text IS NOT NULL) x,
+           UNNEST(generate_series(1, len(ps))) AS g(i)
+      WHERE length(list_extract(ps, g.i)) > 0),
+    kept AS MATERIALIZED (
+      SELECT doc_id, pos, para FROM (
+        SELECT doc_id, pos, para,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM paras) WHERE rn = 1),
+    counts AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY 1),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(para, {sep_sql} ORDER BY pos) AS new_text
+      FROM kept GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(c.n_paras, 0) AS BIGINT) AS n_paras,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(r.new_text, '') END AS text
+    FROM d LEFT JOIN counts c USING (doc_id)
+           LEFT JOIN rebuilt r USING (doc_id)"""
+
+
 # ------------------------------------------------ repetition quality -----
 # Gopher-style repetition filters (Rae et al. 2021 §A1.1, public): heavily
 # templated / machine-generated pages show up as duplicate lines and a few

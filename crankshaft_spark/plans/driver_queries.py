@@ -478,7 +478,8 @@ def _messy_url_sql() -> str:
 def q_dedup_exact(spark, sf_dir):
     """Exact text-hash dedup groups UNION canonical-URL dedup groups
     UNION normalized-text dedup groups UNION the streaming-dedup batch
-    twin's kept representatives (method marker) — four arms of crawl
+    twin's kept representatives UNION corpus-level paragraph-dedup
+    rewrites (method marker) — five arms of crawl
     dedup in one gate entry.  URL
     inputs are the _MESSY_URL_VARIANTS closed-form variants; the norm
     arm hashes
@@ -536,13 +537,58 @@ def q_dedup_exact(spark, sf_dir):
         F.lit("stream").alias("method"), F.md5("text").alias("grp_key"),
         F.lit(1).cast("long").alias("n_copies"),
         F.col("doc_id").alias("keep_id"))
+    # fifth arm (r4): corpus-level paragraph dedup (RefinedWeb rewrite)
+    # over closed-form paragraph-structured text — two shared-pool
+    # paragraphs per doc (pool of 50 -> heavy cross-doc duplication,
+    # winner = smallest (doc_id, pos)) plus 1-3 per-doc unique ones.
+    # grp_key hashes the REWRITTEN text, so the gate pins both the
+    # keep/drop decisions and the reassembly order; n_copies carries the
+    # kept-paragraph count.
+    from crankshaft_spark.operators.text import dedup_paragraphs
+
+    para_groups = dedup_paragraphs(
+        docs.select("doc_id", _para_text_expr().alias("text"))).select(
+        F.lit("para").alias("method"), F.md5("text").alias("grp_key"),
+        F.col("n_kept").alias("n_copies"),
+        F.col("doc_id").alias("keep_id"))
     return (text_groups.unionByName(url_groups)
-            .unionByName(norm_groups).unionByName(stream_groups))
+            .unionByName(norm_groups).unionByName(stream_groups)
+            .unionByName(para_groups))
+
+
+def _para_text_expr():
+    """Paragraph-structured synthetic text (Spark half of _para_text_sql):
+    paragraphs j = 0..(2 + doc_id % 3); j < 2 draws from a 50-entry shared
+    pool, the rest are per-doc unique."""
+    d = F.col("doc_id")
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), (d % 3 + 2).cast("long")),
+            lambda j: F.when(
+                j < 2,
+                F.concat(F.lit("pool "),
+                         ((d * 3 + j * 11) % 50).cast("string"),
+                         F.lit(" paragraph body")))
+            .otherwise(F.concat(F.lit("uniq "), d.cast("string"),
+                                F.lit(" "), j.cast("string")))),
+        "\n\n")
+
+
+def _para_text_sql() -> str:
+    """DuckDB half of _para_text_expr — identical integer arithmetic."""
+    return (
+        "array_to_string(list_transform("
+        "generate_series(CAST(0 AS BIGINT), CAST(2 + doc_id % 3 AS BIGINT)), "
+        "j -> CASE WHEN j < 2 THEN 'pool ' "
+        "|| CAST((doc_id * 3 + j * 11) % 50 AS VARCHAR) || ' paragraph body' "
+        "ELSE 'uniq ' || CAST(doc_id AS VARCHAR) || ' ' "
+        "|| CAST(j AS VARCHAR) END), chr(10) || chr(10))"
+    )
 
 
 def o_dedup_exact():
     from crankshaft_spark.operators.text import (
-        canonical_url_sql, normalize_text_sql)
+        canonical_url_sql, dedup_paragraphs_oracle_sql, normalize_text_sql)
 
     noisy = ("CASE WHEN a.doc_id % 2 = 0 THEN upper(b.text) "
              "ELSE replace(b.text, ' ', '  ') END")
@@ -580,7 +626,13 @@ def o_dedup_exact():
                UNION ALL
                SELECT 'stream' AS method, NULL AS grp_key,
                       CAST(1 AS BIGINT) AS n_copies, doc_id AS keep_id
-               FROM documents WHERE text IS NULL"""
+               FROM documents WHERE text IS NULL
+               UNION ALL
+               SELECT 'para' AS method, md5(text) AS grp_key,
+                      n_kept AS n_copies, doc_id AS keep_id
+               FROM ({dedup_paragraphs_oracle_sql(
+                   "SELECT doc_id, " + _para_text_sql()
+                   + " AS text FROM documents")})"""
 
 
 def o_token_stats():
