@@ -10,10 +10,13 @@ aggregation, the cheapest possible distributed plan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from crankshaft_spark.functions.cells import CELL_M, cell_expr
+from crankshaft_spark.functions.cells import (
+    CELL_M, cell_expr, cell_sql, ring_cells_expr)
 
 
 def density_grid(
@@ -121,6 +124,99 @@ def density_pyramid(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _kde_ring(bandwidth: float, cell_size: float) -> int:
+    """Exact ring radius for KDE support: a cell CENTER is within
+    ``bandwidth`` of some point of cell C only if its index offset
+    satisfies |delta| < bandwidth/cell_size + 0.5 (center sits at +0.5;
+    the point anywhere in [0, 1) of its own cell) — so the largest
+    reachable integer offset is ceil(b/s + 0.5) - 1.  Overshooting at the
+    exact-boundary case is harmless (the d^2 < h^2 refinement is exact);
+    undershooting would silently drop contributions."""
+    return max(0, math.ceil(bandwidth / cell_size + 0.5) - 1)
+
+
+def kde_grid(
+    pts: DataFrame, *, cell_size: float, bandwidth: float,
+    x: str = "x", y: str = "y", scale: int = 10 ** 9,
+) -> DataFrame:
+    """(cell, n_pts, kde_fp) — quartic-kernel density estimate sampled at
+    cell centers, the heatmap surface next to the raw count grids of
+    ``density_grid`` (reference ecosystem analogue: CARTO's density /
+    heatmap layers over CDB_RectangleGrid cells; kernel per Silverman
+    1986 quartic K(u) = (1-u^2)^2 on u < 1, unnormalized).
+
+    kde_fp is FIXED-POINT: sum over contributing points of
+    floor(scale * (1 - d^2/h^2)^2), d = point-to-center distance.  floor
+    of a bit-identical double is engine-exact and BIGINT sums commute, so
+    the value is identical at any parallelism and in the DuckDB oracle —
+    a raw float kernel sum would drift in the last ulp with partitioning.
+    Density in natural units is kde_fp / scale.  Only cells receiving at
+    least one in-bandwidth point appear (sparse support, like the count
+    grids).  ANSI-mode BIGINT sum fails LOUDLY on overflow; scale bounds
+    points-per-disc at ~2^63/scale (9.2e9 at the default) — lower
+    ``scale`` for denser corpora.
+
+    Plan shape: one point scan exploded to the exact support ring (a
+    constant array literal — (2R+1)^2 cells), one map-side-combinable
+    groupBy on the cell key.  No joins, no Python.
+    """
+    if bandwidth <= 0 or cell_size <= 0:
+        raise ValueError("kde_grid: bandwidth and cell_size must be > 0")
+    ring = _kde_ring(bandwidth, cell_size)
+    h2 = float(bandwidth) * float(bandwidth)
+    cell = cell_expr(F.col(x), F.col(y), cell_size)
+    ex = pts.select(
+        F.col(x).alias("_x"), F.col(y).alias("_y"),
+        F.explode(ring_cells_expr(cell, ring)).alias("cell"))
+    c = F.col("cell")
+    cx = ((c - c % CELL_M) / CELL_M + F.lit(0.5)) * cell_size - F.lit(180.0)
+    cy = (c % CELL_M + F.lit(0.5)) * cell_size - F.lit(90.0)
+    dx = F.col("_x") - cx
+    dy = F.col("_y") - cy
+    d2 = dx * dx + dy * dy
+    t = d2 / F.lit(h2)
+    w = (F.lit(1.0) - t) * (F.lit(1.0) - t)
+    return (
+        ex.where(d2 < F.lit(h2))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_pts"),
+             F.sum(F.floor(w * F.lit(float(scale))).cast("long"))
+              .alias("kde_fp"))
+    )
+
+
+def kde_oracle_sql(
+    pts_sql: str, *, cell_size: float, bandwidth: float, x: str = "x",
+    y: str = "y", scale: int = 10 ** 9,
+) -> str:
+    """DuckDB mirror of :func:`kde_grid` — same ring explode (offset list
+    literal), same operand order in every float expression, same
+    fixed-point floor, so kde_fp matches bit-for-bit."""
+    ring = _kde_ring(bandwidth, cell_size)
+    offsets = ", ".join(
+        str(dx * CELL_M + dy)
+        for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1))
+    cell = cell_sql(x, y, float(cell_size))
+    h2 = repr(float(bandwidth) * float(bandwidth))
+    size = repr(float(cell_size))
+    return f"""
+    SELECT cell, count(*) AS n_pts,
+           CAST(sum(CAST(floor(((1.0 - (((_x - cx) * (_x - cx)
+                + (_y - cy) * (_y - cy)) / {h2}))
+               * (1.0 - (((_x - cx) * (_x - cx)
+                + (_y - cy) * (_y - cy)) / {h2}))) * {float(scale)!r})
+               AS BIGINT)) AS BIGINT) AS kde_fp
+    FROM (
+      SELECT {x} AS _x, {y} AS _y, cell,
+             ((cell - (cell % {CELL_M})) / {CELL_M} + 0.5) * {size} - 180.0
+               AS cx,
+             ((cell % {CELL_M}) + 0.5) * {size} - 90.0 AS cy
+      FROM (SELECT {x}, {y}, {cell} + off.o AS cell
+            FROM ({pts_sql}) kp, UNNEST([{offsets}]) AS off(o)))
+    WHERE (_x - cx) * (_x - cx) + (_y - cy) * (_y - cy) < {h2}
+    GROUP BY cell"""
 
 
 def rectangle_grid(

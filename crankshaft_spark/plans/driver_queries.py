@@ -339,12 +339,22 @@ def q_grid_density(spark, sf_dir):
     ).select(
         F.lit(3).alias("zoom"), "cell", "n",
         F.concat(F.lit("H"), F.col("_hd").cast("string")).alias("qk"))
-    return rect.unionByName(hexd).unionByName(hil)
+    # zoom=4 arm (r4): quartic-kernel KDE heatmap at the 5-degree grid,
+    # bandwidth 10 — n carries the FIXED-POINT density (floor-scaled
+    # BIGINT partial sums commute exactly; a float kernel sum would be
+    # parallelism-sensitive in the last ulp), qk tags the arm
+    from crankshaft_spark.operators.grid import kde_grid
+
+    kde = kde_grid(pts, cell_size=5.0, bandwidth=10.0).select(
+        F.lit(4).alias("zoom"), "cell", F.col("kde_fp").alias("n"),
+        F.lit("kde").alias("qk"))
+    return rect.unionByName(hexd).unionByName(hil).unionByName(kde)
 
 
 def o_grid_density():
     from crankshaft_spark.functions.cells import (
         CELL_M, HEX_OFF, hex_cell_sql, hilbert_sql_query, quadkey_sql)
+    from crankshaft_spark.operators.grid import kde_oracle_sql
 
     c5 = cell_sql("x", "y", 5.0)
     c20 = cell_sql("x", "y", 20.0)
@@ -365,7 +375,11 @@ def o_grid_density():
     FROM (SELECT {hx} AS cell FROM pts) GROUP BY 2
     UNION ALL
     SELECT 3 AS zoom, cell, n, 'H' || CAST(_hd AS VARCHAR) AS qk
-    FROM ({hil})"""
+    FROM ({hil})
+    UNION ALL
+    SELECT 4 AS zoom, cell, kde_fp AS n, 'kde' AS qk
+    FROM ({kde_oracle_sql('SELECT x, y FROM pts',
+                          cell_size=5.0, bandwidth=10.0)})"""
 
 
 IDW_K = 8
