@@ -390,6 +390,76 @@ def with_hilbert(df: DataFrame, cell_col: str = "cell", *, levels: int,
     return df.drop("_hx", "_hy")
 
 
+def hilbert_d(ix: int, iy: int, *, levels: int) -> int:
+    """Driver-side xy2d — the identical per-level round as
+    ``with_hilbert`` (same d increment, same reflect-swap against the
+    full grid width), in plain Python for QUERY PLANNING: computing the
+    key intervals a bbox scan must read.  Kept next to the column
+    implementation so the two cannot drift; test_hilbert_ranges sweeps
+    both over the full level-4 grid."""
+    n = 1 << levels
+    if not (0 <= ix < n and 0 <= iy < n):
+        raise ValueError(
+            f"hilbert_d: ({ix},{iy}) outside the level-{levels} domain")
+    d, x, y = 0, ix, iy
+    s = n // 2
+    while s > 0:
+        rx = (x // s) % 2
+        ry = (y // s) % 2
+        d += s * s * ((3 - ry) if rx == 1 else ry)
+        if ry != 1:
+            nx = (n - 1 - y) if rx == 1 else y
+            ny = (n - 1 - x) if rx == 1 else x
+            x, y = nx, ny
+        s //= 2
+    return d
+
+
+def hilbert_bbox_ranges(
+    x0: float, y0: float, x1: float, y1: float, *, cell_size: float,
+    levels: int,
+) -> list[tuple[int, int]]:
+    """Maximal Hilbert-key runs covering the half-open bbox
+    [x0,x1) x [y0,y1) — the S2-style range-scan plan: a table laid out
+    by hilbert key answers the bbox query by reading these few
+    contiguous key intervals (min/max-prunable at the file level on a
+    sorted layout) instead of scanning the corpus.
+
+    The bbox must be CELL-ALIGNED (loud ValueError otherwise): aligned
+    edges make "point in bbox" exactly "cell index in rectangle", so the
+    interval filter is the bbox predicate, not a superset cover — which
+    is what lets the driver gate value-hash the two plans against each
+    other.  Driver-side cost is O(cells in bbox); a planner enumerating
+    more than ~1e6 cells should coarsen the grid first (the intervals
+    are for pruning, not per-point math).
+    """
+    import math as _math
+
+    def _idx(v: float, off: float) -> int:
+        q = (v + off) / cell_size
+        i = _math.floor(q)
+        if q != i:
+            raise ValueError(
+                f"hilbert_bbox_ranges: bbox edge {v!r} is not aligned to "
+                f"the {cell_size!r}-sized grid")
+        return int(i)
+
+    ix0, ix1 = _idx(x0, 180.0), _idx(x1, 180.0)
+    iy0, iy1 = _idx(y0, 90.0), _idx(y1, 90.0)
+    if ix1 <= ix0 or iy1 <= iy0:
+        raise ValueError("hilbert_bbox_ranges: empty bbox")
+    ds = sorted(
+        hilbert_d(ix, iy, levels=levels)
+        for ix in range(ix0, ix1) for iy in range(iy0, iy1))
+    runs: list[list[int]] = []
+    for d in ds:
+        if runs and d == runs[-1][1] + 1:
+            runs[-1][1] = d
+        else:
+            runs.append([d, d])
+    return [(a, b) for a, b in runs]
+
+
 def hilbert_sql_query(base_sql: str, cell_expr: str = "cell", *,
                       levels: int, out: str = "hkey") -> str:
     """``with_hilbert`` as a DuckDB query transformer: wraps ``base_sql``

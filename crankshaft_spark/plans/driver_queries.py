@@ -850,38 +850,86 @@ def o_hotspot_pipeline():
 
 # ------------------------------------------- temporal / join coverage -------
 
+# cell-aligned at the 10-degree grid: ix 12..16, iy 7..10 (20 cells)
+EV_BBOX = (-60.0, -20.0, -10.0, 20.0)
+EV_HILBERT_LEVELS = 6
+
+
 def q_events_cell_hourly(spark, sf_dir):
     """Hourly per-cell event density: the events table geocoded through the
     derived-point scheme and rolled onto the engine grid (timestamp math +
-    cell key + two-key aggregation)."""
+    cell key + two-key aggregation) — UNION the hilbert bbox-scan arm
+    (r4): the same rollup restricted to EV_BBOX, where the Spark plan
+    filters by the hilbertv1 KEY INTERVALS hilbert_bbox_ranges compiles
+    for the bbox while the oracle filters by the raw coordinate
+    predicate.  The value-hash match proves the interval cover is exact
+    (lossless and tight) and that the driver-side planner arithmetic
+    (hilbert_d) agrees with the column implementation — the S2-style
+    range-scan plan a hilbert-sorted 100 TB layout would serve with
+    file-level min/max pruning instead of a full scan."""
+    from functools import reduce
+    from operator import or_
+
+    from crankshaft_spark.functions.cells import (
+        hilbert_bbox_ranges, with_hilbert)
     from crankshaft_spark.sources.derived import _derive_xy
 
     ev = load_table(spark, sf_dir, "events")
     x, y = _derive_xy(F.col("user_id"))
-    return (
-        ev.select(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
-            cell_expr(x, y, 10.0).alias("cell"),
-            "value",
-        )
-        .groupBy("hour", "cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("v_sum"),
-        )
+    base = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        cell_expr(x, y, 10.0).alias("cell"),
+        "value",
     )
+    rollup = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("v_sum"),
+    ]
+    full = base.groupBy("hour", "cell").agg(*rollup).select(
+        F.lit("all").alias("arm"), "*")
+    # the key interval filter runs on the DISTINCT-CELL table (hundreds
+    # of rows), never per event row: with_hilbert's chained per-level
+    # CASE projections collapse into one exponentially-grown expression
+    # under Catalyst's projection collapsing, and an OR-of-ranges filter
+    # replicates it per comparison — computing it per data row burned
+    # minutes of JIT/eval at sf0.01.  This is also the honest 100 TB
+    # shape: the hilbert key prunes the cell/file INDEX, and the data
+    # joins on its stored cell key (broadcast semi-join).
+    ranges = hilbert_bbox_ranges(
+        *EV_BBOX, cell_size=10.0, levels=EV_HILBERT_LEVELS)
+    # localCheckpoint BEFORE filtering: Catalyst's projection collapsing
+    # folds the 6 chained hilbert rounds into one ~5^levels-node
+    # expression, and each range comparison would inline its own copy —
+    # the un-checkpointed form wedged the optimizer for minutes.  The
+    # checkpoint materializes hkey as a plain column of a ~200-row table.
+    keyed_cells = with_hilbert(base.select("cell").distinct(),
+                               levels=EV_HILBERT_LEVELS, out="hkey"
+                               ).localCheckpoint(eager=True)
+    cond = reduce(or_, [(F.col("hkey") >= lo) & (F.col("hkey") <= hi)
+                        for lo, hi in ranges])
+    sel = keyed_cells.where(cond).select("cell")
+    bbox = (base.join(F.broadcast(sel), "cell", "left_semi")
+            .groupBy("hour", "cell").agg(*rollup)
+            .select(F.lit("bbox").alias("arm"), "*"))
+    return full.unionByName(bbox)
 
 
 def o_events_cell_hourly():
-    cell = cell_sql(
-        "(-120.0 + CAST((user_id * 9973) % 24000 AS DOUBLE) / 100.0)",
-        "(-48.0 + CAST((user_id * 7919) % 9600 AS DOUBLE) / 100.0)",
-        10.0,
-    )
+    xe = "(-120.0 + CAST((user_id * 9973) % 24000 AS DOUBLE) / 100.0)"
+    ye = "(-48.0 + CAST((user_id * 7919) % 9600 AS DOUBLE) / 100.0)"
+    cell = cell_sql(xe, ye, 10.0)
+    x0, y0, x1, y1 = EV_BBOX
     return f"""
-    SELECT date_trunc('hour', ts) AS hour, {cell} AS cell,
+    SELECT 'all' AS arm, date_trunc('hour', ts) AS hour, {cell} AS cell,
            count(*) AS n_events, round(sum(value), 6) AS v_sum
-    FROM events GROUP BY 1, 2"""
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'bbox' AS arm, date_trunc('hour', ts) AS hour, {cell} AS cell,
+           count(*) AS n_events, round(sum(value), 6) AS v_sum
+    FROM events
+    WHERE {xe} >= {x0!r} AND {xe} < {x1!r}
+      AND {ye} >= {y0!r} AND {ye} < {y1!r}
+    GROUP BY 2, 3"""
 
 
 SESSION_GAP_S = 600
