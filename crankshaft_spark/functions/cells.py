@@ -433,11 +433,9 @@ def hilbert_bbox_ranges(
     more than ~1e6 cells should coarsen the grid first (the intervals
     are for pruning, not per-point math).
     """
-    import math as _math
-
     def _idx(v: float, off: float) -> int:
         q = (v + off) / cell_size
-        i = _math.floor(q)
+        i = math.floor(q)
         if q != i:
             raise ValueError(
                 f"hilbert_bbox_ranges: bbox edge {v!r} is not aligned to "

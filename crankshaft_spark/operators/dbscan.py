@@ -41,8 +41,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from crankshaft_spark.functions.cells import CELL_M, cell_expr, cell_sql
-from crankshaft_spark.operators.dedup import dedup_components
+from crankshaft_spark.functions.cells import (
+    CELL_M, cell_expr, cell_sql, ring_cells_expr)
+from crankshaft_spark.functions.distance import (
+    planar_dist2, planar_dist2_sql)
+from crankshaft_spark.operators.dedup import dedup_components, reach_ctes
 
 __all__ = ["dbscan", "dbscan_oracle_sql"]
 
@@ -59,21 +62,19 @@ def _eps_edges(pts: DataFrame, eps: float) -> DataFrame:
     pin so the DuckDB oracle matches bit-for-bit.
     """
     cell = cell_expr(F.col("x"), F.col("y"), eps)
-    offsets = [dx * CELL_M + dy for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     left = pts.select(
         "id", "x", "y",
-        F.explode(F.array(*[cell + F.lit(o) for o in offsets])).alias("cell"),
+        F.explode(ring_cells_expr(cell, 1)).alias("cell"),
     )
     right = pts.select(
         F.col("id").alias("nid"), F.col("x").alias("nx"),
         F.col("y").alias("ny"), cell.alias("cell"),
     )
-    dx = F.col("x") - F.col("nx")
-    dy = F.col("y") - F.col("ny")
+    d2 = planar_dist2(F.col("x"), F.col("y"), F.col("nx"), F.col("ny"))
     return (
         left.join(right, "cell")
         .where((F.col("id") != F.col("nid"))
-               & (dx * dx + dy * dy <= F.lit(float(eps) * float(eps))))
+               & (d2 <= F.lit(float(eps) * float(eps))))
         .select("id", "nid")
     )
 
@@ -158,6 +159,7 @@ def dbscan_oracle_sql(pts_sql: str, *, eps: float, min_pts: int) -> str:
         str(dx * CELL_M + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1))
     cell = cell_sql("x", "y", float(eps))
     eps2 = repr(float(eps) * float(eps))
+    d2 = planar_dist2_sql("l.x", "l.y", "r.nx", "r.ny")
     return f"""
     WITH RECURSIVE pts AS MATERIALIZED ({pts_sql}),
     lft AS MATERIALIZED (
@@ -167,9 +169,7 @@ def dbscan_oracle_sql(pts_sql: str, *, eps: float, min_pts: int) -> str:
       SELECT id AS nid, x AS nx, y AS ny, {cell} AS cell FROM pts),
     edges AS MATERIALIZED (
       SELECT l.id, r.nid FROM lft l JOIN rgt r USING (cell)
-      WHERE l.id <> r.nid
-        AND (l.x - r.nx) * (l.x - r.nx)
-          + (l.y - r.ny) * (l.y - r.ny) <= {eps2}),
+      WHERE l.id <> r.nid AND {d2} <= {eps2}),
     stats AS MATERIALIZED (
       SELECT p.id, CAST(COALESCE(c.n, 0) + 1 AS BIGINT) AS n_eps
       FROM pts p LEFT JOIN (
@@ -179,11 +179,7 @@ def dbscan_oracle_sql(pts_sql: str, *, eps: float, min_pts: int) -> str:
     ce AS MATERIALIZED (
       SELECT e.id AS src, e.nid AS dst FROM edges e
       JOIN cores c1 ON e.id = c1.id JOIN cores c2 ON e.nid = c2.id),
-    reach(id, lbl) AS (
-      SELECT id, id FROM cores
-      UNION
-      SELECT e.dst, r.lbl FROM reach r JOIN ce e ON e.src = r.id
-      WHERE r.lbl < e.dst),
+    {reach_ctes("cores", "ce")},
     comp AS MATERIALIZED (
       SELECT id, CAST(min(lbl) AS BIGINT) AS cluster
       FROM reach GROUP BY id),

@@ -684,6 +684,26 @@ def dedup_components(
     return rows
 
 
+def reach_ctes(nodes_cte: str, edges_cte: str) -> str:
+    """The UNION-terminating reach recursion kernel — the ONE builder for
+    every oracle that mirrors hash-min connected components (CLAUDE.md:
+    shared oracle fragments must not be hand-inlined per entry).
+    ``nodes_cte`` must yield (id), ``edges_cte`` (src, dst) with both
+    directions present.  Propagates (node, seen-label) pairs until no new
+    pair appears; labels >= the receiving node are pruned (dominated by
+    the node's own base row); min(lbl) per node is then exactly the
+    component minimum — the same fixpoint the Spark pointer-jumping loop
+    converges to.  Emits the ``reach`` recursive CTE body; callers place
+    it inside a WITH RECURSIVE list and aggregate min(lbl) themselves."""
+    return f"""reach(id, lbl) AS (
+      SELECT id, id FROM {nodes_cte}
+      UNION
+      SELECT e.dst, r.lbl
+      FROM reach r JOIN {edges_cte} e ON e.src = r.id
+      WHERE r.lbl < e.dst
+    )"""
+
+
 def components_oracle_sql(docs_sql: str, pairs_sql: str) -> str:
     """DuckDB mirror of dedup_components, fixpoint-equivalent rather than
     round-for-round: a UNION (distinct) recursive CTE propagates (node,
@@ -704,13 +724,7 @@ def components_oracle_sql(docs_sql: str, pairs_sql: str) -> str:
       SELECT a AS src, b AS dst FROM prs
       UNION ALL SELECT b, a FROM prs
     ),
-    reach(id, lbl) AS (
-      SELECT id, id FROM nodes
-      UNION
-      SELECT e.dst, r.lbl
-      FROM reach r JOIN edges e ON e.src = r.id
-      WHERE r.lbl < e.dst
-    ),
+    {reach_ctes("nodes", "edges")},
     fin AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
     sizes AS (SELECT component, count(*) AS n_members
               FROM fin GROUP BY component)

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from crankshaft_spark.functions.cells import (
     CELL_M, cell_expr, cell_sql, ring_cells_expr)
+from crankshaft_spark.functions.distance import (
+    planar_dist2, planar_dist2_sql)
 
 
 def density_grid(
@@ -171,11 +173,13 @@ def kde_grid(
         F.col(x).alias("_x"), F.col(y).alias("_y"),
         F.explode(ring_cells_expr(cell, ring)).alias("cell"))
     c = F.col("cell")
-    cx = ((c - c % CELL_M) / CELL_M + F.lit(0.5)) * cell_size - F.lit(180.0)
-    cy = (c % CELL_M + F.lit(0.5)) * cell_size - F.lit(90.0)
-    dx = F.col("_x") - cx
-    dy = F.col("_y") - cy
-    d2 = dx * dx + dy * dy
+    # FLOOR-mod decode (((c % M) + M) % M): ring cells of points near the
+    # lon=-180 / lat=-90 edge go negative, where plain sign-of-dividend %
+    # would mis-center them and silently drop their kernel mass
+    iy = ((c % CELL_M) + F.lit(CELL_M)) % CELL_M
+    cx = ((c - iy) / CELL_M + F.lit(0.5)) * cell_size - F.lit(180.0)
+    cy = (iy + F.lit(0.5)) * cell_size - F.lit(90.0)
+    d2 = planar_dist2(F.col("_x"), F.col("_y"), cx, cy)
     t = d2 / F.lit(h2)
     w = (F.lit(1.0) - t) * (F.lit(1.0) - t)
     return (
@@ -201,21 +205,21 @@ def kde_oracle_sql(
     cell = cell_sql(x, y, float(cell_size))
     h2 = repr(float(bandwidth) * float(bandwidth))
     size = repr(float(cell_size))
+    d2 = planar_dist2_sql("_x", "_y", "cx", "cy")
     return f"""
     SELECT cell, count(*) AS n_pts,
-           CAST(sum(CAST(floor(((1.0 - (((_x - cx) * (_x - cx)
-                + (_y - cy) * (_y - cy)) / {h2}))
-               * (1.0 - (((_x - cx) * (_x - cx)
-                + (_y - cy) * (_y - cy)) / {h2}))) * {float(scale)!r})
+           CAST(sum(CAST(floor(((1.0 - (({d2}) / {h2}))
+               * (1.0 - (({d2}) / {h2}))) * {float(scale)!r})
                AS BIGINT)) AS BIGINT) AS kde_fp
     FROM (
-      SELECT {x} AS _x, {y} AS _y, cell,
-             ((cell - (cell % {CELL_M})) / {CELL_M} + 0.5) * {size} - 180.0
-               AS cx,
-             ((cell % {CELL_M}) + 0.5) * {size} - 90.0 AS cy
-      FROM (SELECT {x}, {y}, {cell} + off.o AS cell
-            FROM ({pts_sql}) kp, UNNEST([{offsets}]) AS off(o)))
-    WHERE (_x - cx) * (_x - cx) + (_y - cy) * (_y - cy) < {h2}
+      SELECT _x, _y, cell,
+             ((cell - iy) / {CELL_M} + 0.5) * {size} - 180.0 AS cx,
+             (iy + 0.5) * {size} - 90.0 AS cy
+      FROM (SELECT {x} AS _x, {y} AS _y, cell,
+                   ((cell % {CELL_M}) + {CELL_M}) % {CELL_M} AS iy
+            FROM (SELECT {x}, {y}, {cell} + off.o AS cell
+                  FROM ({pts_sql}) kp, UNNEST([{offsets}]) AS off(o))))
+    WHERE {d2} < {h2}
     GROUP BY cell"""
 
 

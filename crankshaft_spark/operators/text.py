@@ -497,6 +497,11 @@ def dedup_paragraphs(
     """
     import re as _re
 
+    # persisted: THREE consumers (winner aggregate, join-back probe,
+    # per-doc counts) would otherwise re-run the split/explode/md5 scan
+    # of every paragraph per consumer; released by the caller's
+    # clearCache like the other shared build tables (the contour_cells
+    # convention)
     paras = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -506,6 +511,7 @@ def dedup_paragraphs(
         .where(F.length("para") > 0)
         .select("doc_id", F.col("pos").cast("long").alias("pos"),
                 "para", F.md5("para").alias("h"))
+        .persist()
     )
     winners = paras.groupBy("h").agg(
         F.min(F.struct("doc_id", "pos")).alias("w"))

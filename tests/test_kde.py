@@ -69,6 +69,15 @@ def test_ring_is_exact_not_undershooting(spark):
         _run(spark, rows, cell_size=1.0, bandwidth=bw)
 
 
+def test_domain_edge_negative_ring_cells(spark):
+    # points hugging the lon=-180 / lat=-90 corner push ring cells to
+    # negative keys; the floor-mod decode must center them correctly
+    # (sign-of-dividend % silently dropped their kernel mass — review
+    # regression)
+    rows = [(1, -179.5, 0.5), (2, -179.5, -89.5), (3, -179.9, -89.9)]
+    _run(spark, rows, cell_size=1.0, bandwidth=3.0)
+
+
 def test_oracle_parity_sf0001(spark):
     from crankshaft_spark.sources.derived import (
         CUSTOMER_POINTS_SQL, customer_points)
