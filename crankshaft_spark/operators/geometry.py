@@ -684,6 +684,183 @@ def tin_oracle_sql(points_sql: str) -> str:
     JOIN dl_pts c ON c.grp = f.grp AND c.idx = f.v2"""
 
 
+# ------------------------------------------------------------ simplify ------
+
+def _dp_keep(xs: list, ys: list, eps2: int) -> list:
+    """Douglas–Peucker kept-index set over an ordered vertex list.
+
+    All comparisons are exact: with integer coordinates and integer
+    ``eps2`` the arithmetic stays in unbounded Python ints (never numpy
+    int64 — cross² at planar web-mercator magnitudes is ~1e17, fine for
+    int64, but a caller with larger frames must not silently wrap; see
+    the r3 cross-multiplication lesson).  Split test is the closed ball
+    (keep a vertex only when its distance STRICTLY exceeds eps); the
+    argmax tie-break is the smallest index — the paper leaves it
+    scan-order-dependent, the oracle needs it pinned.  The kept SET is
+    independent of segment processing order (splits are per-segment
+    local), which is what lets the DuckDB mirror run level-synchronous
+    rounds while this kernel uses a plain stack.
+    """
+    n = len(xs)
+    if n <= 2:
+        return list(range(n))
+    keep = {0, n - 1}
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        dx, dy = xs[j] - xs[i], ys[j] - ys[i]
+        len2 = dx * dx + dy * dy
+        den = len2 if len2 > 0 else 1
+        best_k, best_num = -1, -1
+        for k in range(i + 1, j):
+            if len2 > 0:
+                cross = dx * (ys[k] - ys[i]) - dy * (xs[k] - xs[i])
+                num = cross * cross
+            else:  # degenerate segment: distance to the coincident endpoint
+                ex, ey = xs[k] - xs[i], ys[k] - ys[i]
+                num = ex * ex + ey * ey
+            if num > best_num:
+                best_num, best_k = num, k
+        if best_num > eps2 * den:
+            keep.add(best_k)
+            stack.append((i, best_k))
+            stack.append((best_k, j))
+    return sorted(keep)
+
+
+def simplify(
+    points: DataFrame,
+    *,
+    eps: int,
+    group_col: str = "grp",
+    seq_col: str = "seq",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Douglas–Peucker polyline simplification per group →
+    (grp, seq, x, y): the vertices KEPT when every dropped vertex lies
+    within ``eps`` of the simplified chain (Douglas & Peucker 1973).
+
+    The reference ecosystem's surface is PostGIS ``ST_Simplify(geom,
+    tolerance)``, which CARTO exposes next to crankshaft for rendering
+    pipelines — the inverse of ``CDB_Densify``
+    (/root/reference/src/pg/sql/14_densify.sql:15-67), hence it rides
+    the same catalog entry.  ``seq_col`` defines the path order; output
+    keeps it so the caller can reassemble the chain.
+
+    Oracle exactness: comparisons are integer-only (cross² vs
+    eps²·len²) whenever the coordinates and ``eps`` are integers — the
+    catalog pins integer coords so DuckDB replays every split
+    bit-for-bit (non-integer inputs still simplify correctly but are
+    not oracle-exact).
+
+    Scale shape: one applyInPandas over spread_groups-pinned groups;
+    per-group work is O(kept·n) worst case over the GROUP's vertices —
+    the many-polylines axis is the data-parallel one, same contract as
+    densify/voronoi/tin.
+    """
+    if eps < 0:
+        raise ValueError(f"simplify: eps must be >= 0, got {eps}")
+    eps2 = eps * eps
+    schema = f"{group_col} long, {seq_col} long, {x} double, {y} double"
+
+    def run(key, pdf):
+        pdf = pdf.sort_values(seq_col, kind="mergesort")
+        # exact ints when integral (the oracle contract), floats otherwise
+        xv, yv = pdf[x].tolist(), pdf[y].tolist()
+        if all(float(v).is_integer() for v in xv + yv):
+            xv = [int(v) for v in xv]
+            yv = [int(v) for v in yv]
+        kept = _dp_keep(xv, yv, eps2)
+        sub = pdf.iloc[kept]
+        return pd.DataFrame({
+            group_col: key[0],
+            seq_col: sub[seq_col].to_numpy(),
+            x: sub[x].astype(float).to_numpy(),
+            y: sub[y].astype(float).to_numpy(),
+        })
+
+    return (
+        spread_groups(points.select(group_col, seq_col, x, y), group_col)
+        .groupBy(group_col)
+        .applyInPandas(run, schema=schema)
+    )
+
+
+def simplify_oracle_sql(verts_sql: str, *, eps: int) -> str:
+    """DuckDB mirror of ``simplify``: level-synchronous segment splitting
+    as a recursive CTE.
+
+    ``verts_sql`` must yield (grp, seq BIGINT, ix BIGINT, iy BIGINT)
+    with seq dense from 0 per group.  Each round, every alive segment
+    (i, j) finds its max-cross² interior vertex via a window over the
+    JOINed static vertex table (no correlated subqueries — the DuckDB
+    recursive-term rule), then either emits its two children (sides
+    join, the polylabel quadtree trick) or finishes with done=TRUE;
+    done rows leave the recursion, so it terminates when every segment
+    is final.  Kept vertices = endpoints of done segments (single-vertex
+    groups union-ed back in).  All arithmetic BIGINT — bit-for-bit the
+    Python kernel's splits.
+    """
+    eps2 = int(eps) * int(eps)
+    return f"""WITH RECURSIVE
+    sv AS MATERIALIZED ({verts_sql}),
+    sb AS MATERIALIZED (SELECT grp, MAX(seq) AS last FROM sv GROUP BY grp),
+    segs AS (
+        SELECT grp, CAST(0 AS BIGINT) AS i, last AS j, FALSE AS done
+        FROM sb WHERE last >= 1
+        UNION ALL
+        SELECT grp,
+               CASE WHEN side = 2 THEN k ELSE i END AS i,
+               CASE WHEN side = 1 THEN k ELSE j END AS j,
+               side = 0 AS done
+        FROM (
+            SELECT grp, i, j, k,
+                   (k IS NOT NULL AND num > {eps2} * den) AS split,
+                   row_number() OVER (PARTITION BY grp, i, j
+                                      ORDER BY num DESC, k ASC) AS rn
+            FROM (
+                SELECT s.grp, s.i, s.j, v.seq AS k,
+                       CASE WHEN (vj.ix - vi.ix) * (vj.ix - vi.ix)
+                                 + (vj.iy - vi.iy) * (vj.iy - vi.iy) > 0
+                            THEN ((vj.ix - vi.ix) * (v.iy - vi.iy)
+                                  - (vj.iy - vi.iy) * (v.ix - vi.ix))
+                                 * ((vj.ix - vi.ix) * (v.iy - vi.iy)
+                                    - (vj.iy - vi.iy) * (v.ix - vi.ix))
+                            ELSE (v.ix - vi.ix) * (v.ix - vi.ix)
+                                 + (v.iy - vi.iy) * (v.iy - vi.iy) END AS num,
+                       CASE WHEN (vj.ix - vi.ix) * (vj.ix - vi.ix)
+                                 + (vj.iy - vi.iy) * (vj.iy - vi.iy) > 0
+                            THEN (vj.ix - vi.ix) * (vj.ix - vi.ix)
+                                 + (vj.iy - vi.iy) * (vj.iy - vi.iy)
+                            ELSE 1 END AS den
+                FROM segs s
+                JOIN sv vi ON vi.grp = s.grp AND vi.seq = s.i
+                JOIN sv vj ON vj.grp = s.grp AND vj.seq = s.j
+                LEFT JOIN sv v ON v.grp = s.grp
+                     AND v.seq > s.i AND v.seq < s.j
+                WHERE NOT s.done
+            ) cand
+        ) best
+        JOIN (VALUES (0), (1), (2)) sides(side)
+          ON best.rn = 1
+         AND ((best.split AND side IN (1, 2))
+              OR ((NOT best.split) AND side = 0))
+    ),
+    sk AS (
+        SELECT DISTINCT grp, seq FROM (
+            SELECT grp, i AS seq FROM segs WHERE done
+            UNION ALL SELECT grp, j AS seq FROM segs WHERE done
+            UNION ALL SELECT grp, CAST(0 AS BIGINT) AS seq
+            FROM sb WHERE last = 0
+        ) u
+    )
+    SELECT v.grp, v.seq, CAST(v.ix AS DOUBLE) AS x, CAST(v.iy AS DOUBLE) AS y
+    FROM sk JOIN sv v ON v.grp = sk.grp AND v.seq = sk.seq"""
+
+
 # --------------------------------------------------------- dot density ------
 
 def dot_density(

@@ -1563,25 +1563,72 @@ DENSIFY_PTS_SQL = """
     FROM customer WHERE c_custkey % 5 = 1"""
 
 
+# simplify arm input: an integer-coordinate polyline per nation (path
+# order = customer id), so every Douglas-Peucker split compares exact
+# BIGINTs on both engines (cross^2 <= ~2.1e17, eps^2*len^2 <= ~1.5e15 —
+# no overflow).  eps=1500 against a [0,24000)x[0,9600) frame drops a
+# meaningful fraction of vertices without degenerating to endpoints.
+SIMPLIFY_EPS = 1500
+SIMPLIFY_VERTS_SQL = """
+    SELECT grp, CAST(row_number() OVER (PARTITION BY grp ORDER BY id) - 1
+                AS BIGINT) AS seq, ix, iy
+    FROM (SELECT CAST(c_nationkey AS BIGINT) AS grp, c_custkey AS id,
+                 (CAST(c_custkey AS BIGINT) * 9973) % 24000 AS ix,
+                 (CAST(c_custkey AS BIGINT) * 7919) % 9600 AS iy
+          FROM customer)"""
+
+
+def _simplify_verts(spark, sf_dir):
+    """The Spark half of SIMPLIFY_VERTS_SQL — identical BIGINT arithmetic."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    cid = F.col("c_custkey").cast("long")
+    pts = cust.select(
+        F.col("c_nationkey").cast("long").alias("grp"),
+        cid.alias("id"),
+        ((cid * 9973) % 24000).cast("double").alias("x"),
+        ((cid * 7919) % 9600).cast("double").alias("y"),
+    )
+    w = Window.partitionBy("grp").orderBy("id")
+    return pts.withColumn(
+        "seq", (F.row_number().over(w) - 1).cast("long"))
+
+
 def q_densify(spark, sf_dir):
-    """Value-hash oracle: the Bowyer-Watson insertion loop is mirrored as a
-    DuckDB recursive CTE (densify_oracle_sql), one recursion step per
-    inserted point in the pinned (x, y, value) order."""
-    from crankshaft_spark.operators.geometry import densify
+    """Two arms: densify (Bowyer-Watson insertion loop mirrored as a DuckDB
+    recursive CTE, one step per inserted point in the pinned (x, y, value)
+    order) UNION simplify (Douglas-Peucker over an integer polyline per
+    nation — the ST_Simplify surface, level-synchronous segment splitting
+    in the oracle; value carries the kept vertex's path position)."""
+    from crankshaft_spark.operators.geometry import densify, simplify
 
     pts = customer_points(spark, sf_dir).where(F.col("id") % 5 == 1).select(
         F.col("nationkey").cast("long").alias("grp"), "x", "y", "value"
     )
-    return densify(pts, iterations=1).select(
+    dens = densify(pts, iterations=1).select(
+        F.lit("densify").alias("arm"),
         "grp", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
         F.round("value", 6).alias("value"),
     )
+    simp = simplify(
+        _simplify_verts(spark, sf_dir), eps=SIMPLIFY_EPS,
+    ).select(
+        F.lit("simplify").alias("arm"),
+        "grp", "x", "y", F.col("seq").cast("double").alias("value"),
+    )
+    return dens.unionByName(simp)
 
 
 def o_densify():
-    from crankshaft_spark.operators.geometry import densify_oracle_sql
+    from crankshaft_spark.operators.geometry import (
+        densify_oracle_sql, simplify_oracle_sql)
 
-    return densify_oracle_sql(DENSIFY_PTS_SQL)
+    return f"""SELECT 'densify' AS arm, * FROM ({densify_oracle_sql(
+        DENSIFY_PTS_SQL)})
+    UNION ALL
+    SELECT 'simplify' AS arm, grp, x, y, CAST(seq AS DOUBLE) AS value
+    FROM ({simplify_oracle_sql(SIMPLIFY_VERTS_SQL, eps=SIMPLIFY_EPS)})"""
 
 
 def q_tin_map(spark, sf_dir):
