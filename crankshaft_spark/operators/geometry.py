@@ -684,6 +684,127 @@ def tin_oracle_sql(points_sql: str) -> str:
     JOIN dl_pts c ON c.grp = f.grp AND c.idx = f.v2"""
 
 
+# --------------------------------------------------------- alpha shape ------
+
+def alpha_shape(
+    points: DataFrame,
+    *,
+    r: int,
+    group_col: str = "grp",
+) -> DataFrame:
+    """Alpha-shape boundary per group → (grp, wkt, value): the LINESTRING
+    edges of the alpha complex (Edelsbrunner, Kirkpatrick & Seidel 1983)
+    — Delaunay triangles with circumradius <= ``r`` kept, boundary =
+    undirected edges used by exactly ONE kept triangle.  value carries
+    the edge's squared length (exact integer, cast to double).
+
+    The reference ecosystem's surface is PostGIS ``ST_ConcaveHull`` /
+    CARTO's concave-hull helpers next to CDB_TINmap — the concave
+    counterpart of functions.geom.convex_hull, riding the same Delaunay
+    as tin_map (/root/reference/src/pg/sql/15_tinmap.sql:1-43), hence it
+    rides that catalog entry.
+
+    Oracle exactness: the circumradius test is integer-only —
+    R² <= r²  ⇔  |AB|²·|BC|²·|CA|² <= 4·r²·cross²  (16·area² = 4·cross²)
+    — evaluated in unbounded Python ints here and BIGINT in DuckDB, so
+    coordinates must be integer-valued and the frame small enough that
+    |AB|²·|BC|²·|CA|² fits BIGINT (~|frame|⁶ <= 9.2e18; the catalog's
+    600×400 frame gives 1.4e17).  Degenerate zero-area triangles fail
+    the test (P > 0 = RHS) and drop out deterministically.
+
+    Scale shape: one applyInPandas over spread_groups-pinned groups —
+    the many-shapes axis is the data-parallel one, same contract as
+    voronoi/densify/tin.
+    """
+    if r < 0:
+        raise ValueError(f"alpha_shape: r must be >= 0, got {r}")
+    r2 = int(r) * int(r)
+    schema = f"{group_col} long, wkt string, value double"
+
+    def run(key, pdf):
+        pdf = pdf.sort_values(["x", "y", "value"], kind="mergesort")
+        pts = np.column_stack([pdf["x"].to_numpy(), pdf["y"].to_numpy()])
+        tris = delaunay(pts)
+        xs = [int(v) for v in pdf["x"]]
+        ys = [int(v) for v in pdf["y"]]
+
+        def d2(i, j):
+            return (xs[j] - xs[i]) ** 2 + (ys[j] - ys[i]) ** 2
+
+        edge_count: dict[tuple, int] = {}
+        for a, b, c in tris:
+            cross = ((xs[b] - xs[a]) * (ys[c] - ys[a])
+                     - (ys[b] - ys[a]) * (xs[c] - xs[a]))
+            if d2(a, b) * d2(b, c) * d2(c, a) > 4 * r2 * cross * cross:
+                continue
+            for u, v in ((a, b), (b, c), (c, a)):
+                e = (min(u, v), max(u, v))
+                edge_count[e] = edge_count.get(e, 0) + 1
+        rows = [
+            (key[0],
+             f"LINESTRING ({xs[u]:.6f} {ys[u]:.6f}, "
+             f"{xs[v]:.6f} {ys[v]:.6f})",
+             float(d2(u, v)))
+            for (u, v), n in edge_count.items() if n == 1
+        ]
+        return pd.DataFrame(rows, columns=[group_col, "wkt", "value"])
+
+    return (
+        spread_groups(points.select(group_col, "x", "y", "value"), group_col)
+        .groupBy(group_col)
+        .applyInPandas(run, schema=schema)
+    )
+
+
+def alpha_oracle_sql(points_sql: str, *, r: int) -> str:
+    """DuckDB mirror of ``alpha_shape``: the shared Bowyer-Watson CTE chain
+    (dl_final), then the integer circumradius filter and the count==1
+    boundary-edge aggregate.  ``points_sql`` must yield (grp, x, y, value)
+    with integer-valued doubles (exact-integer doubles may cross the
+    BIGINT cast — the round-4 cast-rounding rule)."""
+    r2 = int(r) * int(r)
+
+    def bx(p, c):
+        return f"CAST({p}.{c} AS BIGINT)"
+
+    def dd2(p, q):
+        return (f"(({bx(q, 'x')} - {bx(p, 'x')}) * ({bx(q, 'x')} - "
+                f"{bx(p, 'x')}) + ({bx(q, 'y')} - {bx(p, 'y')}) * "
+                f"({bx(q, 'y')} - {bx(p, 'y')}))")
+
+    cross = (f"(({bx('b', 'x')} - {bx('a', 'x')}) * ({bx('c', 'y')} - "
+             f"{bx('a', 'y')}) - ({bx('b', 'y')} - {bx('a', 'y')}) * "
+             f"({bx('c', 'x')} - {bx('a', 'x')}))")
+    return f"""WITH RECURSIVE {_delaunay_oracle_ctes(points_sql)},
+    al_kept AS (
+      SELECT f.grp, f.v0, f.v1, f.v2
+      FROM dl_final f
+      JOIN dl_pts a ON a.grp = f.grp AND a.idx = f.v0
+      JOIN dl_pts b ON b.grp = f.grp AND b.idx = f.v1
+      JOIN dl_pts c ON c.grp = f.grp AND c.idx = f.v2
+      WHERE {dd2('a', 'b')} * {dd2('b', 'c')} * {dd2('c', 'a')}
+            <= 4 * {r2} * {cross} * {cross}
+    ),
+    al_edges AS (
+      SELECT grp, LEAST(v0, v1) AS e0, GREATEST(v0, v1) AS e1 FROM al_kept
+      UNION ALL
+      SELECT grp, LEAST(v1, v2), GREATEST(v1, v2) FROM al_kept
+      UNION ALL
+      SELECT grp, LEAST(v2, v0), GREATEST(v2, v0) FROM al_kept
+    ),
+    al_bnd AS (
+      SELECT grp, e0, e1 FROM al_edges
+      GROUP BY grp, e0, e1 HAVING count(*) = 1
+    )
+    SELECT n.grp,
+           printf('LINESTRING (%.6f %.6f, %.6f %.6f)', p.x, p.y, q.x, q.y)
+             AS wkt,
+           CAST({dd2('p', 'q')} AS DOUBLE) AS value
+    FROM al_bnd n
+    JOIN dl_pts p ON p.grp = n.grp AND p.idx = n.e0
+    JOIN dl_pts q ON q.grp = n.grp AND q.idx = n.e1"""
+
+
 # ------------------------------------------------------------ simplify ------
 
 def _dp_keep(xs: list, ys: list, eps2: int) -> list:

@@ -1631,21 +1631,70 @@ def o_densify():
     FROM ({simplify_oracle_sql(SIMPLIFY_VERTS_SQL, eps=SIMPLIFY_EPS)})"""
 
 
+# alpha-shape arm input: integer coordinates over a 600x400 frame so the
+# circumradius products fit BIGINT (|AB|^2*|BC|^2*|CA|^2 <= 5.2e5^3 =
+# 1.4e17); the (id*9973 % 600, id*7919 % 400) orbit under id%3==0 caps
+# DISTINCT locations per group (dedup keeps MIN(value)) — per-group
+# Delaunay stays bounded at ANY sf, the same bounded-geometry trick the
+# voronoi/tin inputs ride.
+ALPHA_R = 40
+ALPHA_PTS_SQL = """
+    SELECT grp, x, y, MIN(value) AS value FROM (
+      SELECT CAST(c_nationkey AS BIGINT) AS grp,
+             CAST((CAST(c_custkey AS BIGINT) * 9973) % 600 AS DOUBLE) AS x,
+             CAST((CAST(c_custkey AS BIGINT) * 7919) % 400 AS DOUBLE) AS y,
+             CAST(c_custkey AS DOUBLE) AS value
+      FROM customer WHERE c_custkey % 3 = 0
+    ) GROUP BY grp, x, y"""
+
+
+def _alpha_pts(spark, sf_dir):
+    """The Spark half of ALPHA_PTS_SQL — identical BIGINT arithmetic."""
+    cust = load_table(spark, sf_dir, "customer")
+    cid = F.col("c_custkey").cast("long")
+    return (
+        cust.where(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_nationkey").cast("long").alias("grp"),
+            ((cid * 9973) % 600).cast("double").alias("x"),
+            ((cid * 7919) % 400).cast("double").alias("y"),
+            cid.cast("double").alias("value"))
+        .groupBy("grp", "x", "y")
+        .agg(F.min("value").alias("value"))
+    )
+
+
 def q_tin_map(spark, sf_dir):
-    from crankshaft_spark.operators.geometry import tin_map
+    """Two arms: tin (Delaunay triangles valued at the vertex mean) UNION
+    alpha (alpha-shape boundary edges — the ST_ConcaveHull surface; kept
+    = integer circumradius test over the same Bowyer-Watson machinery,
+    boundary = count==1 undirected edges; value = exact squared edge
+    length)."""
+    from crankshaft_spark.operators.geometry import alpha_shape, tin_map
 
     pts = customer_points(spark, sf_dir).where(F.col("id") % 5 == 1).select(
         F.col("nationkey").cast("long").alias("grp"), "x", "y", "value"
     )
-    return tin_map(pts, iterations=0).select(
-        "grp", "tri_wkt", F.round("value", 6).alias("value")
+    tin = tin_map(pts, iterations=0).select(
+        F.lit("tin").alias("arm"),
+        "grp", F.col("tri_wkt").alias("wkt"),
+        F.round("value", 6).alias("value"),
     )
+    alpha = alpha_shape(_alpha_pts(spark, sf_dir), r=ALPHA_R).select(
+        F.lit("alpha").alias("arm"), "grp", "wkt", "value",
+    )
+    return tin.unionByName(alpha)
 
 
 def o_tin_map():
-    from crankshaft_spark.operators.geometry import tin_oracle_sql
+    from crankshaft_spark.operators.geometry import (
+        alpha_oracle_sql, tin_oracle_sql)
 
-    return tin_oracle_sql(DENSIFY_PTS_SQL)
+    return f"""SELECT 'tin' AS arm, grp, tri_wkt AS wkt, value
+    FROM ({tin_oracle_sql(DENSIFY_PTS_SQL)})
+    UNION ALL
+    SELECT 'alpha' AS arm, * FROM ({alpha_oracle_sql(
+        ALPHA_PTS_SQL, r=ALPHA_R)})"""
 
 
 def q_dot_density(spark, sf_dir):

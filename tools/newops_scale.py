@@ -1,0 +1,101 @@
+"""Round-4 new-operator scaling rows: kde_grid / dbscan at 10M points,
+N vs 4N cores.
+
+Evidences the north rule's two-cluster-size criterion on the round-4
+surface additions, same protocol as tools/simscale.py: closed-form
+synthetic points from spark.range (the row count is the variable under
+test), ONE timed run per core count (minutes-scale runtimes amortize the
+per-JVM warmup constant), output digest computed DISTRIBUTED (bit_xor of
+xxhash64 over exact-integer output columns — collecting 10M rows to the
+driver would violate the point), rows-identical asserted across the two
+parallelism levels.
+
+Coordinates are xxhash64-derived (uniform over a 3000x2000-cell frame at
+eps=10 — ~rows/6M points per eps-cell): a linear congruence pair like the
+catalog's (id*9973 % 30000, id*7919 % 20000) has joint period
+lcm(30000,20000)=60k, so 10M rows would stack ~167 EXACT copies per
+location — degenerate density for dbscan (~1.7B candidate pairs) and a
+trivial agg for kde.  Hash coords keep the workload the intended Poisson
+sprinkle; determinism across the two runs is all this tool needs (no
+DuckDB oracle here — the catalog entry covers value parity).
+
+kde: support ring R=1 (9 exploded cells/point, map-side combined); kde is
+seconds-cheap per 10M rows, so default it to 100M rows or overhead
+dominates the ratio (the round-2 input-size lesson).
+dbscan: eps=10, min_pts=3 at 10M rows — ~15M candidate pairs through the
+ring-1 equi-join, then hash-min label propagation over the core graph.
+
+Usage: python tools/newops_scale.py [op kde|dbscan] [N] [rows]
+Prints one JSON line — record into BASELINE.md §4.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from crankshaft_spark import get_session
+
+op = sys.argv[1]; cpus = int(sys.argv[2]); rows = int(sys.argv[3])
+spark = get_session(master=f"local[{cpus}]", app_name=f"nos{op}{cpus}",
+                    shuffle_partitions=max(cpus, 16))
+spark.sparkContext.setLogLevel("ERROR")
+pts = spark.range(1, rows + 1).select(
+    F.col("id"),
+    F.pmod(F.xxhash64("id"), F.lit(30000)).cast("double").alias("x"),
+    F.pmod(F.xxhash64("id", F.lit(1)), F.lit(20000)).cast("double").alias("y"))
+t0 = time.time()
+if op == "kde":
+    from crankshaft_spark.operators.grid import kde_grid
+    res = kde_grid(pts, cell_size=10.0, bandwidth=10.0)
+    agg = res.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("cell", "n_pts", "kde_fp")).alias("sig"),
+    ).collect()[0]
+else:
+    from crankshaft_spark.operators.dbscan import dbscan
+    res = dbscan(pts, eps=10.0, min_pts=3)
+    agg = res.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("id", F.coalesce("cluster", F.lit(-1)),
+                             "role")).alias("sig"),
+    ).collect()[0]
+dt = time.time() - t0
+print(json.dumps({"cpus": cpus, "rows": rows, "sec": round(dt, 1),
+                  "rows_per_sec": round(rows / dt),
+                  "n_out": agg["n"], "sig": agg["sig"]}))
+spark.stop()
+"""
+
+
+def run(op: str, cpus: int, rows: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, op, str(cpus), str(rows)],
+        capture_output=True, text=True, check=True)
+    line = [l for l in out.stdout.replace("\r", "\n").splitlines()
+            if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    op = sys.argv[1] if len(sys.argv) > 1 else "kde"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    rows = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000_000
+    lo = run(op, n, rows)
+    hi = run(op, 4 * n, rows)
+    assert lo["n_out"] == hi["n_out"] and lo["sig"] == hi["sig"], (
+        "outputs differ across parallelism", lo, hi)
+    eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / 4
+    print(json.dumps({
+        "op": op, "rows": rows, "rows_identical": True,
+        f"local[{n}]": lo, f"local[{4 * n}]": hi,
+        "scaling_efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    main()
