@@ -161,6 +161,138 @@ def tile_bounds_expr(tx: Column, ty: Column, z: int) -> Column:
         lat(ty.cast("double")).alias("north"))
 
 
+# --------------------------------------------------------------- geohash ----
+# The classic public base-32 geohash (Niemeyer 2008; the PostGIS
+# ST_GeoHash surface next to CDB_RectangleGrid tiling,
+# /root/reference/src/pg/sql/cdb_utils.sql:19-96 being the grid the
+# reference tiles against).  Interop key: unlike cellv1/quadkey this is
+# the EXTERNAL convention other systems emit, so a user can join our
+# grids against third-party geohashed data.  Same ancestor-prefix
+# property as quadkey (prefixes nest: floor(u·2^b) == floor(u·2^b') >>
+# (b'−b)), so tile containment is a LIKE-prefix scan here too.  Pure
+# integer/float-pinned arithmetic — fully oracle-exact (contrast the
+# transcendental XYZ tiles above).
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _gh_bits(precision: int) -> tuple:
+    if not 1 <= precision <= 12:
+        raise ValueError(
+            f"geohash: precision must be in [1, 12], got {precision}")
+    nbits = 5 * precision
+    return nbits, (nbits + 1) // 2, nbits // 2
+
+
+def geohash_code_expr(lon: Column, lat: Column, precision: int) -> Column:
+    """Interleaved 5·precision-bit geohash code as BIGINT — the groupBy /
+    join key form (one quantize+interleave per point; render the string
+    from the code on the already-aggregated cell table, never per row).
+    Bit j (MSB first) is lon for even j, lat for odd — the standard
+    geohash interleave.  lon=+180 / lat=+90 clamp into the last column /
+    row (the tile_xyz_expr convention); out-of-domain coordinates fail
+    loudly like quadkey_expr."""
+    nbits, blon, blat = _gh_bits(precision)
+    plon, plat = 1 << blon, 1 << blat
+    lonq = F.least(
+        F.floor(((lon + F.lit(180.0)) / F.lit(360.0))
+                * F.lit(float(plon))).cast("long"),
+        F.lit(plon - 1).cast("long"))
+    latq = F.least(
+        F.floor(((lat + F.lit(90.0)) / F.lit(180.0))
+                * F.lit(float(plat))).cast("long"),
+        F.lit(plat - 1).cast("long"))
+    code = F.lit(0).cast("long")
+    for j in range(nbits):
+        if j % 2 == 0:
+            bit = F.shiftright(lonq, blon - 1 - j // 2)
+        else:
+            bit = F.shiftright(latq, blat - 1 - (j - 1) // 2)
+        code = code + F.shiftleft(bit.bitwiseAND(F.lit(1)).cast("long"),
+                                  nbits - 1 - j)
+    ok = ((lon >= F.lit(-180.0)) & (lon <= F.lit(180.0))
+          & (lat >= F.lit(-90.0)) & (lat <= F.lit(90.0)))
+    return F.when(ok, code).otherwise(F.expr(
+        "CAST(raise_error('geohash: lon/lat outside domain') AS BIGINT)"))
+
+
+def geohash_chars_expr(code: Column, precision: int) -> Column:
+    """Base-32 geohash string of a ``geohash_code_expr`` code (5 bits per
+    character, MSB first)."""
+    nbits, _, _ = _gh_bits(precision)
+    alpha = F.array(*[F.lit(c) for c in GEOHASH_B32])
+    chars = [
+        F.element_at(
+            alpha,
+            F.shiftright(code, nbits - 5 * (k + 1))
+            .bitwiseAND(F.lit(31)).cast("int") + F.lit(1))
+        for k in range(precision)]
+    return F.concat(*chars)
+
+
+def geohash_expr(lon: Column, lat: Column, precision: int) -> Column:
+    """Convenience: base-32 geohash string straight from coordinates."""
+    return geohash_chars_expr(
+        geohash_code_expr(lon, lat, precision), precision)
+
+
+def geohash_bounds_expr(code: Column, precision: int) -> Column:
+    """``struct(west, south, east, north)`` — lon/lat envelope of a
+    geohash cell from its BIGINT code (the raster→vector inverse, like
+    tile_bounds_expr but pure pinned arithmetic: (q · 360.0) / 2^blon −
+    180.0, one operand order)."""
+    nbits, blon, blat = _gh_bits(precision)
+    lonq = F.lit(0).cast("long")
+    latq = F.lit(0).cast("long")
+    for j in range(nbits):
+        bit = F.shiftright(code, nbits - 1 - j).bitwiseAND(F.lit(1))
+        if j % 2 == 0:
+            lonq = lonq + F.shiftleft(bit.cast("long"), blon - 1 - j // 2)
+        else:
+            latq = latq + F.shiftleft(bit.cast("long"),
+                                      blat - 1 - (j - 1) // 2)
+    plon, plat = float(1 << blon), float(1 << blat)
+    d = lambda c: c.cast("double")  # noqa: E731
+    return F.struct(
+        ((d(lonq) * F.lit(360.0)) / F.lit(plon) - F.lit(180.0))
+        .alias("west"),
+        ((d(latq) * F.lit(180.0)) / F.lit(plat) - F.lit(90.0))
+        .alias("south"),
+        ((d(lonq + 1) * F.lit(360.0)) / F.lit(plon) - F.lit(180.0))
+        .alias("east"),
+        ((d(latq + 1) * F.lit(180.0)) / F.lit(plat) - F.lit(90.0))
+        .alias("north"))
+
+
+def geohash_code_sql(lon_expr: str, lat_expr: str, precision: int) -> str:
+    """The interleaved code as DuckDB SQL — IDENTICAL arithmetic (same
+    operand order, `//` for the bit extraction) for the oracle."""
+    nbits, blon, blat = _gh_bits(precision)
+    plon, plat = 1 << blon, 1 << blat
+    lonq = (f"LEAST(CAST(floor((({lon_expr}) + 180.0) / 360.0 "
+            f"* {float(plon)!r}) AS BIGINT), {plon - 1})")
+    latq = (f"LEAST(CAST(floor((({lat_expr}) + 90.0) / 180.0 "
+            f"* {float(plat)!r}) AS BIGINT), {plat - 1})")
+    terms = []
+    for j in range(nbits):
+        if j % 2 == 0:
+            bit = f"(({lonq}) // {1 << (blon - 1 - j // 2)}) % 2"
+        else:
+            bit = f"(({latq}) // {1 << (blat - 1 - (j - 1) // 2)}) % 2"
+        terms.append(f"(({bit}) * {1 << (nbits - 1 - j)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def geohash_chars_sql(code_expr: str, precision: int) -> str:
+    """Base-32 rendering of a code expression as DuckDB SQL."""
+    nbits, _, _ = _gh_bits(precision)
+    parts = " || ".join(
+        f"substring('{GEOHASH_B32}', CAST((({code_expr}) "
+        f"// {1 << (nbits - 5 * (k + 1))}) % 32 AS INTEGER) + 1, 1)"
+        for k in range(precision))
+    return f"({parts})"
+
+
 def ring_cells_expr(cell: Column, ring) -> Column:
     """Array of all cell ids within Chebyshev distance ``ring`` of ``cell``.
 

@@ -297,6 +297,12 @@ def o_weighted_mean():
     FROM pts GROUP BY nationkey"""
 
 
+# geohash arm precision: 4 chars = 20 bits (lon 10 / lat 10) — cells
+# ~0.35 x 0.18 degrees, a bounded cell table at any sf over the derived
+# point domain.
+GEOHASH_P = 4
+
+
 def q_grid_density(spark, sf_dir):
     # Pyramid rollup (one point scan; zoom 1 derived from zoom 0 by integer
     # parent-cell arithmetic) vs the oracle's direct per-zoom binning — the
@@ -348,12 +354,28 @@ def q_grid_density(spark, sf_dir):
     kde = kde_grid(pts, cell_size=5.0, bandwidth=10.0).select(
         F.lit(4).alias("zoom"), "cell", F.col("kde_fp").alias("n"),
         F.lit("kde").alias("qk"))
-    return rect.unionByName(hexd).unionByName(hil).unionByName(kde)
+    # zoom=5 arm (r4): classic base-32 geohash density — the EXTERNAL
+    # interop key (PostGIS ST_GeoHash convention) next to the engine's
+    # cellv1/hexv1/hilbertv1 keys.  Group on the interleaved BIGINT code
+    # (one quantize per point), render the base-32 string on the
+    # aggregated cell table only.
+    from crankshaft_spark.functions.cells import (
+        geohash_chars_expr, geohash_code_expr)
+
+    geo = (
+        pts.withColumn(
+            "cell", geohash_code_expr(F.col("x"), F.col("y"), GEOHASH_P))
+        .groupBy("cell").agg(F.count("*").alias("n"))
+        .select(F.lit(5).alias("zoom"), "cell", "n",
+                geohash_chars_expr(F.col("cell"), GEOHASH_P).alias("qk")))
+    return (rect.unionByName(hexd).unionByName(hil).unionByName(kde)
+            .unionByName(geo))
 
 
 def o_grid_density():
     from crankshaft_spark.functions.cells import (
-        CELL_M, HEX_OFF, hex_cell_sql, hilbert_sql_query, quadkey_sql)
+        CELL_M, HEX_OFF, geohash_chars_sql, geohash_code_sql, hex_cell_sql,
+        hilbert_sql_query, quadkey_sql)
     from crankshaft_spark.operators.grid import kde_oracle_sql
 
     c5 = cell_sql("x", "y", 5.0)
@@ -379,7 +401,12 @@ def o_grid_density():
     UNION ALL
     SELECT 4 AS zoom, cell, kde_fp AS n, 'kde' AS qk
     FROM ({kde_oracle_sql('SELECT x, y FROM pts',
-                          cell_size=5.0, bandwidth=10.0)})"""
+                          cell_size=5.0, bandwidth=10.0)})
+    UNION ALL
+    SELECT 5 AS zoom, cell, n, {geohash_chars_sql('cell', GEOHASH_P)} AS qk
+    FROM (SELECT {geohash_code_sql('x', 'y', GEOHASH_P)} AS cell,
+                 count(*) AS n
+          FROM pts GROUP BY 1)"""
 
 
 IDW_K = 8
