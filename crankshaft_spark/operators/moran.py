@@ -380,6 +380,115 @@ def moran_global(
     )
 
 
+def geary_c(
+    values: DataFrame,
+    edges: DataFrame,
+    *,
+    value_col: str = "value",
+) -> DataFrame:
+    """Global Geary's C → single row (geary_c, expected_c).
+
+    C = (n−1) · Σ_ij w_ij (x_i − x_j)² / (2 W Σ_i (x_i − x̄)²), W = Σ w_ij
+    — the classic squared-difference companion to global Moran's I
+    (PySAL ``esda.Geary``; the reference ships the Moran half of that
+    pair via its vendored PySAL, pysal_utils.py:23-35).  E[C] = 1 under
+    the randomization null; C < 1 ⇒ positive autocorrelation.  Geary is
+    LOCAL-difference sensitive where Moran is covariance sensitive, so
+    the two disagree exactly when structure is small-scale.
+
+    Shape: one (id, nbr, w) edge join against the value table twice +
+    two one-row broadcast aggregates — the same 100 TB-safe plan as
+    moran_global (no new shuffle class).
+    """
+    x = values.select("id", F.col(value_col).alias("_x"))
+    stats = values.agg(
+        F.count(value_col).alias("_n"),
+        F.avg(value_col).alias("_mu"),
+    )
+    den = (
+        values.join(F.broadcast(stats))
+        .agg(F.sum((F.col(value_col) - F.col("_mu"))
+                   * (F.col(value_col) - F.col("_mu"))).alias("_den"))
+    )
+    pair = (
+        edges
+        .join(x.withColumnRenamed("id", "_i").withColumnRenamed("_x", "_xi"),
+              F.col("id") == F.col("_i"))
+        .join(x.withColumnRenamed("id", "_j").withColumnRenamed("_x", "_xj"),
+              F.col("nbr") == F.col("_j"))
+        .agg(
+            F.sum(F.col("w") * (F.col("_xi") - F.col("_xj"))
+                  * (F.col("_xi") - F.col("_xj"))).alias("_num"),
+            F.sum("w").alias("_W"),
+        )
+    )
+    return (
+        pair.join(F.broadcast(stats)).join(F.broadcast(den))
+        .select(
+            ((F.col("_n") - 1) * F.col("_num")
+             / (F.lit(2.0) * F.col("_W") * F.col("_den"))).alias("geary_c"),
+            F.lit(1.0).alias("expected_c"),
+        )
+    )
+
+
+def join_counts(
+    values: DataFrame,
+    edges: DataFrame,
+    *,
+    value_col: str = "value",
+) -> DataFrame:
+    """Join-count statistics over a binary variable on the directed edge
+    graph → one row per statistic: (stat ∈ bb/bw/ww, count, expected).
+
+    The categorical-autocorrelation member of the PySAL global trio
+    (``esda.Join_Counts``) next to Moran/Geary: bb = Σ_edges x_i·x_j,
+    bw = mismatches, ww = the rest.  Expectations are the nonfree-
+    sampling (hypergeometric) ones on E directed edges: E[bb] =
+    E·(nb/n)·((nb−1)/(n−1)), E[bw] = E·2·nb·nw/(n·(n−1)).  Counts are
+    integers and expectations rationals — fully oracle-exact.  Same
+    single-edge-join shape as geary_c.
+    """
+    xb = values.select(
+        "id", (F.col(value_col) > F.lit(0.0)).cast("long").alias("_b"))
+    stats = xb.agg(
+        F.count("_b").alias("_n"), F.sum("_b").alias("_nb"))
+    cnt = (
+        edges
+        .join(xb.withColumnRenamed("id", "_i").withColumnRenamed("_b", "_bi"),
+              F.col("id") == F.col("_i"))
+        .join(xb.withColumnRenamed("id", "_j").withColumnRenamed("_b", "_bj"),
+              F.col("nbr") == F.col("_j"))
+        .agg(
+            F.count(F.lit(1)).alias("_E"),
+            F.sum(F.col("_bi") * F.col("_bj")).alias("_bb"),
+            F.sum(F.col("_bi") * (1 - F.col("_bj"))
+                  + (1 - F.col("_bi")) * F.col("_bj")).alias("_bw"),
+        )
+    )
+    j = cnt.join(F.broadcast(stats))
+    n, nb = F.col("_n"), F.col("_nb")
+    nw = n - nb
+    e = F.col("_E").cast("double")
+    rows = [
+        ("bb", F.col("_bb"),
+         e * (nb / n) * ((nb - 1) / (n - 1))),
+        ("bw", F.col("_bw"),
+         e * F.lit(2.0) * nb * nw / (n * (n - 1))),
+        ("ww", F.col("_E") - F.col("_bb") - F.col("_bw"),
+         e * (nw / n) * ((nw - 1) / (n - 1))),
+    ]
+    out = None
+    for tag, c, ex in rows:
+        r = j.select(
+            F.lit(tag).alias("stat"),
+            c.cast("long").alias("count"),
+            ex.alias("expected"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 def assuncao_rate(
     values: DataFrame,
     *,

@@ -2605,27 +2605,86 @@ def o_moran_local_combined():
 
 
 def q_moran_global_combined(spark, sf_dir):
-    """moran_global + moran_global_rate (Assunção-Reis EB rate) unioned with
-    a variant marker — both single-row global statistics."""
-    from crankshaft_spark.operators.moran import moran_global_rate
+    """The global spatial-autocorrelation panel, one (variant, stat,
+    expected) row each: Moran's I on values, Moran's I on Assunção-Reis
+    EB rates, Geary's C (late r4 — the squared-difference companion,
+    E[C]=1), and the binary join-count trio (late r4 — bb/bw/ww over
+    x = value>0 on the directed kNN graph, hypergeometric
+    expectations)."""
+    from crankshaft_spark.operators.moran import (
+        geary_c, join_counts, moran_global_rate)
 
     pts = customer_points(spark, sf_dir)
     w = _edges_w(spark, sf_dir)
     g = moran_global(pts.select("id", "value"), w)
     r = moran_global_rate(_rate_values(spark, sf_dir), w)
-    pick = lambda df, tag: df.select(
+    pick = lambda df, tag, s, e: df.select(  # noqa: E731
         F.lit(tag).alias("variant"),
-        F.round("moran_i", 6).alias("moran_i"),
-        F.round("expected_i", 6).alias("expected_i"),
+        F.round(s, 6).alias("stat"),
+        F.round(e, 6).alias("expected"),
     )
-    return pick(g, "value").unionAll(pick(r, "rate"))
+    gc = geary_c(pts.select("id", "value"), w)
+    jc = join_counts(pts.select("id", "value"), w)
+    return (
+        pick(g, "value", "moran_i", "expected_i")
+        .unionAll(pick(r, "rate", "moran_i", "expected_i"))
+        .unionAll(pick(gc, "geary", "geary_c", "expected_c"))
+        .unionAll(jc.select(
+            F.concat(F.lit("jc_"), F.col("stat")).alias("variant"),
+            F.col("count").cast("double").alias("stat"),
+            F.round("expected", 6).alias("expected")))
+    )
 
 
 def o_moran_global_combined():
+    geary = f"""{_KNN_CTE},
+    stats AS (SELECT count(*) AS n, avg(value) AS mu FROM pts),
+    den AS (SELECT sum((value - mu)*(value - mu)) AS den FROM pts, stats),
+    pair AS (
+      SELECT sum((1.0 / {KNN_K}) * (pi.value - pj.value)
+                 * (pi.value - pj.value)) AS num,
+             sum(1.0 / {KNN_K}) AS W
+      FROM knn k JOIN pts pi ON k.id = pi.id JOIN pts pj ON k.nbr = pj.id
+    )
+    SELECT round((n - 1) * num / (2.0 * W * den), 6) AS geary_c,
+           round(1.0, 6) AS expected_c
+    FROM pair, stats, den"""
+    jc = f"""{_KNN_CTE},
+    xb AS (SELECT id, CASE WHEN value > 0.0 THEN 1 ELSE 0 END AS b
+           FROM pts),
+    st AS (SELECT count(*) AS n, sum(b) AS nb FROM xb),
+    cnt AS (
+      SELECT count(*) AS E, sum(bi.b * bj.b) AS bb,
+             sum(bi.b * (1 - bj.b) + (1 - bi.b) * bj.b) AS bw
+      FROM knn k JOIN xb bi ON k.id = bi.id JOIN xb bj ON k.nbr = bj.id
+    )
+    SELECT * FROM (
+      SELECT 'jc_bb' AS variant, CAST(bb AS DOUBLE) AS stat,
+             round(CAST(E AS DOUBLE) * (nb / n) * ((nb - 1) / (n - 1)), 6)
+               AS expected
+      FROM cnt, st
+      UNION ALL
+      SELECT 'jc_bw', CAST(bw AS DOUBLE),
+             round(CAST(E AS DOUBLE) * 2.0 * nb * ((n - nb))
+                   / (n * (n - 1)), 6)
+      FROM cnt, st
+      UNION ALL
+      SELECT 'jc_ww', CAST(E - bb - bw AS DOUBLE),
+             round(CAST(E AS DOUBLE) * ((n - nb) / n)
+                   * (((n - nb) - 1) / (n - 1)), 6)
+      FROM cnt, st
+    )"""
     return f"""
-    SELECT 'value' AS variant, * FROM ({o_moran_global()})
+    SELECT 'value' AS variant, moran_i AS stat, expected_i AS expected
+    FROM ({o_moran_global()})
     UNION ALL
-    SELECT 'rate' AS variant, * FROM ({o_moran_global_rate()})"""
+    SELECT 'rate' AS variant, moran_i AS stat, expected_i AS expected
+    FROM ({o_moran_global_rate()})
+    UNION ALL
+    SELECT 'geary' AS variant, geary_c AS stat, expected_c AS expected
+    FROM ({geary})
+    UNION ALL
+    SELECT * FROM ({jc})"""
 
 
 def q_markov(spark, sf_dir):

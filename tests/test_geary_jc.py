@@ -1,0 +1,104 @@
+"""Geary's C and join-count statistics: hand-replayed small graphs,
+known limiting cases, parallelism invariance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crankshaft_spark.operators.moran import geary_c, join_counts
+from crankshaft_spark.operators.weights import row_standardize
+
+
+def _ring_edges(spark, n, parts=1):
+    # symmetric ring: each node adjacent to its two neighbors
+    rows = []
+    for i in range(n):
+        rows.append((i, (i + 1) % n))
+        rows.append((i, (i - 1) % n))
+    return row_standardize(
+        spark.createDataFrame(rows, "id long, nbr long").repartition(parts))
+
+
+def _vals(spark, values, parts=1):
+    return spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)],
+        "id long, value double").repartition(parts)
+
+
+def _py_geary(values, edges_w):
+    n = len(values)
+    mu = sum(values) / n
+    den = sum((v - mu) ** 2 for v in values)
+    num = sum(w * (values[i] - values[j]) ** 2 for i, j, w in edges_w)
+    W = sum(w for _, _, w in edges_w)
+    return (n - 1) * num / (2.0 * W * den)
+
+
+def test_geary_alternating_ring(spark):
+    # perfect negative autocorrelation on a ring: C well above 1
+    values = [1.0, -1.0] * 4
+    got = geary_c(_vals(spark, values), _ring_edges(spark, 8)).collect()[0]
+    edges = [(i, (i + 1) % 8, 0.5) for i in range(8)] + [
+        (i, (i - 1) % 8, 0.5) for i in range(8)]
+    assert got["geary_c"] == pytest.approx(_py_geary(values, edges))
+    assert got["geary_c"] > 1.0
+    assert got["expected_c"] == 1.0
+
+
+def test_geary_smooth_gradient(spark):
+    # smooth-ish values on a ring: C below 1 (positive autocorrelation)
+    values = [float(min(i, 12 - i)) for i in range(12)]
+    got = geary_c(_vals(spark, values), _ring_edges(spark, 12)).collect()[0]
+    edges = [(i, (i + 1) % 12, 0.5) for i in range(12)] + [
+        (i, (i - 1) % 12, 0.5) for i in range(12)]
+    assert got["geary_c"] == pytest.approx(_py_geary(values, edges))
+    assert got["geary_c"] < 1.0
+
+
+def test_join_counts_blocked_ring(spark):
+    # first half positive, second half negative: exactly two BW directed
+    # pairs per boundary (2 boundaries x 2 directions = 4 mismatch edges)
+    n = 10
+    values = [1.0] * 5 + [-1.0] * 5
+    out = {
+        r["stat"]: r
+        for r in join_counts(
+            _vals(spark, values), _ring_edges(spark, n)).collect()
+    }
+    E, nb, nw = 2 * n, 5, 5
+    assert out["bb"]["count"] == 8          # 4 internal B-B adjacencies x2
+    assert out["bw"]["count"] == 4
+    assert out["ww"]["count"] == 8
+    assert out["bb"]["count"] + out["bw"]["count"] + out["ww"]["count"] == E
+    assert out["bb"]["expected"] == pytest.approx(
+        E * (nb / n) * ((nb - 1) / (n - 1)))
+    assert out["bw"]["expected"] == pytest.approx(
+        E * 2.0 * nb * nw / (n * (n - 1)))
+    assert out["ww"]["expected"] == pytest.approx(
+        E * (nw / n) * ((nw - 1) / (n - 1)))
+
+
+def test_join_counts_all_one_class(spark):
+    values = [3.0] * 6
+    out = {
+        r["stat"]: r
+        for r in join_counts(
+            _vals(spark, values), _ring_edges(spark, 6)).collect()
+    }
+    assert out["bb"]["count"] == 12 and out["bw"]["count"] == 0
+    assert out["ww"]["count"] == 0
+    assert out["bb"]["expected"] == pytest.approx(12.0)
+
+
+def test_parallelism_invariance(spark):
+    values = [float((i * 37) % 11 - 5) for i in range(40)]
+    a = geary_c(_vals(spark, values, 1), _ring_edges(spark, 40, 1)).collect()
+    b = geary_c(_vals(spark, values, 16),
+                _ring_edges(spark, 40, 16)).collect()
+    assert round(a[0]["geary_c"], 9) == round(b[0]["geary_c"], 9)
+    ja = join_counts(_vals(spark, values, 1),
+                     _ring_edges(spark, 40, 1)).collect()
+    jb = join_counts(_vals(spark, values, 16),
+                     _ring_edges(spark, 40, 16)).collect()
+    assert sorted(map(tuple, ja)) == sorted(map(tuple, jb))
