@@ -938,14 +938,48 @@ def q_events_cell_hourly(spark, sf_dir):
     bbox = (base.join(F.broadcast(sel), "cell", "left_semi")
             .groupBy("hour", "cell").agg(*rollup)
             .select(F.lit("bbox").alias("arm"), "*"))
-    return full.unionByName(bbox)
+    # mk arm (late r4): per-cell Mann-Kendall trend over the DAILY event
+    # counts (zero-filled dense series over the table's day universe) —
+    # the temporal half of ESRI-style emerging-hotspot analysis.  The
+    # classification itself is oracle-checked: arm carries
+    # 'mk_up'/'mk_down'/'mk_none' from the 6dp-pinned z, n_events the
+    # integer S statistic, v_sum the rounded z.
+    from crankshaft_spark.operators.markov import mann_kendall
+
+    daily = (base.groupBy(
+        "cell", F.date_trunc("day", F.col("hour")).alias("_d"))
+        .agg(F.count(F.lit(1)).alias("_x")))
+    dense = (daily.select("cell").distinct()
+             .crossJoin(F.broadcast(daily.select("_d").distinct()))
+             .join(daily, ["cell", "_d"], "left")
+             .select("cell", "_d",
+                     F.coalesce("_x", F.lit(0)).cast("long").alias("_x")))
+    mk = mann_kendall(dense, key_col="cell", time_col="_d", value_col="_x")
+    mk_rows = mk.select(
+        F.concat(F.lit("mk_"), F.col("trend")).alias("arm"),
+        F.lit(None).cast("timestamp").alias("hour"),
+        "cell",
+        F.col("s_stat").alias("n_events"),
+        F.col("z_round").alias("v_sum"))
+    return full.unionByName(bbox).unionByName(mk_rows)
 
 
 def o_events_cell_hourly():
+    from crankshaft_spark.operators.markov import mann_kendall_oracle_sql
+
     xe = "(-120.0 + CAST((user_id * 9973) % 24000 AS DOUBLE) / 100.0)"
     ye = "(-48.0 + CAST((user_id * 7919) % 9600 AS DOUBLE) / 100.0)"
     cell = cell_sql(xe, ye, 10.0)
     x0, y0, x1, y1 = EV_BBOX
+    dense = f"""WITH mkd AS (
+        SELECT {cell} AS cell, date_trunc('day', ts) AS d, count(*) AS x
+        FROM events GROUP BY 1, 2),
+      mkc AS (SELECT DISTINCT cell FROM mkd),
+      mkdy AS (SELECT DISTINCT d FROM mkd)
+      SELECT c.cell, dy.d, CAST(COALESCE(x.x, 0) AS BIGINT) AS x
+      FROM mkc c CROSS JOIN mkdy dy
+      LEFT JOIN mkd x ON x.cell = c.cell AND x.d = dy.d"""
+    mk = mann_kendall_oracle_sql(dense, time_col="d")
     return f"""
     SELECT 'all' AS arm, date_trunc('hour', ts) AS hour, {cell} AS cell,
            count(*) AS n_events, round(sum(value), 6) AS v_sum
@@ -956,7 +990,11 @@ def o_events_cell_hourly():
     FROM events
     WHERE {xe} >= {x0!r} AND {xe} < {x1!r}
       AND {ye} >= {y0!r} AND {ye} < {y1!r}
-    GROUP BY 2, 3"""
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'mk_' || trend AS arm, CAST(NULL AS TIMESTAMP) AS hour, cell,
+           s_stat AS n_events, z_round AS v_sum
+    FROM ({mk})"""
 
 
 SESSION_GAP_S = 600
