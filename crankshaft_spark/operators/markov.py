@@ -262,3 +262,178 @@ def mann_kendall_oracle_sql(
                 WHEN z_round < -{z_crit!r} THEN 'down'
                 ELSE 'none' END AS trend
     FROM mk_z"""
+
+
+def emerging_hotspots(
+    series: DataFrame,
+    edges: DataFrame,
+    *,
+    key_col: str = "cell",
+    time_col: str = "t",
+    value_col: str = "x",
+    z_crit: float = MK_Z_CRIT,
+) -> DataFrame:
+    """ESRI-style emerging-hotspot analysis: per-period analytic Gi* z per
+    cell (the getis_gstar conditional-randomization algebra, operators/
+    getis.py:74-105, applied per time slice), then Mann-Kendall over each
+    cell's 6dp-pinned z series, then the trend x current-state taxonomy:
+
+        state (last period's z vs ±z_crit)   trend (MK on the z series)
+        hot   : intensifying_hot / persistent_hot / diminishing_hot
+        cold  : intensifying_cold / persistent_cold / diminishing_cold
+        none  : warming / cooling / none
+
+    Input ``series`` must be a DENSE (key, t, x) integer panel (zero-fill
+    missing periods first) and ``edges`` a (id, nbr) adjacency among the
+    key universe (e.g. plans.pipeline.queen_cell_edges).  Everything is
+    integer or pinned-order float algebra — the whole composition incl.
+    both classifications is oracle-exact.  Guards: z := 0 when n <= 2,
+    deg = 0, deg = n-1, or the leave-one-out variance is 0 (divisions
+    only evaluate inside the guarded CASE branch — ANSI-safe).
+
+    Scale shape: per-period one-row aggregates + one edge join (both
+    keyed shuffles over the cell x period panel), then the bounded-T
+    Mann-Kendall self-join; no driver state, no Python.
+    """
+    s = series.select(
+        F.col(key_col).alias("_c"), F.col(time_col).alias("_t"),
+        F.col(value_col).cast("long").alias("_x"))
+    deg = edges.groupBy(F.col("id").alias("_c")).agg(
+        F.count(F.lit(1)).alias("_deg"))
+    nbr = (
+        edges.join(
+            s.select(F.col("_c").alias("nbr"), "_t",
+                     F.col("_x").alias("_xn")), "nbr")
+        .groupBy(F.col("id").alias("_c"), "_t")
+        .agg(F.sum(F.col("_xn").cast("double")).alias("_s")))
+    tot = s.groupBy("_t").agg(
+        F.sum(F.col("_x").cast("double")).alias("_ysum"),
+        F.sum(F.col("_x").cast("double") * F.col("_x")).alias("_y2sum"),
+        F.count(F.lit(1)).alias("_n"))
+    j = (
+        s.join(deg, "_c", "left").join(nbr, ["_c", "_t"], "left")
+        .join(F.broadcast(tot), "_t")
+        .withColumn("_deg", F.coalesce("_deg", F.lit(0)))
+        .withColumn("_s", F.coalesce("_s", F.lit(0.0))))
+    y, dg, n = F.col("_x"), F.col("_deg"), F.col("_n")
+    ysum, y2, sc = F.col("_ysum"), F.col("_y2sum"), F.col("_s")
+    m = (ysum - y) / (n - 1)
+    var = (y2 - y.cast("double") * y) / (n - 1) - m * m
+    d1 = (dg + 1) * ysum
+    zs = ((sc + y) / d1 - (dg * m + y) / d1) / F.sqrt(
+        dg * var * (n - 1 - dg) / (n - 2) / (d1 * d1))
+    # the CONDITION is not lazily evaluated (only CASE branches are), so
+    # its variance term divides by a when-guarded n-1 (NULL, not error,
+    # under ANSI when n <= 2; NULL > 0 is false); the branch formula's
+    # divisions are CASE-lazy and need no wrapping.
+    nm1 = F.when(n > 2, n - 1)
+    m_c = (ysum - y) / nm1
+    var_c = (y2 - y.cast("double") * y) / nm1 - m_c * m_c
+    zr = F.round(
+        F.when((n > 2) & (dg > 0) & (dg < n - 1) & (var_c > 0), zs)
+        .otherwise(F.lit(0.0)), 6)
+    zt = j.select("_c", "_t", zr.alias("_zr"))
+    mk = mann_kendall(zt, key_col="_c", time_col="_t", value_col="_zr",
+                      z_crit=z_crit)
+    maxt = s.agg(F.max("_t").alias("_mt"))
+    last = (
+        zt.join(F.broadcast(maxt), F.col("_t") == F.col("_mt"))
+        .select("_c", F.col("_zr").alias("z_last")))
+    zl, tr = F.col("z_last"), F.col("trend")
+    label = (
+        F.when((zl > F.lit(z_crit)) & (tr == "up"), "intensifying_hot")
+        .when((zl > F.lit(z_crit)) & (tr == "down"), "diminishing_hot")
+        .when(zl > F.lit(z_crit), "persistent_hot")
+        .when((zl < F.lit(-z_crit)) & (tr == "down"), "intensifying_cold")
+        .when((zl < F.lit(-z_crit)) & (tr == "up"), "diminishing_cold")
+        .when(zl < F.lit(-z_crit), "persistent_cold")
+        .when(tr == "up", "warming")
+        .when(tr == "down", "cooling")
+        .otherwise("none"))
+    return (
+        mk.join(last, "_c")
+        .select(F.col("_c").alias(key_col), "s_stat", "z_round", "trend",
+                "z_last", label.alias("label")))
+
+
+def emerging_oracle_sql(
+    series_sql: str,
+    *,
+    queen_offsets,
+    key_col: str = "cell",
+    time_col: str = "t",
+    value_col: str = "x",
+    z_crit: float = MK_Z_CRIT,
+) -> str:
+    """DuckDB mirror of ``emerging_hotspots`` (same queen-offset edge
+    build, per-period Gi* algebra in the hotspot_oracle_sql operand
+    order, then the Mann-Kendall CTE chain on the pinned z series)."""
+    offs = ", ".join(str(o) for o in queen_offsets)
+    guard = ("tt.n > 2 AND COALESCE(d.deg, 0) > 0 "
+             "AND COALESCE(d.deg, 0) < tt.n - 1 "
+             "AND ((tt.y2sum - CAST(i.x AS DOUBLE) * i.x) / (tt.n - 1) "
+             "- ((tt.ysum - i.x) / (tt.n - 1)) "
+             "* ((tt.ysum - i.x) / (tt.n - 1))) > 0")
+    zfull = """((j.s + j.x) / ((j.deg + 1) * j.ysum)
+              - (j.deg * ((j.ysum - j.x) / (j.n - 1)) + j.x)
+                / ((j.deg + 1) * j.ysum))
+             / sqrt(
+                 j.deg
+                 * ((j.y2sum - CAST(j.x AS DOUBLE) * j.x) / (j.n - 1)
+                    - ((j.ysum - j.x) / (j.n - 1))
+                      * ((j.ysum - j.x) / (j.n - 1)))
+                 * (j.n - 1 - j.deg) / (j.n - 2)
+                 / (((j.deg + 1) * j.ysum) * ((j.deg + 1) * j.ysum))
+               )"""
+    zsql = f"""WITH eh_in AS (
+        SELECT {key_col} AS c, {time_col} AS t, CAST({value_col} AS BIGINT)
+               AS x
+        FROM ({series_sql})),
+      eh_cells AS (SELECT DISTINCT c FROM eh_in),
+      eh_edges AS (
+        SELECT a.c AS id, a.c + o.o AS nbr
+        FROM eh_cells a JOIN (SELECT unnest([{offs}]) AS o) o ON true
+        JOIN eh_cells b ON b.c = a.c + o.o),
+      eh_deg AS (SELECT id, count(*) AS deg FROM eh_edges GROUP BY id),
+      eh_nbr AS (
+        SELECT e.id, i.t, sum(CAST(i.x AS DOUBLE)) AS s
+        FROM eh_edges e JOIN eh_in i ON i.c = e.nbr GROUP BY 1, 2),
+      eh_tot AS (
+        SELECT t, sum(CAST(x AS DOUBLE)) AS ysum,
+               sum(CAST(x AS DOUBLE) * x) AS y2sum, count(*) AS n
+        FROM eh_in GROUP BY t),
+      eh_j AS (
+        SELECT i.c, i.t, i.x, COALESCE(d.deg, 0) AS deg,
+               COALESCE(ns.s, 0.0) AS s, tt.ysum, tt.y2sum, tt.n,
+               CASE WHEN {guard} THEN 1 ELSE 0 END AS ok
+        FROM eh_in i
+        LEFT JOIN eh_deg d ON i.c = d.id
+        LEFT JOIN eh_nbr ns ON ns.id = i.c AND ns.t = i.t
+        JOIN eh_tot tt ON tt.t = i.t)
+      SELECT j.c, j.t,
+             round(CASE WHEN j.ok = 1 THEN {zfull} ELSE 0.0 END, 6) AS zr
+      FROM eh_j j"""
+    mk = mann_kendall_oracle_sql(
+        zsql, key_col="c", time_col="t", value_col="zr", z_crit=z_crit)
+    return f"""
+    WITH eh_z AS ({zsql}),
+    eh_mk AS ({mk}),
+    eh_last AS (
+      SELECT c, zr AS z_last FROM eh_z
+      WHERE t = (SELECT max(t) FROM eh_z)
+    )
+    SELECT m.c AS {key_col}, m.s_stat, m.z_round, m.trend, l.z_last,
+           CASE WHEN l.z_last > {z_crit!r} AND m.trend = 'up'
+                  THEN 'intensifying_hot'
+                WHEN l.z_last > {z_crit!r} AND m.trend = 'down'
+                  THEN 'diminishing_hot'
+                WHEN l.z_last > {z_crit!r} THEN 'persistent_hot'
+                WHEN l.z_last < -{z_crit!r} AND m.trend = 'down'
+                  THEN 'intensifying_cold'
+                WHEN l.z_last < -{z_crit!r} AND m.trend = 'up'
+                  THEN 'diminishing_cold'
+                WHEN l.z_last < -{z_crit!r} THEN 'persistent_cold'
+                WHEN m.trend = 'up' THEN 'warming'
+                WHEN m.trend = 'down' THEN 'cooling'
+                ELSE 'none' END AS label
+    FROM eh_mk m JOIN eh_last l ON m.c = l.c"""

@@ -961,11 +961,30 @@ def q_events_cell_hourly(spark, sf_dir):
         "cell",
         F.col("s_stat").alias("n_events"),
         F.col("z_round").alias("v_sum"))
-    return full.unionByName(bbox).unionByName(mk_rows)
+    # eh arm (late r4): the FULL emerging-hotspot composition — per-day
+    # Gi* z over the queen cell graph, Mann-Kendall on the pinned z
+    # series, trend x last-day-state taxonomy in the arm tag; n_events
+    # carries the MK S of the z series, v_sum the last day's z.
+    from crankshaft_spark.operators.markov import emerging_hotspots
+    from crankshaft_spark.plans.pipeline import queen_cell_edges
+
+    eh = emerging_hotspots(
+        dense, queen_cell_edges(dense.select("cell")),
+        key_col="cell", time_col="_d", value_col="_x")
+    eh_rows = eh.select(
+        F.concat(F.lit("eh_"), F.col("label")).alias("arm"),
+        F.lit(None).cast("timestamp").alias("hour"),
+        "cell",
+        F.col("s_stat").alias("n_events"),
+        F.col("z_last").alias("v_sum"))
+    return (full.unionByName(bbox).unionByName(mk_rows)
+            .unionByName(eh_rows))
 
 
 def o_events_cell_hourly():
-    from crankshaft_spark.operators.markov import mann_kendall_oracle_sql
+    from crankshaft_spark.operators.markov import (
+        emerging_oracle_sql, mann_kendall_oracle_sql)
+    from crankshaft_spark.plans.pipeline import _QUEEN_OFFSETS
 
     xe = "(-120.0 + CAST((user_id * 9973) % 24000 AS DOUBLE) / 100.0)"
     ye = "(-48.0 + CAST((user_id * 7919) % 9600 AS DOUBLE) / 100.0)"
@@ -994,7 +1013,13 @@ def o_events_cell_hourly():
     UNION ALL
     SELECT 'mk_' || trend AS arm, CAST(NULL AS TIMESTAMP) AS hour, cell,
            s_stat AS n_events, z_round AS v_sum
-    FROM ({mk})"""
+    FROM ({mk})
+    UNION ALL
+    SELECT 'eh_' || label AS arm, CAST(NULL AS TIMESTAMP) AS hour, cell,
+           s_stat AS n_events, z_last AS v_sum
+    FROM ({emerging_oracle_sql(
+        f"SELECT cell, d AS t, x FROM ({dense})",
+        queen_offsets=_QUEEN_OFFSETS)})"""
 
 
 SESSION_GAP_S = 600
