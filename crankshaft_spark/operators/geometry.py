@@ -1198,3 +1198,133 @@ def overlap_sum(
         .groupBy("qid")
         .agg(F.sum("part").alias("overlap_sum"))
     )
+
+
+# --------------------------------------------------- line interpolation -----
+
+def line_interpolate(
+    verts: DataFrame,
+    *,
+    fracs,
+    group_col: str = "grp",
+    seq_col: str = "seq",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Point at fraction f of each group's polyline length, one row per
+    (group, f) → (grp, x, y, value=f): the PostGIS
+    ``ST_LineInterpolatePoint`` surface next to ST_Simplify/CDB_Densify
+    (/root/reference/src/pg/sql/14_densify.sql:15-67 being the densify
+    half of that toolbox), hence it rides the same catalog entry.
+
+    Oracle exactness (the float-order contract): segment lengths are
+    sqrt of exact-integer d² (identical IEEE both engines); the
+    cumulative length is a SEQUENTIAL running sum (a Python loop here, a
+    one-row-per-step recursive CTE in DuckDB — windowed SUM is
+    segment-tree-accumulated and would diverge in the last ulp); the
+    containing segment is chosen by FIXED-POINT comparison
+    (floor(cum·1e6) ≥ floor(f·total·1e6) — floor of bit-identical
+    doubles is engine-exact) and the interpolation arithmetic is written
+    in one pinned operand order.  Zero-length segments emit their start
+    vertex (division CASE-guarded).  Groups with < 2 vertices emit
+    nothing (no segments) on both engines.
+
+    Scale shape: one applyInPandas over spread_groups-pinned groups —
+    polylines are bounded objects; the many-lines axis is the
+    data-parallel one (the simplify/densify contract).
+    """
+    import math
+
+    fr = [float(f) for f in fracs]
+    if not fr or any(f < 0.0 or f > 1.0 for f in fr):
+        raise ValueError(f"line_interpolate: fracs must be in [0, 1], "
+                         f"got {fracs}")
+    schema = f"{group_col} long, {x} double, {y} double, value double"
+
+    def run(key, pdf):
+        pdf = pdf.sort_values(seq_col, kind="mergesort")
+        xs = [int(v) for v in pdf[x]]
+        ys = [int(v) for v in pdf[y]]
+        if len(xs) < 2:
+            return pd.DataFrame(columns=[group_col, x, y, "value"])
+        lens = [
+            math.sqrt(float((xs[i + 1] - xs[i]) ** 2
+                            + (ys[i + 1] - ys[i]) ** 2))
+            for i in range(len(xs) - 1)
+        ]
+        cum = []
+        c = 0.0
+        for ln in lens:          # sequential — mirrors the recursive CTE
+            c = c + ln
+            cum.append(c)
+        tot = cum[-1]
+        rows = []
+        for f in fr:
+            tgt = f * tot
+            tfp = math.floor(tgt * 1000000.0)
+            k = next(i for i, cv in enumerate(cum)
+                     if math.floor(cv * 1000000.0) >= tfp)
+            prev = cum[k - 1] if k > 0 else 0.0
+            ln = lens[k]
+            if ln == 0.0:
+                px, py = float(xs[k]), float(ys[k])
+            else:
+                px = xs[k] + ((tgt - prev) / ln) * (xs[k + 1] - xs[k])
+                py = ys[k] + ((tgt - prev) / ln) * (ys[k + 1] - ys[k])
+            rows.append((key[0], px, py, f))
+        return pd.DataFrame(rows, columns=[group_col, x, y, "value"])
+
+    return (
+        spread_groups(verts.select(group_col, seq_col, x, y), group_col)
+        .groupBy(group_col)
+        .applyInPandas(run, schema=schema)
+    )
+
+
+def line_interp_oracle_sql(verts_sql: str, *, fracs) -> str:
+    """DuckDB mirror of ``line_interpolate``: window-lead segments, a
+    one-row-per-step recursive running sum (li_len MATERIALIZED — the
+    recursive term re-runs plain CTEs per iteration), the fixed-point
+    first-match pick, and the same pinned interpolation arithmetic.
+    ``verts_sql`` must yield (grp, seq BIGINT dense from 0, ix, iy
+    BIGINT)."""
+    fr = ", ".join(f"CAST({float(f)!r} AS DOUBLE)" for f in fracs)
+    return f"""WITH RECURSIVE li_in AS ({verts_sql}),
+    li_len AS MATERIALIZED (
+      SELECT grp, seq, ix AS x0, iy AS y0, nx AS x1, ny AS y1,
+             sqrt(CAST((nx - ix) * (nx - ix) + (ny - iy) * (ny - iy)
+                  AS DOUBLE)) AS len
+      FROM (
+        SELECT grp, seq, ix, iy,
+               lead(ix) OVER (PARTITION BY grp ORDER BY seq) AS nx,
+               lead(iy) OVER (PARTITION BY grp ORDER BY seq) AS ny
+        FROM li_in
+      ) WHERE nx IS NOT NULL
+    ),
+    li_cum AS (
+      SELECT grp, seq, len AS cum FROM li_len WHERE seq = 0
+      UNION ALL
+      SELECT l.grp, l.seq, c.cum + l.len
+      FROM li_cum c JOIN li_len l ON l.grp = c.grp AND l.seq = c.seq + 1
+    ),
+    li_tot AS (SELECT grp, max(cum) AS tot FROM li_cum GROUP BY grp),
+    li_fr AS (SELECT unnest([{fr}]) AS f),
+    li_pick AS (
+      SELECT c.grp, fr.f, min(c.seq) AS seq
+      FROM li_cum c JOIN li_tot t ON c.grp = t.grp CROSS JOIN li_fr fr
+      WHERE CAST(floor(c.cum * 1000000.0) AS BIGINT)
+            >= CAST(floor(fr.f * t.tot * 1000000.0) AS BIGINT)
+      GROUP BY 1, 2
+    )
+    SELECT p.grp,
+           CASE WHEN l.len = 0.0 THEN CAST(l.x0 AS DOUBLE)
+                ELSE l.x0 + ((p.f * t.tot - COALESCE(pv.cum, 0.0)) / l.len)
+                     * (l.x1 - l.x0) END AS x,
+           CASE WHEN l.len = 0.0 THEN CAST(l.y0 AS DOUBLE)
+                ELSE l.y0 + ((p.f * t.tot - COALESCE(pv.cum, 0.0)) / l.len)
+                     * (l.y1 - l.y0) END AS y,
+           p.f AS value
+    FROM li_pick p
+    JOIN li_len l ON l.grp = p.grp AND l.seq = p.seq
+    JOIN li_tot t ON t.grp = p.grp
+    LEFT JOIN li_cum pv ON pv.grp = p.grp AND pv.seq = p.seq - 1"""

@@ -1659,6 +1659,7 @@ DENSIFY_PTS_SQL = """
 # no overflow).  eps=1500 against a [0,24000)x[0,9600) frame drops a
 # meaningful fraction of vertices without degenerating to endpoints.
 SIMPLIFY_EPS = 1500
+LINE_FRACS = (0.1, 0.25, 0.5, 0.75, 0.9)
 SIMPLIFY_VERTS_SQL = """
     SELECT grp, CAST(row_number() OVER (PARTITION BY grp ORDER BY id) - 1
                 AS BIGINT) AS seq, ix, iy
@@ -1707,18 +1708,32 @@ def q_densify(spark, sf_dir):
         F.lit("simplify").alias("arm"),
         "grp", "x", "y", F.col("seq").cast("double").alias("value"),
     )
-    return dens.unionByName(simp)
+    # interp arm (late r4): ST_LineInterpolatePoint over the same integer
+    # polylines — sequential-sum cumulative length, fixed-point segment
+    # pick, value carries the fraction.
+    from crankshaft_spark.operators.geometry import line_interpolate
+
+    li = line_interpolate(
+        _simplify_verts(spark, sf_dir), fracs=LINE_FRACS,
+    ).select(
+        F.lit("interp").alias("arm"), "grp",
+        F.round("x", 6).alias("x"), F.round("y", 6).alias("y"), "value",
+    )
+    return dens.unionByName(simp).unionByName(li)
 
 
 def o_densify():
     from crankshaft_spark.operators.geometry import (
-        densify_oracle_sql, simplify_oracle_sql)
+        densify_oracle_sql, line_interp_oracle_sql, simplify_oracle_sql)
 
     return f"""SELECT 'densify' AS arm, * FROM ({densify_oracle_sql(
         DENSIFY_PTS_SQL)})
     UNION ALL
     SELECT 'simplify' AS arm, grp, x, y, CAST(seq AS DOUBLE) AS value
-    FROM ({simplify_oracle_sql(SIMPLIFY_VERTS_SQL, eps=SIMPLIFY_EPS)})"""
+    FROM ({simplify_oracle_sql(SIMPLIFY_VERTS_SQL, eps=SIMPLIFY_EPS)})
+    UNION ALL
+    SELECT 'interp' AS arm, grp, round(x, 6) AS x, round(y, 6) AS y, value
+    FROM ({line_interp_oracle_sql(SIMPLIFY_VERTS_SQL, fracs=LINE_FRACS)})"""
 
 
 # alpha-shape arm input: integer coordinates over a 600x400 frame so the
