@@ -1332,3 +1332,90 @@ def contaminated_expr(text: Column, bench_grams, *, n: int = 13) -> Column:
     words = F.split(F.lower(F.coalesce(text, F.lit(""))), " ")
     lits = F.array(*[F.lit(g.lower()) for g in bench_grams])
     return F.arrays_overlap(_word_ngrams(words, n), lits)
+
+
+TFIDF_LN_DOMAIN = 1_000_000  # measured agreement domain of the ln channel
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, rank, term, score_fp) — top-k salient terms per document
+    by fixed-point tf-idf: score_fp = tf · (lnfp(N) − lnfp(df)), i.e.
+    tf·ln(N/df) carried on the 6dp integer ln channel (lm_score's
+    mechanism, text.py _ln_cents) so ranking and output are INTEGER-exact
+    across engines — no float ordering anywhere.  Terms are
+    lowercase whitespace tokens (the repo's text tokenizer convention);
+    ties break on (score_fp DESC, term ASC), a total order since
+    (doc, term) is unique.  The keyword-extraction primitive of a
+    training-data pipeline (salient-term indexing / topic tagging),
+    sitting next to the winnowing fingerprints as document signatures.
+
+    Validity domain: counts (N and df) must stay within the measured
+    ln-channel agreement domain (1..1e6 — TFIDF_LN_DOMAIN); beyond it
+    the score is still deterministic per engine but the cross-engine
+    floor guarantee is unmeasured.
+
+    Scale shape: explode → (doc, term) count → df aggregate keyed on
+    term → one term-keyed equi-join back + a bounded per-doc top-k
+    window.  All map-side-combinable aggregates; no driver state.
+    """
+    from pyspark.sql.window import Window
+
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        " ")).alias("term"))
+        .where(F.col("term") != ""))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(df_t, "term").join(F.broadcast(n))
+        .withColumn(
+            "score_fp",
+            F.col("_tf") * (_ln_cents(F.col("_n"))
+                            - _ln_cents(F.col("_df")))))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_fp").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "score_fp"))
+
+
+def tfidf_oracle_sql(docs_sql: str, *, k: int = 5) -> str:
+    """DuckDB mirror of ``tfidf_topk`` — same tokenizer, same integer ln
+    channel, row_number cast to INTEGER (the dtype-drift rule)."""
+    lnc = "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+    return f"""
+    WITH tfd AS ({docs_sql}),
+    tft AS (
+      SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' '))
+             AS term
+      FROM tfd
+    ),
+    tfc AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tft WHERE term <> '' GROUP BY 1, 2
+    ),
+    tfdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+    tfn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tfd),
+    tfs AS (
+      SELECT c.doc_id, c.term,
+             c.tf * ({lnc.format(x='tfn.n')} - {lnc.format(x='d.df')})
+               AS score_fp
+      FROM tfc c JOIN tfdf d USING (term), tfn
+    )
+    SELECT doc_id, rank, term, score_fp FROM (
+      SELECT doc_id, term, score_fp,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score_fp DESC, term ASC) AS INTEGER) AS rank
+      FROM tfs
+    ) WHERE rank <= {k}"""

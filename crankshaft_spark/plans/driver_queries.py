@@ -1957,18 +1957,40 @@ def o_simhash_pairs():
     return simhash_oracle_sql(DOCS_SQL, max_hamming=6)
 
 
-def q_fingerprints(spark, sf_dir):
-    from crankshaft_spark.operators.dedup import fingerprints
+TFIDF_K = 5
 
-    return fingerprints(_docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0))
+
+def q_fingerprints(spark, sf_dir):
+    """Two document-signature arms under a generic (arm, doc_id, k, v,
+    term) schema: winnowing fingerprints (k=pos, v=rolling-hash fp) and
+    late-r4 fixed-point tf-idf top-k salient terms (k=rank, v=score_fp,
+    term carries the token — integer ln channel, fully oracle-exact)."""
+    from crankshaft_spark.operators.dedup import fingerprints
+    from crankshaft_spark.operators.text import tfidf_topk
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    fp = fingerprints(docs).select(
+        F.lit("fp").alias("arm"), "doc_id",
+        F.col("pos").alias("k"), F.col("fp").alias("v"),
+        F.lit(None).cast("string").alias("term"))
+    tk = tfidf_topk(docs, k=TFIDF_K).select(
+        F.lit("tfidf").alias("arm"), "doc_id",
+        F.col("rank").alias("k"), F.col("score_fp").alias("v"), "term")
+    return fp.unionByName(tk)
 
 
 def o_fingerprints():
     from crankshaft_spark.operators.dedup import fingerprints_oracle_sql
+    from crankshaft_spark.operators.text import tfidf_oracle_sql
 
-    return fingerprints_oracle_sql(
-        f"SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0"
-    )
+    docs_sql = "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0"
+    return f"""
+    SELECT 'fp' AS arm, doc_id, pos AS k, fp AS v,
+           CAST(NULL AS VARCHAR) AS term
+    FROM ({fingerprints_oracle_sql(docs_sql)})
+    UNION ALL
+    SELECT 'tfidf' AS arm, doc_id, rank AS k, score_fp AS v, term
+    FROM ({tfidf_oracle_sql(docs_sql, k=TFIDF_K)})"""
 
 
 def q_ann_ivf(spark, sf_dir):
