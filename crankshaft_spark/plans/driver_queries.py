@@ -2873,7 +2873,19 @@ def q_weighted_centers(spark, sf_dir):
         F.lit("orders").alias("src"), F.col("grp").cast("long").alias("grp"),
         "cx", "cy",
     )
-    return w1.unionAll(w2)
+    # spread arm (late r4): per-axis weighted standard deviation — the
+    # centrography companion (axis-aligned deviational-ellipse axes);
+    # cx/cy carry sx/sy under the same schema.
+    from crankshaft_spark.operators.weighted_mean import weighted_spread
+
+    pts = customer_points(spark, sf_dir).withColumn(
+        "w", F.abs(F.col("value")) + 1.0)
+    w3 = weighted_spread(pts, group_cols=["nationkey"]).select(
+        F.lit("spread").alias("src"),
+        F.col("nationkey").cast("long").alias("grp"),
+        F.round("sx", 6).alias("cx"), F.round("sy", 6).alias("cy"),
+    )
+    return w1.unionAll(w2).unionAll(w3)
 
 
 def o_weighted_centers():
@@ -2882,7 +2894,20 @@ def o_weighted_centers():
     FROM ({o_weighted_mean()})
     UNION ALL
     SELECT 'orders' AS src, CAST(grp AS BIGINT) AS grp, cx, cy
-    FROM ({o_orders_weighted_center()})"""
+    FROM ({o_orders_weighted_center()})
+    UNION ALL
+    SELECT 'spread' AS src, CAST(nationkey AS BIGINT) AS grp,
+           round(sqrt(greatest(
+             sum((abs(value) + 1.0) * x * x) / sum(abs(value) + 1.0)
+             - (sum(x * (abs(value) + 1.0)) / sum(abs(value) + 1.0))
+               * (sum(x * (abs(value) + 1.0)) / sum(abs(value) + 1.0)),
+             0.0)), 6) AS cx,
+           round(sqrt(greatest(
+             sum((abs(value) + 1.0) * y * y) / sum(abs(value) + 1.0)
+             - (sum(y * (abs(value) + 1.0)) / sum(abs(value) + 1.0))
+               * (sum(y * (abs(value) + 1.0)) / sum(abs(value) + 1.0)),
+             0.0)), 6) AS cy
+    FROM ({CUSTOMER_POINTS_SQL}) GROUP BY 2"""
 
 
 def q_interp_nn_idw(spark, sf_dir):

@@ -102,3 +102,21 @@ def test_parallelism_invariance(spark):
     jb = join_counts(_vals(spark, values, 16),
                      _ring_edges(spark, 40, 16)).collect()
     assert sorted(map(tuple, ja)) == sorted(map(tuple, jb))
+
+
+def test_weighted_spread(spark):
+    import math
+
+    from crankshaft_spark.operators.weighted_mean import weighted_spread
+
+    rows = [(1, 0.0, 0.0, 1.0), (1, 4.0, 2.0, 3.0), (1, 8.0, 0.0, 1.0),
+            (2, 5.0, 5.0, 2.0)]
+    df = spark.createDataFrame(rows, "g long, x double, y double, w double")
+    got = {r["g"]: (r["sx"], r["sy"])
+           for r in weighted_spread(df, group_cols=["g"]).collect()}
+    # group 1 by hand: Σw=5, mx=(0+12+8)/5=4, E[x²]=(0+48+64)/5=22.4
+    assert got[1][0] == pytest.approx(math.sqrt(22.4 - 16.0))
+    my = 6.0 / 5
+    ey2 = 12.0 / 5
+    assert got[1][1] == pytest.approx(math.sqrt(ey2 - my * my))
+    assert got[2] == (0.0, 0.0)  # single point: greatest(,0) absorbs -0
