@@ -98,10 +98,19 @@ def _edges_w(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- queries ---
 
+RIPLEY_RADII = (10, 20, 40, 80)
+RIPLEY_AREA = 240000.0  # the alpha-orbit 600x400 frame
+
+
 def q_knn_edges(spark, sf_dir):
     # two arms, one exact answer: the rect cellv1 index and the H3-style
     # hexv1 k-ring index must both reproduce the brute-force kNN oracle
-    # (the cell scheme is a performance knob, never a correctness knob)
+    # (the cell scheme is a performance knob, never a correctness knob);
+    # late r4: + the 'ripley' point-pattern arm (per-nation K-function on
+    # the alpha-orbit integer points — id=grp, nbr=radius, rank=n_pts,
+    # d2r=K̂; cell-ring candidates, exact integer pair counts)
+    from crankshaft_spark.operators.pointpats import ripley_k
+
     pts = customer_points(spark, sf_dir)
     arms = [
         knn_edges(pts, k=KNN_K, cell_size=KNN_CELL, grid=g).select(
@@ -109,13 +118,27 @@ def q_knn_edges(spark, sf_dir):
             F.round("d2", 6).alias("d2r"))
         for g in ("rect", "hex")
     ]
-    return arms[0].unionByName(arms[1])
+    rip = ripley_k(
+        _alpha_pts(spark, sf_dir).select("grp", "x", "y"),
+        radii=RIPLEY_RADII, area=RIPLEY_AREA,
+    ).select(
+        F.lit("ripley").alias("grid"), F.col("grp").alias("id"),
+        F.col("d").alias("nbr"), F.col("n_pts").cast("int").alias("rank"),
+        F.round("k_est", 6).alias("d2r"))
+    return arms[0].unionByName(arms[1]).unionByName(rip)
 
 
 def o_knn_edges():
+    from crankshaft_spark.operators.pointpats import ripley_oracle_sql
+
     return f"""{_KNN_CTE}
     SELECT g.grid, k.id, k.nbr, k.rank, round(k.d2, 6) AS d2r
-    FROM knn k, (VALUES ('rect'), ('hex')) AS g(grid)"""
+    FROM knn k, (VALUES ('rect'), ('hex')) AS g(grid)
+    UNION ALL
+    SELECT 'ripley' AS grid, grp AS id, d AS nbr,
+           CAST(n_pts AS INT) AS rank, round(k_est, 6) AS d2r
+    FROM ({ripley_oracle_sql(ALPHA_PTS_SQL,
+                             radii=RIPLEY_RADII, area=RIPLEY_AREA)})"""
 
 
 def q_spatial_lag(spark, sf_dir):
