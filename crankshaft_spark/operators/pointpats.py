@@ -122,3 +122,72 @@ def ripley_oracle_sql(
     rk_j AS (SELECT rk_n.g, rk_n.n, rk_c.* EXCLUDE (g)
              FROM rk_n LEFT JOIN rk_c ON rk_n.g = rk_c.g)
 {arms}"""
+
+
+def quadrat_vmr(
+    points: DataFrame,
+    *,
+    cell_size: float,
+    frame_cells: int,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Quadrat-count index of dispersion → one row (vmr, expected):
+    VMR = var(counts)/mean(counts) over a FIXED frame of ``frame_cells``
+    quadrats (the classic CSR quadrat test; VMR ≈ 1 Poisson, > 1
+    clustered, < 1 regular).  Zero quadrats enter through the literal
+    frame count — moments come from the occupied-cell aggregate alone,
+    so no dense cell table is ever materialized:
+
+        mean = Σc / F;  VMR = (Σc²/F − mean²) / mean
+
+    Integer Σc/Σc² + one pinned-order ratio — oracle-exact.  The caller
+    pins ``frame_cells`` to the cell-aligned bounding box of the point
+    domain (partial edge cells counted whole — documented bias of the
+    fixed-frame form).
+    """
+    from crankshaft_spark.functions.cells import cell_expr
+
+    counts = (
+        points.select(cell_expr(F.col(x), F.col(y), cell_size))
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("_c")))
+    fc = float(frame_cells)
+    s1, s2 = F.sum("_c"), F.sum(F.col("_c") * F.col("_c"))
+    agg = counts.agg(s1.alias("_s1"), s2.alias("_s2"))
+    mean = F.col("_s1") / F.lit(fc)
+    vmr = F.when(
+        F.col("_s1") > 0,
+        (F.col("_s2") / F.lit(fc) - mean * mean) / mean,
+    ).otherwise(F.lit(0.0))
+    return agg.select(vmr.alias("vmr"), F.lit(1.0).alias("expected"))
+
+
+def clark_evans(
+    points: DataFrame,
+    nn_edges: DataFrame,
+    *,
+    area: float,
+) -> DataFrame:
+    """Clark–Evans nearest-neighbour ratio → one row (r_stat, expected):
+    R = mean observed NN distance / (0.5 / sqrt(n/A)), the CSR
+    expectation (Clark & Evans 1954; no edge correction — documented).
+    R < 1 clustered, > 1 regular, ≈ 1 Poisson.
+
+    ``nn_edges`` must carry (rank, d2) with rank = 1 rows being each
+    point's nearest neighbour (knn_edges output — its straggler
+    fallback guarantees every point has a rank-1 row).  The mean is a
+    float sum of sqrt (order-sensitive in the last ulp); callers round
+    the O(1) output to 6dp per the repo pin rule.
+    """
+    n_t = points.agg(F.count(F.lit(1)).alias("_n"))
+    m_t = (
+        nn_edges.where(F.col("rank") == 1)
+        .agg(F.sum(F.sqrt(F.col("d2"))).alias("_sd"),
+             F.count(F.lit(1)).alias("_nd")))
+    j = m_t.join(F.broadcast(n_t))
+    mnn = F.col("_sd") / F.col("_nd")
+    r = F.when(
+        F.col("_n") > 0,
+        mnn / (F.lit(0.5) / F.sqrt(F.col("_n") / F.lit(float(area)))),
+    ).otherwise(F.lit(0.0))
+    return j.select(r.alias("r_stat"), F.lit(1.0).alias("expected"))

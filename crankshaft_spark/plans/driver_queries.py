@@ -100,6 +100,10 @@ def _edges_w(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RIPLEY_RADII = (10, 20, 40, 80)
 RIPLEY_AREA = 240000.0  # the alpha-orbit 600x400 frame
+#: derived-point domain x in [-120,120), y in [-48,48): cell-aligned 5-degree
+#: bounding box = 48 x 20 quadrats; frame area in square degrees.
+QUADRAT_FRAME = 960
+POINT_FRAME_AREA = 23040.0
 
 
 def q_knn_edges(spark, sf_dir):
@@ -2748,6 +2752,12 @@ def q_moran_global_combined(spark, sf_dir):
     )
     gc = geary_c(pts.select("id", "value"), w)
     jc = join_counts(pts.select("id", "value"), w)
+    # late r4: the CSR point-pattern tests join the panel — quadrat
+    # dispersion over the 960-quadrat frame and the Clark-Evans NN ratio
+    from crankshaft_spark.operators.pointpats import clark_evans, quadrat_vmr
+
+    qv = quadrat_vmr(pts, cell_size=5.0, frame_cells=QUADRAT_FRAME)
+    ce = clark_evans(pts, _knn(spark, sf_dir), area=POINT_FRAME_AREA)
     return (
         pick(g, "value", "moran_i", "expected_i")
         .unionAll(pick(r, "rate", "moran_i", "expected_i"))
@@ -2756,6 +2766,8 @@ def q_moran_global_combined(spark, sf_dir):
             F.concat(F.lit("jc_"), F.col("stat")).alias("variant"),
             F.col("count").cast("double").alias("stat"),
             F.round("expected", 6).alias("expected")))
+        .unionAll(pick(qv, "quadrat_vmr", "vmr", "expected"))
+        .unionAll(pick(ce, "clark_evans", "r_stat", "expected"))
     )
 
 
@@ -2797,6 +2809,27 @@ def o_moran_global_combined():
                    * (((n - nb) - 1) / (n - 1)), 6)
       FROM cnt, st
     )"""
+    quad = f"""{_PTS_CTE},
+    qc AS (SELECT count(*) AS c FROM pts
+           GROUP BY {cell_sql('x', 'y', 5.0)}),
+    qs AS (SELECT sum(c) AS s1, sum(c * c) AS s2 FROM qc)
+    SELECT round(CASE WHEN s1 > 0
+                 THEN (s2 / {float(QUADRAT_FRAME)!r}
+                       - (s1 / {float(QUADRAT_FRAME)!r})
+                         * (s1 / {float(QUADRAT_FRAME)!r}))
+                      / (s1 / {float(QUADRAT_FRAME)!r})
+                 ELSE 0.0 END, 6) AS stat,
+           round(1.0, 6) AS expected
+    FROM qs"""
+    ce = f"""{_KNN_CTE},
+    nn AS (SELECT sum(sqrt(d2)) AS sd, count(*) AS nd
+           FROM knn WHERE rank = 1),
+    np AS (SELECT count(*) AS n FROM pts)
+    SELECT round(CASE WHEN n > 0
+                 THEN (sd / nd) / (0.5 / sqrt(n / {POINT_FRAME_AREA!r}))
+                 ELSE 0.0 END, 6) AS stat,
+           round(1.0, 6) AS expected
+    FROM nn, np"""
     return f"""
     SELECT 'value' AS variant, moran_i AS stat, expected_i AS expected
     FROM ({o_moran_global()})
@@ -2807,7 +2840,11 @@ def o_moran_global_combined():
     SELECT 'geary' AS variant, geary_c AS stat, expected_c AS expected
     FROM ({geary})
     UNION ALL
-    SELECT * FROM ({jc})"""
+    SELECT * FROM ({jc})
+    UNION ALL
+    SELECT 'quadrat_vmr' AS variant, * FROM ({quad})
+    UNION ALL
+    SELECT 'clark_evans' AS variant, * FROM ({ce})"""
 
 
 def q_markov(spark, sf_dir):

@@ -65,3 +65,34 @@ def test_parallelism_invariance(spark):
     a = _run(spark, rows, radii=(5, 15), area=2400.0, parts=1)
     b = _run(spark, rows, radii=(5, 15), area=2400.0, parts=16)
     assert a == b
+
+
+def test_quadrat_vmr_known(spark):
+    from crankshaft_spark.operators.pointpats import quadrat_vmr
+
+    # 4 points in ONE quadrat of a 4-quadrat frame: counts (4,0,0,0)
+    # mean=1, E[c^2]=4 -> VMR = (4-1)/1 = 3 (clustered)
+    rows = [(0.5, 0.5), (0.6, 0.6), (0.7, 0.7), (0.8, 0.8)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = quadrat_vmr(df, cell_size=1.0, frame_cells=4).collect()[0]
+    assert got["vmr"] == pytest.approx(3.0) and got["expected"] == 1.0
+    # perfectly regular: one point per quadrat -> VMR = 0
+    reg = spark.createDataFrame(
+        [(0.5, 0.5), (1.5, 0.5), (0.5, 1.5), (1.5, 1.5)],
+        "x double, y double")
+    got = quadrat_vmr(reg, cell_size=1.0, frame_cells=4).collect()[0]
+    assert got["vmr"] == pytest.approx(0.0)
+
+
+def test_clark_evans_known(spark):
+    from crankshaft_spark.operators.pointpats import clark_evans
+
+    # unit-square lattice: NN distance 1 for every point; n=16, A=16
+    # -> density 1, expected NN dist 0.5 -> R = 2 (regular)
+    pts = spark.createDataFrame(
+        [(float(i), float(j)) for i in range(4) for j in range(4)],
+        "x double, y double")
+    nn = spark.createDataFrame(
+        [(1, 1.0)] * 16, "rank int, d2 double")
+    got = clark_evans(pts, nn, area=16.0).collect()[0]
+    assert got["r_stat"] == pytest.approx(2.0) and got["expected"] == 1.0

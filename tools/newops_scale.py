@@ -10,20 +10,27 @@ xxhash64 over exact-integer output columns — collecting 10M rows to the
 driver would violate the point), rows-identical asserted across the two
 parallelism levels.
 
-Coordinates are xxhash64-derived (uniform over a 3000x2000-cell frame at
-eps=10 — ~rows/6M points per eps-cell): a linear congruence pair like the
-catalog's (id*9973 % 30000, id*7919 % 20000) has joint period
-lcm(30000,20000)=60k, so 10M rows would stack ~167 EXACT copies per
-location — degenerate density for dbscan (~1.7B candidate pairs) and a
-trivial agg for kde.  Hash coords keep the workload the intended Poisson
-sprinkle; determinism across the two runs is all this tool needs (no
-DuckDB oracle here — the catalog entry covers value parity).
+Coordinates are xxhash64-derived (uniform Poisson sprinkle): a linear
+congruence pair like the catalog's (id*9973 % 30000, id*7919 % 20000)
+has joint period lcm(30000,20000)=60k, so 10M rows would stack ~167
+EXACT copies per location — degenerate density for dbscan and a trivial
+agg for kde.  Hash coords keep the workload honest; determinism across
+the two runs is all this tool needs (no DuckDB oracle here — the
+catalog entry covers value parity).
 
-kde: support ring R=1 (9 exploded cells/point, map-side combined); kde is
-seconds-cheap per 10M rows, so default it to 100M rows or overhead
-dominates the ratio (the round-2 input-size lesson).
-dbscan: eps=10, min_pts=3 at 10M rows — ~15M candidate pairs through the
-ring-1 equi-join, then hash-min label propagation over the core graph.
+kde: 3000x2000-cell frame (support ring R=1 — 9 exploded cells/point,
+map-side combined); kde is seconds-cheap per 10M rows, so default it to
+100M rows or overhead dominates the ratio (the round-2 input-size
+lesson).
+dbscan: eps=10, min_pts=3 on a 10000x6000-CELL frame (100000x60000
+coordinate units) — ~0.17 points per eps-cell at 10M rows, i.e. BELOW
+continuum-percolation density, the regime DBSCAN is used in (bounded
+clusters + noise).  The first cut of this tool reused kde's 3000x2000
+frame: 1.7 pts/cell is SUPER-critical — one giant spanning cluster,
+~150M candidate pairs and a label-prop round count bounded by the
+component diameter — a 50-minute 2-core wall that measures a workload
+nobody runs.  Density, not row count, is dbscan's scale axis: hold
+pts/cell fixed when varying rows.
 
 Usage: python tools/newops_scale.py [op kde|dbscan] [N] [rows]
 Prints one JSON line — record into BASELINE.md §4.
@@ -45,10 +52,11 @@ op = sys.argv[1]; cpus = int(sys.argv[2]); rows = int(sys.argv[3])
 spark = get_session(master=f"local[{cpus}]", app_name=f"nos{op}{cpus}",
                     shuffle_partitions=max(cpus, 16))
 spark.sparkContext.setLogLevel("ERROR")
+W, H = (30000, 20000) if op == "kde" else (100000, 60000)
 pts = spark.range(1, rows + 1).select(
     F.col("id"),
-    F.pmod(F.xxhash64("id"), F.lit(30000)).cast("double").alias("x"),
-    F.pmod(F.xxhash64("id", F.lit(1)), F.lit(20000)).cast("double").alias("y"))
+    F.pmod(F.xxhash64("id"), F.lit(W)).cast("double").alias("x"),
+    F.pmod(F.xxhash64("id", F.lit(1)), F.lit(H)).cast("double").alias("y"))
 t0 = time.time()
 if op == "kde":
     from crankshaft_spark.operators.grid import kde_grid
