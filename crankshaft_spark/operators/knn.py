@@ -168,6 +168,56 @@ def knn_join(
                      grid=grid, persist_registry=persist_registry)
 
 
+def within_distance(
+    df: DataFrame,
+    radius: float,
+    *,
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+    cell_size: float | None = None,
+) -> DataFrame:
+    """Exact radius self-join (PostGIS ``ST_DWithin`` counterpart) →
+    ``(id, nbr, d2, rank)``: every ordered pair with planar distance ≤
+    ``radius``, self-pairs excluded, ``rank`` numbering each point's
+    neighbors by (d2, nbr) ascending.
+
+    The reference expresses this per-row as an indexed ``ST_DWithin``
+    scan (the GiST pattern behind its ``<->``/distance queries,
+    pysal_utils.py:132-160); distributed form: bin points into cells of
+    ``cell_size`` (default = radius), explode each point to its 3×3
+    ring-1 block, equi-join on the cell key, refine with the exact
+    ``d2 <= radius²`` predicate.  Any pair within ``radius`` differs by
+    at most one cell index per axis when ``cell_size >= radius``, so the
+    ring-1 block is a complete candidate set — one shuffle join, never
+    an all-pairs product.  Hot (urban) cells are AQE skew-split; the
+    rank window partitions by id and is bounded by the neighborhood
+    size, never a global sort.
+    """
+    if radius <= 0:
+        raise ValueError(f"within_distance: radius must be > 0, got {radius}")
+    size = float(cell_size if cell_size is not None else radius)
+    if size < radius:
+        raise ValueError(
+            f"within_distance: cell_size {size} < radius {radius} breaks "
+            "the ring-1 completeness guarantee")
+    pts = _norm_points(df, id_col, x, y, size)
+    lhs = pts.select(
+        "id", "x", "y", F.explode(ring_cells_expr(F.col("cell"), 1)).alias("cell"))
+    rhs = pts.select(
+        F.col("id").alias("nbr"), F.col("x").alias("nx"),
+        F.col("y").alias("ny"), "cell")
+    d2 = planar_dist2(F.col("x"), F.col("y"), F.col("nx"), F.col("ny"))
+    pairs = (
+        lhs.join(rhs, "cell")
+        .where(F.col("id") != F.col("nbr"))
+        .select("id", "nbr", d2.alias("d2"))
+        .where(F.col("d2") <= F.lit(float(radius) * float(radius)))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("d2").asc(), F.col("nbr").asc())
+    return pairs.withColumn("rank", F.row_number().over(w))
+
+
 def _brute_topk(left: DataFrame, rpts: DataFrame, k: int,
                 exclude_self: bool) -> DataFrame:
     """Broadcast cross-join top-k for a (small) straggler set — the final

@@ -432,6 +432,49 @@ def geary_c(
     )
 
 
+def geary_local(
+    values: DataFrame,
+    edges: DataFrame,
+    *,
+    value_col: str = "value",
+) -> DataFrame:
+    """Local Geary c_i (Anselin 1995's LISA companion to local Moran) →
+    (id, geary_ci):  c_i = Σ_j w_ij (z_i − z_j)² / (Σ_k z_k² / n),
+    z = x − x̄.
+
+    Small c_i ⇒ the site's neighborhood is locally homogeneous (positive
+    autocorrelation); large c_i flags a local outlier by squared
+    *difference* where local Moran flags it by covariance — the two
+    disagree exactly where structure is small-scale, same contrast as
+    the global pair (geary_c above).  The reference ships the Moran half
+    of the LISA family via its vendored PySAL
+    (crankshaft/clustering/moran.py:13-88); this completes the pair.
+
+    Plan shape: identical to moran_local's lag join — one (id, nbr, w)
+    edge shuffle joined to the broadcast-centered z values on both
+    endpoints, groupBy(id) partial-aggregated sum, then a broadcast
+    one-row denominator — no new shuffle class, 100 TB-safe.
+    """
+    vz = _with_z(values, value_col)
+    zj = vz.select(F.col("id").alias("nbr"), F.col("_z").alias("_zj"))
+    zi = vz.select("id", F.col("_z").alias("_zi"), "_n", "_den")
+    num = (
+        edges.join(zj, "nbr")
+        .join(zi.select("id", "_zi"), "id")
+        .groupBy("id")
+        .agg(F.sum(
+            F.col("w") * (F.col("_zi") - F.col("_zj"))
+            * (F.col("_zi") - F.col("_zj"))).alias("_num"))
+    )
+    return (
+        num.join(zi.select("id", "_n", "_den"), "id")
+        .select(
+            "id",
+            (F.col("_num") / (F.col("_den") / F.col("_n"))).alias("geary_ci"),
+        )
+    )
+
+
 def join_counts(
     values: DataFrame,
     edges: DataFrame,

@@ -99,6 +99,9 @@ def _edges_w(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- queries ---
 
 RIPLEY_RADII = (10, 20, 40, 80)
+#: dwithin arm: ~0.065 pts per square degree at sf0.01 ⇒ ≈5 neighbors
+#: inside the radius-5 disc; same literal on both engines.
+DWITHIN_RADIUS = 5.0
 RIPLEY_AREA = 240000.0  # the alpha-orbit 600x400 frame
 #: derived-point domain x in [-120,120), y in [-48,48): cell-aligned 5-degree
 #: bounding box = 48 x 20 quadrats; frame area in square degrees.
@@ -112,7 +115,10 @@ def q_knn_edges(spark, sf_dir):
     # (the cell scheme is a performance knob, never a correctness knob);
     # late r4: + the 'ripley' point-pattern arm (per-nation K-function on
     # the alpha-orbit integer points — id=grp, nbr=radius, rank=n_pts,
-    # d2r=K̂; cell-ring candidates, exact integer pair counts)
+    # d2r=K̂; cell-ring candidates, exact integer pair counts) + the
+    # 'dwithin' radius-join arm (ST_DWithin counterpart: every pair within
+    # DWITHIN_RADIUS via the ring-1 cell block, oracled brute-force)
+    from crankshaft_spark.operators.knn import within_distance
     from crankshaft_spark.operators.pointpats import ripley_k
 
     pts = customer_points(spark, sf_dir)
@@ -129,12 +135,16 @@ def q_knn_edges(spark, sf_dir):
         F.lit("ripley").alias("grid"), F.col("grp").alias("id"),
         F.col("d").alias("nbr"), F.col("n_pts").cast("int").alias("rank"),
         F.round("k_est", 6).alias("d2r"))
-    return arms[0].unionByName(arms[1]).unionByName(rip)
+    dw = within_distance(pts, DWITHIN_RADIUS).select(
+        F.lit("dwithin").alias("grid"), "id", "nbr", "rank",
+        F.round("d2", 6).alias("d2r"))
+    return arms[0].unionByName(arms[1]).unionByName(rip).unionByName(dw)
 
 
 def o_knn_edges():
     from crankshaft_spark.operators.pointpats import ripley_oracle_sql
 
+    r2 = DWITHIN_RADIUS * DWITHIN_RADIUS
     return f"""{_KNN_CTE}
     SELECT g.grid, k.id, k.nbr, k.rank, round(k.d2, 6) AS d2r
     FROM knn k, (VALUES ('rect'), ('hex')) AS g(grid)
@@ -142,7 +152,17 @@ def o_knn_edges():
     SELECT 'ripley' AS grid, grp AS id, d AS nbr,
            CAST(n_pts AS INT) AS rank, round(k_est, 6) AS d2r
     FROM ({ripley_oracle_sql(ALPHA_PTS_SQL,
-                             radii=RIPLEY_RADII, area=RIPLEY_AREA)})"""
+                             radii=RIPLEY_RADII, area=RIPLEY_AREA)})
+    UNION ALL
+    SELECT 'dwithin' AS grid, id, nbr,
+           CAST(row_number() OVER (
+             PARTITION BY id ORDER BY d2 ASC, nbr ASC) AS INT) AS rank,
+           round(d2, 6) AS d2r
+    FROM (
+      SELECT a.id AS id, b.id AS nbr,
+             (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+      FROM pts a JOIN pts b ON a.id <> b.id
+    ) p WHERE d2 <= {r2!r}"""
 
 
 def q_spatial_lag(spark, sf_dir):
@@ -2711,23 +2731,48 @@ def o_segmentation():
 def q_moran_local_combined(spark, sf_dir):
     """moran_local + the moran_hotspots filter (CDB_GetMoranLocal +
     CDB_GetMoranLocalHotspots/Outliers projection) as one entry: is_hot is
-    True exactly for the rows the hotspot filter returns."""
-    from crankshaft_spark.operators.moran import moran_hotspots
+    True exactly for the rows the hotspot filter returns.  Late r4: + the
+    'geary' arm — Anselin's local Geary c_i, the squared-difference LISA
+    next to local Moran (quad is NULL there; local_i carries c_i)."""
+    from crankshaft_spark.operators.moran import geary_local, moran_hotspots
 
     pts = customer_points(spark, sf_dir)
-    res = moran_local(pts.select("id", "value"), _edges_w(spark, sf_dir))
+    w = _edges_w(spark, sf_dir)
+    res = moran_local(pts.select("id", "value"), w)
     hot = moran_hotspots(res).select("id", F.lit(True).alias("is_hot"))
-    return (
+    lisa = (
         res.select("id", "quad", F.round("local_i", 6).alias("local_i"))
         .join(hot, "id", "left")
         .withColumn("is_hot", F.coalesce(F.col("is_hot"), F.lit(False)))
+        .select(F.lit("lisa").alias("arm"), "id", "quad", "local_i", "is_hot")
     )
+    gl = geary_local(pts.select("id", "value"), w).select(
+        F.lit("geary").alias("arm"), "id",
+        F.lit(None).cast("string").alias("quad"),
+        F.round("geary_ci", 6).alias("local_i"),
+        F.lit(False).alias("is_hot"))
+    return lisa.unionByName(gl)
 
 
 def o_moran_local_combined():
+    geary = f"""{_KNN_CTE},
+    stats AS (SELECT avg(value) AS mu, count(*) AS n FROM pts),
+    z AS (SELECT id, value - mu AS z FROM pts, stats),
+    den AS (SELECT sum(z*z) AS den FROM z),
+    num AS (
+      SELECT k.id, sum((1.0 / {KNN_K}) * (zi.z - zj.z) * (zi.z - zj.z)) AS num
+      FROM knn k JOIN z zi ON k.id = zi.id JOIN z zj ON k.nbr = zj.id
+      GROUP BY k.id
+    )
+    SELECT 'geary' AS arm, num.id, CAST(NULL AS VARCHAR) AS quad,
+           round(num.num / (den.den / stats.n), 6) AS local_i,
+           FALSE AS is_hot
+    FROM num, stats, den"""
     return (
-        f"SELECT id, quad, local_i, quad IN ('HH', 'HL') AS is_hot "
-        f"FROM ({o_moran_local()})"
+        f"SELECT 'lisa' AS arm, id, quad, local_i, "
+        f"quad IN ('HH', 'HL') AS is_hot "
+        f"FROM ({o_moran_local()}) "
+        f"UNION ALL SELECT * FROM ({geary})"
     )
 
 

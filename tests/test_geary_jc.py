@@ -120,3 +120,36 @@ def test_weighted_spread(spark):
     ey2 = 12.0 / 5
     assert got[1][1] == pytest.approx(math.sqrt(ey2 - my * my))
     assert got[2] == (0.0, 0.0)  # single point: greatest(,0) absorbs -0
+
+
+def test_geary_local_replay(spark):
+    from crankshaft_spark.operators.moran import geary_local
+
+    values = [float((i * 37) % 11 - 5) for i in range(12)]
+    got = {r["id"]: r["geary_ci"]
+           for r in geary_local(_vals(spark, values),
+                                _ring_edges(spark, 12)).collect()}
+    n = len(values)
+    mu = sum(values) / n
+    m2 = sum((v - mu) ** 2 for v in values) / n
+    for i in range(n):
+        ci = sum(
+            0.5 * (values[i] - values[j]) ** 2
+            for j in ((i + 1) % n, (i - 1) % n)
+        ) / m2
+        assert got[i] == pytest.approx(ci), f"id {i}"
+    # sum identity vs global Geary: C = Σc_i (n-1) / (2 W n), W = n here
+    C = geary_c(_vals(spark, values),
+                _ring_edges(spark, 12)).collect()[0]["geary_c"]
+    assert C == pytest.approx(sum(got.values()) * (n - 1) / (2.0 * n * n))
+
+
+def test_geary_local_parallelism_invariance(spark):
+    from crankshaft_spark.operators.moran import geary_local
+
+    values = [float((i * 53) % 17 - 8) for i in range(40)]
+    a = geary_local(_vals(spark, values, 1), _ring_edges(spark, 40, 1))
+    b = geary_local(_vals(spark, values, 16), _ring_edges(spark, 40, 16))
+    ra = {r["id"]: round(r["geary_ci"], 9) for r in a.collect()}
+    rb = {r["id"]: round(r["geary_ci"], 9) for r in b.collect()}
+    assert ra == rb

@@ -70,3 +70,47 @@ def test_knn_rank_is_dense_and_bounded(spark, points):
     )
     bad = per_id.where((F.col("c") != 3) | (F.col("mx") != 3)).count()
     assert bad == 0
+
+
+def brute_force_dwithin(pts, radius):
+    r2 = radius * radius
+    out = {}
+    for pid, px, py in pts:
+        nbrs = sorted(
+            ((px - qx) ** 2 + (py - qy) ** 2, qid)
+            for qid, qx, qy in pts
+            if qid != pid and (px - qx) ** 2 + (py - qy) ** 2 <= r2
+        )
+        out[pid] = [(qid, d2) for d2, qid in nbrs]
+    return out
+
+
+@pytest.mark.parametrize("cell_size", [None, 12.0])
+def test_within_distance_matches_bruteforce(spark, points, cell_size):
+    from crankshaft_spark.operators.knn import within_distance
+
+    df = spark.createDataFrame(points, "id long, x double, y double")
+    got = (
+        within_distance(df, 6.0, cell_size=cell_size)
+        .orderBy("id", "rank").collect()
+    )
+    expected = brute_force_dwithin(points, 6.0)
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["id"], []).append((r["nbr"], r["d2"]))
+        assert r["rank"] == len(by_id[r["id"]])  # dense per-id ranks
+    for pid, nbrs in expected.items():
+        assert by_id.get(pid, []) == nbrs, f"id {pid}"
+    # symmetric: (i,j) present exactly when (j,i) is
+    pairs = {(r["id"], r["nbr"]) for r in got}
+    assert pairs == {(b, a) for a, b in pairs}
+
+
+def test_within_distance_guards(spark, points):
+    from crankshaft_spark.operators.knn import within_distance
+
+    df = spark.createDataFrame(points, "id long, x double, y double")
+    with pytest.raises(ValueError, match="radius"):
+        within_distance(df, 0.0)
+    with pytest.raises(ValueError, match="ring-1"):
+        within_distance(df, 6.0, cell_size=3.0)
