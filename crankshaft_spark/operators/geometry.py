@@ -1328,3 +1328,170 @@ def line_interp_oracle_sql(verts_sql: str, *, fracs) -> str:
     JOIN li_len l ON l.grp = p.grp AND l.seq = p.seq
     JOIN li_tot t ON t.grp = p.grp
     LEFT JOIN li_cum pv ON pv.grp = p.grp AND pv.seq = p.seq - 1"""
+
+
+# ------------------------------------------------------- vector-tile clip ---
+
+def _sh_emit(p: str, q: str, ax: str, dr: str, c: str,
+             mk2, a0: str, a1, a2) -> str:
+    """One Sutherland–Hodgman per-edge emit expression, written ONCE and
+    instantiated for both engines (the shared-builder rule: a hand-inlined
+    copy silently diverges when the kernel is tuned).
+
+    ``p``/``q`` are engine-specific accessors for the current and next ring
+    vertex, ``ax``/``dr``/``c`` the clip boundary (axis 0=x/1=y, direction
+    ±1.0, boundary coordinate), ``mk2``/``a0``/``a1``/``a2`` the struct and
+    array constructors.  Every coordinate OPERATION (inside test, parameter
+    t, interpolation) is emitted from this one template, so both engines run
+    the identical float sequence and the clipped rings compare exactly.
+    """
+    pv = f"(CASE WHEN {ax} = 0 THEN {p}.x ELSE {p}.y END)"
+    qv = f"(CASE WHEN {ax} = 0 THEN {q}.x ELSE {q}.y END)"
+    pin = f"({dr} * {pv} >= {dr} * {c})"
+    qin = f"({dr} * {qv} >= {dr} * {c})"
+    t = f"(({c} - {pv}) / ({qv} - {pv}))"
+    ix = f"(CASE WHEN {ax} = 0 THEN {c} ELSE {p}.x + ({q}.x - {p}.x) * {t} END)"
+    iy = f"(CASE WHEN {ax} = 0 THEN {p}.y + ({q}.y - {p}.y) * {t} ELSE {c} END)"
+    ipt = mk2(ix, iy)
+    return (f"CASE WHEN {pin} AND {qin} THEN {a1(q)} "
+            f"WHEN {pin} AND NOT {qin} THEN {a1(ipt)} "
+            f"WHEN {qin} THEN {a2(ipt, q)} "
+            f"ELSE {a0} END")
+
+
+#: the four half-planes of an axis-aligned tile, clipped in pinned order
+#: (left, right, bottom, top) — the order is part of the cross-engine
+#: contract (S-H output vertex order depends on it).
+_TILE_BOUNDS = ((0, 1.0, "_x0"), (0, -1.0, "_x1"), (1, 1.0, "_y0"), (1, -1.0, "_y1"))
+
+
+def tile_clip(
+    polys: DataFrame,
+    *,
+    tile_size: float,
+    id_col: str = "poly_id",
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+) -> DataFrame:
+    """Cut polygons into an axis-aligned planar tile grid (the vector side
+    of a tile-serving pipeline — PostGIS ``ST_Subdivide`` / vector-tile
+    cutting counterpart; the reference's grid operators rasterize the other
+    direction, 18_rectgrid.sql).  → (poly_id, tx, ty, nvert, xs, ys, area):
+    one row per (polygon, intersected tile) with the clipped ring and its
+    absolute shoelace area.
+
+    Plan: bbox tile-cover explode (pure integer column math, the
+    _bbox_cells pattern) → per-candidate Sutherland–Hodgman clip against
+    the tile rectangle as ONE JVM ``aggregate`` fold over the four
+    half-planes — zero Python stages, no joins beyond the explode, linear
+    in Σ(candidate tiles).  Tiles are anchored at (-180, -90) like the
+    cellv1 grid; intersection coordinates are exact linear interpolations,
+    areas sequential shoelace folds (polygon_area_seq convention), so the
+    DuckDB oracle (tile_clip_oracle_sql — same formulas via _sh_emit,
+    unrolled as MATERIALIZED CTE passes) matches value-for-value.
+    """
+    S = float(tile_size)
+    mk2 = lambda x, y: f"named_struct('x', {x}, 'y', {y})"  # noqa: E731
+    a1 = lambda a: f"array({a})"  # noqa: E731
+    a2 = lambda a, b: f"array({a}, {b})"  # noqa: E731
+    emit = _sh_emit(
+        "element_at(acc, i)", "element_at(acc, i % size(acc) + 1)",
+        "b.ax", "b.dir", "b.c", mk2, "array()", a1, a2)
+    ring0 = (f"transform(sequence(1, size({xs_col})), i -> "
+             f"named_struct('x', element_at({xs_col}, i), "
+             f"'y', element_at({ys_col}, i)))")
+    bounds = ", ".join(
+        f"named_struct('ax', {ax}, 'dir', CAST({dr!r} AS DOUBLE), 'c', {c})"
+        for ax, dr, c in _TILE_BOUNDS)
+    fold = (f"aggregate(array({bounds}), {ring0}, (acc, b) -> "
+            f"CASE WHEN size(acc) < 3 THEN acc ELSE "
+            f"flatten(transform(sequence(1, size(acc)), i -> {emit})) END)")
+    s1 = ("aggregate(sequence(1, size(ring)), CAST(0.0 AS DOUBLE), (a, i) -> "
+          "a + element_at(ring, i).x * element_at(ring, i % size(ring) + 1).y)")
+    s2 = ("aggregate(sequence(1, size(ring)), CAST(0.0 AS DOUBLE), (a, i) -> "
+          "a + element_at(ring, i).y * element_at(ring, i % size(ring) + 1).x)")
+    cand = (
+        polys.select(
+            F.col(id_col).alias("poly_id"), xs_col, ys_col,
+            F.explode(F.expr(
+                f"sequence(int(floor((array_min({xs_col}) + 180.0) / {S!r})), "
+                f"int(floor((array_max({xs_col}) + 180.0) / {S!r})))")).alias("tx"),
+        )
+        .select(
+            "*",
+            F.explode(F.expr(
+                f"sequence(int(floor((array_min({ys_col}) + 90.0) / {S!r})), "
+                f"int(floor((array_max({ys_col}) + 90.0) / {S!r})))")).alias("ty"),
+        )
+        .withColumn("_x0", F.expr(f"tx * {S!r} - 180.0"))
+        .withColumn("_x1", F.expr(f"tx * {S!r} - 180.0 + {S!r}"))
+        .withColumn("_y0", F.expr(f"ty * {S!r} - 90.0"))
+        .withColumn("_y1", F.expr(f"ty * {S!r} - 90.0 + {S!r}"))
+    )
+    return (
+        cand.withColumn("ring", F.expr(fold))
+        .where(F.expr("size(ring) >= 3"))
+        .withColumn("area", F.expr(f"abs(0.5 * (({s1}) - ({s2})))"))
+        .where(F.expr("area > 0.0"))
+        .select(
+            "poly_id", "tx", "ty",
+            F.expr("size(ring)").alias("nvert"),
+            F.expr("transform(ring, v -> v.x)").alias("xs"),
+            F.expr("transform(ring, v -> v.y)").alias("ys"),
+            "area",
+        )
+    )
+
+
+def tile_clip_oracle_sql(polys_sql: str, *, tile_size: float) -> str:
+    """DuckDB mirror of ``tile_clip``: same bbox tile cover, the same four
+    _sh_emit half-plane passes unrolled as MATERIALIZED CTEs (DuckDB 1.0's
+    list_reduce takes no initial accumulator, and plain CTEs would re-inline
+    the growing ring expression per reference), and the same sequential
+    list_sum shoelace.  ``polys_sql`` must yield (poly_id, xs DOUBLE[],
+    ys DOUBLE[])."""
+    S = float(tile_size)
+    mk2 = lambda x, y: "{'x': " + x + ", 'y': " + y + "}"  # noqa: E731
+    a1 = lambda a: f"[{a}]"  # noqa: E731
+    a2 = lambda a, b: f"[{a}, {b}]"  # noqa: E731
+    passes = []
+    prev = "tc0"
+    for k, (ax, dr, cname) in enumerate(_TILE_BOUNDS, start=1):
+        emit = _sh_emit(
+            "ring[i]", "ring[i % len(ring) + 1]",
+            str(ax), f"CAST({dr!r} AS DOUBLE)", cname, mk2, "[]", a1, a2)
+        passes.append(
+            f"tc{k} AS MATERIALIZED (SELECT poly_id, tx, ty, _x0, _x1, _y0, _y1, "
+            f"CASE WHEN len(ring) < 3 THEN ring ELSE "
+            f"flatten(list_transform(range(1, len(ring) + 1), i -> {emit})) END"
+            f" AS ring FROM {prev})")
+        prev = f"tc{k}"
+    s1 = ("list_sum(list_transform(range(1, len(ring) + 1), i -> "
+          "ring[i].x * ring[i % len(ring) + 1].y))")
+    s2 = ("list_sum(list_transform(range(1, len(ring) + 1), i -> "
+          "ring[i].y * ring[i % len(ring) + 1].x))")
+    return f"""WITH tc_in AS ({polys_sql}),
+    tc0 AS MATERIALIZED (
+      SELECT poly_id, CAST(gx.tx AS INT) AS tx, CAST(gy.ty AS INT) AS ty,
+             gx.tx * {S!r} - 180.0 AS _x0,
+             gx.tx * {S!r} - 180.0 + {S!r} AS _x1,
+             gy.ty * {S!r} - 90.0 AS _y0,
+             gy.ty * {S!r} - 90.0 + {S!r} AS _y1,
+             list_transform(xs, (v, i) -> {{'x': v, 'y': ys[i]}}) AS ring
+      FROM tc_in,
+           LATERAL unnest(range(CAST(floor((list_min(xs) + 180.0) / {S!r}) AS BIGINT),
+                          CAST(floor((list_max(xs) + 180.0) / {S!r}) AS BIGINT) + 1)) AS gx(tx),
+           LATERAL unnest(range(CAST(floor((list_min(ys) + 90.0) / {S!r}) AS BIGINT),
+                          CAST(floor((list_max(ys) + 90.0) / {S!r}) AS BIGINT) + 1)) AS gy(ty)
+    ),
+    {", ".join(passes)},
+    tc_area AS (
+      SELECT poly_id, tx, ty, len(ring) AS nvert, ring,
+             abs(0.5 * (({s1}) - ({s2}))) AS area
+      FROM {prev} WHERE len(ring) >= 3
+    )
+    SELECT poly_id, tx, ty, CAST(nvert AS INT) AS nvert,
+           list_transform(ring, v -> v.x) AS xs,
+           list_transform(ring, v -> v.y) AS ys,
+           area
+    FROM tc_area WHERE area > 0.0"""

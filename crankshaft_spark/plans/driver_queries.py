@@ -1528,8 +1528,15 @@ def o_queen_edges():
 
 # ------------------------------------------------------- overlap sum --------
 
+TILECLIP_SIZE = 6.0
+
+
 def q_overlap_sum(spark, sf_dir):
-    from crankshaft_spark.operators.geometry import overlap_sum
+    """Areal overlay panel: the cdb_overlap_sum arm plus (late r4) the
+    'tileclip' vector-tile-cutting arm — supplier triangles cut into the
+    6° planar tile grid by the zero-Python Sutherland–Hodgman fold
+    (geometry.tile_clip), clipped ring size + area oracle-exact."""
+    from crankshaft_spark.operators.geometry import overlap_sum, tile_clip
 
     cust = customer_points(spark, sf_dir).where(F.col("id") % 10 == 1)
     queries = cust.select(
@@ -1545,13 +1552,29 @@ def q_overlap_sum(spark, sf_dir):
         F.col("weight").alias("value"),
     )
     res = overlap_sum(queries, targets, cell_size=4.0)
-    return res.select(
-        F.col("qid").alias("id"), F.round("overlap_sum", 6).alias("overlap_sum")
-    )
+    ov = res.select(
+        F.lit("overlap").alias("arm"), F.col("qid").alias("id"),
+        F.lit(0).alias("tx"), F.lit(0).alias("ty"), F.lit(0).alias("nvert"),
+        F.round("overlap_sum", 6).alias("val"))
+    tris = supp.select(
+        F.col("id").alias("poly_id"),
+        F.array(F.col("x"), F.col("x") + 9, F.col("x") + 3).alias("xs"),
+        F.array(F.col("y"), F.col("y"), F.col("y") + 8).alias("ys"))
+    tc = tile_clip(tris, tile_size=TILECLIP_SIZE).select(
+        F.lit("tileclip").alias("arm"), F.col("poly_id").alias("id"),
+        "tx", "ty", "nvert", F.round("area", 6).alias("val"))
+    return ov.unionByName(tc)
 
 
 def o_overlap_sum():
-    # axis-aligned rectangle intersection in closed form
+    from crankshaft_spark.operators.geometry import tile_clip_oracle_sql
+
+    # overlap arm: axis-aligned rectangle intersection in closed form;
+    # tileclip arm: the shared-_sh_emit Sutherland–Hodgman replay
+    tc = tile_clip_oracle_sql(
+        "SELECT id AS poly_id, [x, x + 9, x + 3]::DOUBLE[] AS xs, "
+        "[y, y, y + 8]::DOUBLE[] AS ys FROM spts",
+        tile_size=TILECLIP_SIZE)
     return f"""{_PTS_CTE},
     q AS (SELECT id, x AS qx0, y AS qy0, x + 6 AS qx1, y + 6 AS qy1
           FROM pts WHERE id % 10 = 1),
@@ -1563,8 +1586,13 @@ def o_overlap_sum():
              * greatest(0.0, least(qy1, ty1) - greatest(qy0, ty0)) AS ia
       FROM q JOIN t ON qx0 < tx1 AND tx0 < qx1 AND qy0 < ty1 AND ty0 < qy1
     )
-    SELECT id, round(sum(v * ia / 81.0), 6) AS overlap_sum
-    FROM inter WHERE ia > 0 GROUP BY id"""
+    SELECT 'overlap' AS arm, id, 0 AS tx, 0 AS ty, 0 AS nvert,
+           round(sum(v * ia / 81.0), 6) AS val
+    FROM inter WHERE ia > 0 GROUP BY id
+    UNION ALL
+    SELECT 'tileclip' AS arm, poly_id AS id, tx, ty, nvert,
+           round(area, 6) AS val
+    FROM ({tc})"""
 
 
 # ----------------------------------------------------------- contour --------
