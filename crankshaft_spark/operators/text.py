@@ -1419,3 +1419,143 @@ def tfidf_oracle_sql(docs_sql: str, *, k: int = 5) -> str:
                   ORDER BY score_fp DESC, term ASC) AS INTEGER) AS rank
       FROM tfs
     ) WHERE rank <= {k}"""
+
+
+# -------------------------------------------------------------- BM25 --------
+
+#: the BM25 per-term score with k1=1.2, b=0.75 — written ONCE and executed
+#: verbatim by BOTH engines (column names idf_fp BIGINT, tf BIGINT,
+#: dl BIGINT, avgdl DOUBLE; every literal CAST so DuckDB's DECIMAL parse
+#: can't change the arithmetic).  Operand order is part of the contract.
+BM25_TS = ("CAST(idf_fp AS DOUBLE) * (tf * CAST(2.2 AS DOUBLE)) / "
+           "(tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) "
+           "+ (CAST(0.75 AS DOUBLE) * dl) / avgdl))")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    topk: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "qid",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """Distributed BM25 retrieval → (qid, rank, doc_id, score_fp): for each
+    query, its ``topk`` best documents under Okapi BM25 (k1=1.2, b=0.75,
+    idf = ln(N/df) — the Lucene-simplified idf on the repo's 6dp integer
+    ln channel).  The full-text-search primitive of a training-data
+    pipeline (benchmark retrieval, hard-negative mining, corpus QA) next
+    to tfidf_topk's keyword extraction.
+
+    Determinism: idf rides ``_ln_cents`` (integer-exact cross-engine);
+    the per-term score is ONE pinned double expression (``BM25_TS``)
+    evaluated identically by both engines, floored to a 6dp-scaled BIGINT
+    *per term* so the per-document sum is an order-free integer sum.
+    Ranking ties break (score_fp DESC, doc_id ASC) — total order.
+
+    Scale shape: inverted-index equi-join — the tokenized query table
+    (tiny, broadcast) joins the (doc, term, tf) posting aggregate on
+    term; per-(query, doc) integer sum; per-query top-k window whose
+    partition is the query's candidate set (parallel across queries).
+    Never a cross join; corpus-side work is one tokenize + two
+    map-side-combinable aggregates.  Query terms absent from the corpus
+    contribute nothing (inner join on the posting list), matching BM25.
+    """
+    from pyspark.sql.window import Window
+
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        " ")).alias("term"))
+        .where(F.col("term") != ""))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n = docs.agg(F.count(F.lit(1)).alias("_n"))
+    avg = (
+        dl.agg(F.sum("dl").alias("_tl")).join(F.broadcast(n))
+        .select((F.col("_tl").cast("double") / F.col("_n")).alias("avgdl"),
+                "_n"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col(query_text_col), F.lit(""))),
+                        " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct())
+    idf = (
+        qterms.join(df_t, "term").join(F.broadcast(avg))
+        .withColumn("idf_fp", _ln_cents(F.col("_n")) - _ln_cents(F.col("_df"))))
+    cand = F.broadcast(idf.select("qid", "term", "idf_fp", "avgdl")).join(
+        tf, "term").join(dl, id_col)
+    scores = (
+        cand.withColumn(
+            "_ts_fp", F.expr(f"CAST(floor({BM25_TS}) AS BIGINT)"))
+        .groupBy("qid", id_col)
+        .agg(F.sum("_ts_fp").alias("score_fp")))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_fp").desc(), F.col(id_col).asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("qid", "rank", id_col, "score_fp"))
+
+
+def bm25_oracle_sql(docs_sql: str, queries_sql: str, *, topk: int = 10) -> str:
+    """DuckDB mirror of ``bm25_topk`` — same tokenizer, same ln channel,
+    the verbatim ``BM25_TS`` score expression, row_number cast to INTEGER.
+    ``docs_sql`` yields (doc_id, text); ``queries_sql`` yields (qid,
+    qtext)."""
+    lnc = "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+    return f"""
+    WITH bmd AS ({docs_sql}),
+    bmt AS (
+      SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' '))
+             AS term
+      FROM bmd
+    ),
+    bmtf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM bmt WHERE term <> '' GROUP BY 1, 2
+    ),
+    bmdl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      FROM bmt WHERE term <> '' GROUP BY 1
+    ),
+    bmn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bmd),
+    bmavg AS (
+      SELECT CAST(sum(dl) AS DOUBLE) / bmn.n AS avgdl, bmn.n
+      FROM bmdl, bmn GROUP BY bmn.n
+    ),
+    bmdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bmtf GROUP BY 1),
+    bmq AS (
+      SELECT DISTINCT qid, term FROM (
+        SELECT qid, unnest(string_split(lower(coalesce(qtext, '')), ' '))
+               AS term
+        FROM ({queries_sql})
+      ) WHERE term <> ''
+    ),
+    bmidf AS (
+      SELECT q.qid, q.term, a.avgdl,
+             {lnc.format(x='a.n')} - {lnc.format(x='d.df')} AS idf_fp
+      FROM bmq q JOIN bmdf d USING (term), bmavg a
+    ),
+    bms AS (
+      SELECT i.qid, t.doc_id,
+             CAST(sum(CAST(floor({BM25_TS}) AS BIGINT)) AS BIGINT) AS score_fp
+      FROM bmidf i
+      JOIN bmtf t USING (term)
+      JOIN bmdl l ON t.doc_id = l.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT qid, rank, doc_id, score_fp FROM (
+      SELECT qid, doc_id, score_fp,
+             CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY score_fp DESC, doc_id ASC) AS INTEGER) AS rank
+      FROM bms
+    ) WHERE rank <= {topk}"""

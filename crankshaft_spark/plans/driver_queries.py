@@ -2035,13 +2035,24 @@ def o_simhash_pairs():
 TFIDF_K = 5
 
 
+#: BM25 arm: fixed query set over the documents vocabulary; qid rides the
+#: generic schema's `term` column, k=rank, v=score_fp.
+BM25_QUERIES = (("q1", "hash join merge"),
+                ("q2", "scan filter column vector"),
+                ("q3", "customer order line query"))
+BM25_TOPK = 10
+
+
 def q_fingerprints(spark, sf_dir):
-    """Two document-signature arms under a generic (arm, doc_id, k, v,
-    term) schema: winnowing fingerprints (k=pos, v=rolling-hash fp) and
-    late-r4 fixed-point tf-idf top-k salient terms (k=rank, v=score_fp,
-    term carries the token — integer ln channel, fully oracle-exact)."""
+    """Document-signature + retrieval arms under a generic (arm, doc_id,
+    k, v, term) schema: winnowing fingerprints (k=pos, v=rolling-hash
+    fp), late-r4 fixed-point tf-idf top-k salient terms (k=rank,
+    v=score_fp, term carries the token), and late-r4 BM25 retrieval
+    (k=rank, v=score_fp, term carries the query id — inverted-index
+    equi-join, per-term fixed-point floor so the doc score is an
+    order-free integer sum)."""
     from crankshaft_spark.operators.dedup import fingerprints
-    from crankshaft_spark.operators.text import tfidf_topk
+    from crankshaft_spark.operators.text import bm25_topk, tfidf_topk
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
     fp = fingerprints(docs).select(
@@ -2051,21 +2062,32 @@ def q_fingerprints(spark, sf_dir):
     tk = tfidf_topk(docs, k=TFIDF_K).select(
         F.lit("tfidf").alias("arm"), "doc_id",
         F.col("rank").alias("k"), F.col("score_fp").alias("v"), "term")
-    return fp.unionByName(tk)
+    qdf = spark.createDataFrame(list(BM25_QUERIES), "qid string, qtext string")
+    bm = bm25_topk(docs, qdf, topk=BM25_TOPK).select(
+        F.lit("bm25").alias("arm"), "doc_id",
+        F.col("rank").alias("k"), F.col("score_fp").alias("v"),
+        F.col("qid").alias("term"))
+    return fp.unionByName(tk).unionByName(bm)
 
 
 def o_fingerprints():
     from crankshaft_spark.operators.dedup import fingerprints_oracle_sql
-    from crankshaft_spark.operators.text import tfidf_oracle_sql
+    from crankshaft_spark.operators.text import (
+        bm25_oracle_sql, tfidf_oracle_sql)
 
     docs_sql = "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0"
+    qvals = ", ".join(f"({q!r}, {t!r})" for q, t in BM25_QUERIES)
+    queries_sql = f"SELECT qid, qtext FROM (VALUES {qvals}) bmqs(qid, qtext)"
     return f"""
     SELECT 'fp' AS arm, doc_id, pos AS k, fp AS v,
            CAST(NULL AS VARCHAR) AS term
     FROM ({fingerprints_oracle_sql(docs_sql)})
     UNION ALL
     SELECT 'tfidf' AS arm, doc_id, rank AS k, score_fp AS v, term
-    FROM ({tfidf_oracle_sql(docs_sql, k=TFIDF_K)})"""
+    FROM ({tfidf_oracle_sql(docs_sql, k=TFIDF_K)})
+    UNION ALL
+    SELECT 'bm25' AS arm, doc_id, rank AS k, score_fp AS v, qid AS term
+    FROM ({bm25_oracle_sql(docs_sql, queries_sql, topk=BM25_TOPK)})"""
 
 
 def q_ann_ivf(spark, sf_dir):

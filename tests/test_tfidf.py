@@ -62,3 +62,61 @@ def test_parallelism_invariance(spark):
     ]
     assert _run(spark, rows, k=4, parts=1) == _run(spark, rows, k=4,
                                                    parts=16)
+
+
+def test_bm25_matches_python_replay(spark):
+    import math
+
+    from crankshaft_spark.operators.text import bm25_topk
+
+    docs = [(1, "the cat sat on the mat"), (2, "the dog sat"),
+            (3, "cat cat cat dog"), (4, "a completely unrelated text"),
+            (5, None), (6, "dog dog the")]
+    qs = [("q1", "cat"), ("q2", "the dog"), ("q3", "missing cat"),
+          ("q4", "nothing matches here")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(qs, "qid string, qtext string")
+    got = [(r["qid"], r["rank"], r["doc_id"], r["score_fp"])
+           for r in bm25_topk(ddf, qdf, topk=3).orderBy("qid", "rank").collect()]
+
+    def lnfp(x):
+        return math.floor(math.log(float(x)) * 1e6 + 0.5)
+
+    toks = {d: (t or "").lower().split() for d, t in docs}
+    toks = {d: [w for w in ws if w] for d, ws in toks.items()}
+    n = len(docs)
+    dl = {d: len(ws) for d, ws in toks.items() if ws}
+    avgdl = sum(dl.values()) / n
+    df = {}
+    for ws in toks.values():
+        for t in set(ws):
+            df[t] = df.get(t, 0) + 1
+    want = []
+    for qid, qtext in qs:
+        scores = {}
+        for term in sorted(set(qtext.split())):
+            if term not in df:
+                continue
+            idf = lnfp(n) - lnfp(df[term])
+            for d, ws in toks.items():
+                tf = ws.count(term)
+                if not tf:
+                    continue
+                ts = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl[d]) / avgdl))
+                scores[d] = scores.get(d, 0) + math.floor(ts)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        want += [(qid, i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+    assert got == want
+
+
+def test_bm25_rewards_tf_and_penalizes_length(spark):
+    from crankshaft_spark.operators.text import bm25_topk
+
+    # same tf, shorter doc wins; higher tf wins at same length
+    # (doc 4 keeps df < N so idf = ln(N/df) is nonzero)
+    docs = [(1, "cat dog"), (2, "cat dog bird fish cow hen owl fox"),
+            (3, "cat cat"), (4, "owl fox")]
+    qdf = spark.createDataFrame([("q", "cat")], "qid string, qtext string")
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["rank"]: r["doc_id"] for r in bm25_topk(ddf, qdf, topk=3).collect()}
+    assert out[1] == 3 and out[2] == 1 and out[3] == 2
