@@ -1391,6 +1391,12 @@ def tile_clip(
     unrolled as MATERIALIZED CTE passes) matches value-for-value.
     """
     S = float(tile_size)
+    # ANSI Spark parses bare float literals as DECIMAL — explicit DOUBLE
+    # casts keep the tile bounds (and the fold) in double arithmetic on
+    # BOTH engines (same literals, same op order).
+    DS = f"CAST({S!r} AS DOUBLE)"
+    D180 = "CAST(180.0 AS DOUBLE)"
+    D90 = "CAST(90.0 AS DOUBLE)"
     mk2 = lambda x, y: f"named_struct('x', {x}, 'y', {y})"  # noqa: E731
     a1 = lambda a: f"array({a})"  # noqa: E731
     a2 = lambda a, b: f"array({a}, {b})"  # noqa: E731
@@ -1423,14 +1429,29 @@ def tile_clip(
                 f"sequence(int(floor((array_min({ys_col}) + 90.0) / {S!r})), "
                 f"int(floor((array_max({ys_col}) + 90.0) / {S!r})))")).alias("ty"),
         )
-        .withColumn("_x0", F.expr(f"tx * {S!r} - 180.0"))
-        .withColumn("_x1", F.expr(f"tx * {S!r} - 180.0 + {S!r}"))
-        .withColumn("_y0", F.expr(f"ty * {S!r} - 90.0"))
-        .withColumn("_y1", F.expr(f"ty * {S!r} - 90.0 + {S!r}"))
+        .withColumn("_x0", F.expr(f"tx * {DS} - {D180}"))
+        .withColumn("_x1", F.expr(f"tx * {DS} - {D180} + {DS}"))
+        .withColumn("_y0", F.expr(f"ty * {DS} - {D90}"))
+        .withColumn("_y1", F.expr(f"ty * {DS} - {D90} + {DS}"))
+    )
+    # two deliberate barriers (the with_hilbert lesson — HOFs evaluate
+    # interpreted and multi-reference filters re-inline them): the
+    # repartition fans the candidate explode out of a single-split scan
+    # BEFORE the fold runs, and the non-eager localCheckpoint fences
+    # predicate pushdown — without it the area>0 filter sinks below the
+    # exchange and inlines the fold ~9x into the serial scan stage
+    # (measured 2.6 s → 0.35 s at sf0.1).  The 3-int key keeps a tile's
+    # rows co-located for downstream per-tile consumers.
+    clipped = (
+        cand.repartition(
+            cand.sparkSession.sparkContext.defaultParallelism,
+            "poly_id", "tx", "ty")
+        .withColumn("ring", F.expr(fold))
+        .where(F.expr("size(ring) >= 3"))
+        .localCheckpoint(eager=False)
     )
     return (
-        cand.withColumn("ring", F.expr(fold))
-        .where(F.expr("size(ring) >= 3"))
+        clipped
         .withColumn("area", F.expr(f"abs(0.5 * (({s1}) - ({s2})))"))
         .where(F.expr("area > 0.0"))
         .select(
@@ -1451,6 +1472,9 @@ def tile_clip_oracle_sql(polys_sql: str, *, tile_size: float) -> str:
     list_sum shoelace.  ``polys_sql`` must yield (poly_id, xs DOUBLE[],
     ys DOUBLE[])."""
     S = float(tile_size)
+    DS = f"CAST({S!r} AS DOUBLE)"
+    D180 = "CAST(180.0 AS DOUBLE)"
+    D90 = "CAST(90.0 AS DOUBLE)"
     mk2 = lambda x, y: "{'x': " + x + ", 'y': " + y + "}"  # noqa: E731
     a1 = lambda a: f"[{a}]"  # noqa: E731
     a2 = lambda a, b: f"[{a}, {b}]"  # noqa: E731
@@ -1473,10 +1497,10 @@ def tile_clip_oracle_sql(polys_sql: str, *, tile_size: float) -> str:
     return f"""WITH tc_in AS ({polys_sql}),
     tc0 AS MATERIALIZED (
       SELECT poly_id, CAST(gx.tx AS INT) AS tx, CAST(gy.ty AS INT) AS ty,
-             gx.tx * {S!r} - 180.0 AS _x0,
-             gx.tx * {S!r} - 180.0 + {S!r} AS _x1,
-             gy.ty * {S!r} - 90.0 AS _y0,
-             gy.ty * {S!r} - 90.0 + {S!r} AS _y1,
+             gx.tx * {DS} - {D180} AS _x0,
+             gx.tx * {DS} - {D180} + {DS} AS _x1,
+             gy.ty * {DS} - {D90} AS _y0,
+             gy.ty * {DS} - {D90} + {DS} AS _y1,
              list_transform(xs, (v, i) -> {{'x': v, 'y': ys[i]}}) AS ring
       FROM tc_in,
            LATERAL unnest(range(CAST(floor((list_min(xs) + 180.0) / {S!r}) AS BIGINT),
