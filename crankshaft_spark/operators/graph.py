@@ -1,0 +1,173 @@
+"""Host link-graph analytics: integer fixed-point PageRank.
+
+The Common-Crawl-style corpus side of the engine (BASELINE.json
+input_hint) ranks hosts by link structure before sampling/filtering —
+the classic web-pipeline quality prior next to the per-document signals
+in operators/text.py.  The reference has no graph operators (its scope
+is the spatial PL/Python suite); this family extends the engine along
+the training-data-pipeline axis like dedup/ANN/BM25.
+
+Determinism contract: every rank is a BIGINT in fixed-point "mass
+units" (scale_total total mass), every per-edge contribution is a
+BIGINT floor division, and every per-node update sums BIGINTs — integer
+sums commute, so the result is bit-identical at any parallelism and
+replays exactly in DuckDB (unrolled MATERIALIZED passes; no float
+anywhere).  Rank mass leaks at dangling nodes (documented, like the
+classic power-iteration-with-drop formulation); the host_links builder
+never produces dangling hosts (every page emits HOST_LINKS_L links).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: links emitted per page; targets are a keyed affine walk over the other
+#: 63 host slots, so dst != src by construction and every host with >= 1
+#: page has out-degree >= 1 (no dangling mass).
+HOST_LINKS_L = 3
+HOST_MOD = 64
+
+
+def host_links(pages: DataFrame) -> DataFrame:
+    """(src, dst, w) host→host link counts derived closed-form from the
+    synthesized page table (pages: page_id, host_id): page p of host h
+    emits links to (h + 1 + ((p·7919 + j·104729) mod 63)) mod 64 for
+    j = 1..HOST_LINKS_L.  Pure BIGINT arithmetic — identical in
+    HOST_LINKS_SQL — aggregated by one map-side-combinable count."""
+    links = pages.select(
+        F.col("host_id").alias("src"),
+        F.explode(F.expr(
+            f"transform(sequence(1, {HOST_LINKS_L}), j -> "
+            f"(host_id + 1 + ((page_id * 7919 + j * 104729) % 63)) "
+            f"% {HOST_MOD})")).alias("dst"),
+    )
+    return links.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("w"))
+
+
+def host_links_sql(pages_sql: str) -> str:
+    """DuckDB mirror of ``host_links`` — same affine target walk, same
+    count aggregate.  ``pages_sql`` must yield (page_id, host_id)."""
+    return f"""
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+      SELECT host_id AS src,
+             (host_id + 1 + ((page_id * 7919 + j * 104729) % 63))
+               % {HOST_MOD} AS dst
+      FROM ({pages_sql}) hlp,
+           LATERAL unnest(range(1, {HOST_LINKS_L} + 1)) AS hlj(j)
+    ) GROUP BY src, dst"""
+
+
+def pagerank_fp(
+    edges: DataFrame,
+    *,
+    iters: int = 5,
+    scale_total: int = 10 ** 12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """(host, rank_fp) — damped PageRank over a weighted directed graph,
+    carried entirely in BIGINT fixed point:
+
+        r⁰(t)    = Q div n                         (Q = scale_total)
+        rᵏ⁺¹(t)  = base + (85 · Σ_{{h→t}} (rᵏ(h)·w(h,t)) div out(h)) div 100
+        base     = (15 · (Q div n)) div 100
+
+    Floor divisions make every step integer-exact; the per-target sum is
+    a BIGINT sum (order-free).  Nodes = src ∪ dst of the edge table;
+    dangling nodes (no out-edges) leak their mass, documented above.
+
+    Plan shape: the edge table with out-degree attached is computed once
+    and persisted; each round is one broadcast-rank join + groupBy(dst)
+    sum + left join back to the node table, localCheckpointed so the
+    plan stays constant-size across rounds (the round-3 plan-growth
+    lesson).  At cluster scale rounds shuffle on (dst) only; rank and
+    node tables are one row per host.
+    """
+    if iters < 0:
+        raise ValueError(f"pagerank_fp: iters must be >= 0, got {iters}")
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    out = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ew = edges.join(out, "src").persist()
+    n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    consts = n1.select(
+        "_n",
+        F.expr(f"{scale_total} div _n").alias("_r0"),
+        F.expr(f"({damp_den - damp_num} * ({scale_total} div _n)) "
+               f"div {damp_den}").alias("_base"),
+    )
+    r = nodes.join(F.broadcast(consts)).select(
+        "host", F.col("_r0").alias("rank_fp"), "_base").localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            ew.join(r.select(F.col("host").alias("src"), "rank_fp"), "src")
+            .select(
+                F.col("dst").alias("host"),
+                F.expr("(rank_fp * w) div out_w").alias("_c"))
+        )
+        sums = contrib.groupBy("host").agg(F.sum("_c").alias("_s"))
+        r = (
+            r.select("host", "_base").join(sums, "host", "left")
+            .select(
+                "host",
+                F.expr(f"_base + ({damp_num} * coalesce(_s, 0)) "
+                       f"div {damp_den}").alias("rank_fp"),
+                "_base")
+        ).localCheckpoint()
+    out_df = r.select("host", "rank_fp")
+    ew.unpersist()
+    return out_df
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    *,
+    iters: int = 5,
+    scale_total: int = 10 ** 12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> str:
+    """DuckDB mirror of ``pagerank_fp`` — the driver loop unrolled as one
+    MATERIALIZED CTE per round (level-synchronous replay; DuckDB's
+    HUGEINT sums are cast back to BIGINT after the div, matching Spark's
+    BIGINT algebra exactly).  ``edges_sql`` must yield (src, dst,
+    w BIGINT)."""
+    base = f"({damp_den - damp_num} * ({scale_total} // prn.n)) // {damp_den}"
+    passes = []
+    prev = "pr0"
+    for k in range(1, iters + 1):
+        passes.append(f"""pr{k} AS MATERIALIZED (
+      SELECT p.host,
+             CAST(p.base + ({damp_num} * coalesce(s.s, 0)) // {damp_den}
+                  AS BIGINT) AS rank_fp,
+             p.base
+      FROM {prev} p LEFT JOIN (
+        SELECT e.dst AS host,
+               CAST(sum((r.rank_fp * e.w) // e.out_w) AS BIGINT) AS s
+        FROM prew e JOIN {prev} r ON e.src = r.host
+        GROUP BY e.dst
+      ) s ON p.host = s.host
+    )""")
+        prev = f"pr{k}"
+    joined = ",\n    ".join(passes)
+    sep = "," if passes else ""
+    return f"""WITH pre AS ({edges_sql}),
+    prout AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w
+              FROM pre GROUP BY src),
+    prew AS MATERIALIZED (SELECT pre.src, pre.dst, pre.w, prout.out_w
+                          FROM pre JOIN prout USING (src)),
+    prnodes AS (SELECT DISTINCT src AS host FROM pre
+                UNION SELECT DISTINCT dst AS host FROM pre),
+    prn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM prnodes),
+    pr0 AS MATERIALIZED (
+      SELECT host, CAST({scale_total} // prn.n AS BIGINT) AS rank_fp,
+             CAST({base} AS BIGINT) AS base
+      FROM prnodes, prn
+    ){sep}
+    {joined}
+    SELECT host, rank_fp FROM {prev}"""

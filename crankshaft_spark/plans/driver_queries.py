@@ -867,6 +867,7 @@ def q_page_extract(spark, sf_dir):
     oracle covers both arms — any framing/compression/parse defect breaks
     the value hash.
     """
+    from crankshaft_spark.operators.graph import host_links, pagerank_fp
     from crankshaft_spark.sources.warc import warc_roundtrip_pages
     from crankshaft_spark.sources.webpages import extract_text, synth_webpages
 
@@ -881,15 +882,36 @@ def q_page_extract(spark, sf_dir):
         "page_id", "url", F.col("extracted_text").alias("text"),
         F.lit("warc").alias("src"),
     )
-    return html_arm.unionByName(warc_arm)
+    # late r4: host-graph PageRank arm — the link-structure quality prior
+    # over the closed-form host link graph; rank is BIGINT fixed point, so
+    # the string projection is integer-exact (page_id carries the host id)
+    pr = pagerank_fp(host_links(pages), iters=PAGERANK_ITERS).select(
+        F.col("host").alias("page_id"),
+        F.concat(F.lit("host"), F.col("host").cast("string")).alias("url"),
+        F.col("rank_fp").cast("string").alias("text"),
+        F.lit("pagerank").alias("src"),
+    )
+    return html_arm.unionByName(warc_arm).unionByName(pr)
+
+
+PAGERANK_ITERS = 5
 
 
 def o_page_extract():
+    from crankshaft_spark.operators.graph import (
+        host_links_sql, pagerank_oracle_sql)
     from crankshaft_spark.sources.webpages import WEBPAGES_SQL
 
+    pr = pagerank_oracle_sql(
+        host_links_sql(f"SELECT page_id, host_id FROM ({WEBPAGES_SQL})"),
+        iters=PAGERANK_ITERS)
     return f"""SELECT page_id, url, text, 'html' AS src FROM ({WEBPAGES_SQL})
     UNION ALL
-    SELECT page_id, url, text, 'warc' AS src FROM ({WEBPAGES_SQL})"""
+    SELECT page_id, url, text, 'warc' AS src FROM ({WEBPAGES_SQL})
+    UNION ALL
+    SELECT host AS page_id, 'host' || CAST(host AS VARCHAR) AS url,
+           CAST(rank_fp AS VARCHAR) AS text, 'pagerank' AS src
+    FROM ({pr})"""
 
 
 def q_pip_assign(spark, sf_dir):

@@ -1,0 +1,75 @@
+"""Host-graph PageRank: Python fixed-point replay, dangling-mass policy,
+parallelism invariance, and the host_links no-dangling guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crankshaft_spark.operators.graph import (
+    HOST_LINKS_L, host_links, pagerank_fp)
+
+EDGES = [(0, 1, 2), (1, 2, 1), (2, 0, 1), (2, 3, 3), (3, 0, 1),
+         (5, 0, 4), (1, 4, 1)]  # node 4 is dangling
+
+
+def _py_pagerank(edges, iters, q=10 ** 12):
+    nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+    n = len(nodes)
+    out = {}
+    for a, _, w in edges:
+        out[a] = out.get(a, 0) + w
+    r = {h: q // n for h in nodes}
+    base = (15 * (q // n)) // 100
+    for _ in range(iters):
+        s = {h: 0 for h in nodes}
+        for a, b, w in edges:
+            s[b] += (r[a] * w) // out[a]
+        r = {h: base + (85 * s[h]) // 100 for h in nodes}
+    return r
+
+
+def test_pagerank_matches_python_replay(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long, w long")
+    got = {r["host"]: r["rank_fp"] for r in pagerank_fp(df, iters=5).collect()}
+    assert got == _py_pagerank(EDGES, 5)
+    # in-link-heavy node 0 outranks everything; the dangling node keeps
+    # only what flows in (its mass leaks, per the documented policy)
+    assert got[0] == max(got.values())
+
+
+def test_pagerank_zero_iters_is_uniform(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long, w long")
+    got = {r["host"]: r["rank_fp"] for r in pagerank_fp(df, iters=0).collect()}
+    assert set(got.values()) == {10 ** 12 // 6}
+
+
+def test_pagerank_parallelism_invariance(spark):
+    edges = [((i * 13) % 37, (i * 29 + 7) % 37, 1 + i % 3)
+             for i in range(300)]
+    edges = [e for e in edges if e[0] != e[1]]
+    a = pagerank_fp(
+        spark.createDataFrame(edges, "src long, dst long, w long")
+        .repartition(1), iters=4)
+    b = pagerank_fp(
+        spark.createDataFrame(edges, "src long, dst long, w long")
+        .repartition(16), iters=4)
+    ra = {r["host"]: r["rank_fp"] for r in a.collect()}
+    rb = {r["host"]: r["rank_fp"] for r in b.collect()}
+    assert ra == rb  # BIGINT sums commute — bit-identical at any layout
+
+
+def test_host_links_never_dangling_and_no_self_loops(spark):
+    pages = spark.createDataFrame(
+        [(i, (i * 7) % 64) for i in range(500)], "page_id long, host_id long")
+    links = host_links(pages)
+    rows = links.collect()
+    assert all(r["src"] != r["dst"] for r in rows)
+    # every host with >= 1 page has out-degree >= 1 and exactly L links/page
+    out = links.groupBy("src").agg(F.sum("w").alias("o")).collect()
+    per_host_pages = {h: 0 for h in range(64)}
+    for i in range(500):
+        per_host_pages[(i * 7) % 64] += 1
+    got = {r["src"]: r["o"] for r in out}
+    for h, c in per_host_pages.items():
+        if c:
+            assert got[h] == HOST_LINKS_L * c
