@@ -13,8 +13,16 @@ BIGINT floor division, and every per-node update sums BIGINTs — integer
 sums commute, so the result is bit-identical at any parallelism and
 replays exactly in DuckDB (unrolled MATERIALIZED passes; no float
 anywhere).  Rank mass leaks at dangling nodes (documented, like the
-classic power-iteration-with-drop formulation); the host_links builder
-never produces dangling hosts (every page emits HOST_LINKS_L links).
+classic power-iteration-with-drop formulation); host_links gives every
+host WITH PAGES out-degree >= HOST_LINKS_L, but a pageless host slot
+that appears only as a link target still enters the node set dangling.
+
+Overflow domain: the per-edge contribution uses the exact split
+  floor(r·w/o) = (r div o)·w + ((r mod o)·w) div o
+so no intermediate exceeds max(r, o·w) ≈ max(scale_total, out_deg²) —
+safe in BIGINT for out-degrees up to ~3·10⁹ links (vs the naive r·w
+product, which overflows ANSI Spark already at ~10⁶ links/host with the
+default scale).
 """
 
 from __future__ import annotations
@@ -24,9 +32,18 @@ from pyspark.sql import functions as F
 
 #: links emitted per page; targets are a keyed affine walk over the other
 #: 63 host slots, so dst != src by construction and every host with >= 1
-#: page has out-degree >= 1 (no dangling mass).
+#: page has out-degree >= 1.
 HOST_LINKS_L = 3
 HOST_MOD = 64
+
+
+def _contrib(div: str) -> str:
+    """The overflow-safe per-edge contribution floor(rank·w/out) as the
+    exact split form (ONE builder for both engines — ``div`` is Spark's
+    ``div`` or DuckDB's ``//``; semantics identical for the non-negative
+    operands here)."""
+    return (f"(rank_fp {div} out_w) * w "
+            f"+ ((rank_fp % out_w) * w) {div} out_w")
 
 
 def host_links(pages: DataFrame) -> DataFrame:
@@ -108,7 +125,7 @@ def pagerank_fp(
             ew.join(r.select(F.col("host").alias("src"), "rank_fp"), "src")
             .select(
                 F.col("dst").alias("host"),
-                F.expr("(rank_fp * w) div out_w").alias("_c"))
+                F.expr(_contrib("div")).alias("_c"))
         )
         sums = contrib.groupBy("host").agg(F.sum("_c").alias("_s"))
         r = (
@@ -147,21 +164,21 @@ def pagerank_oracle_sql(
                   AS BIGINT) AS rank_fp,
              p.base
       FROM {prev} p LEFT JOIN (
-        SELECT e.dst AS host,
-               CAST(sum((r.rank_fp * e.w) // e.out_w) AS BIGINT) AS s
-        FROM prew e JOIN {prev} r ON e.src = r.host
-        GROUP BY e.dst
+        SELECT dst AS host, CAST(sum({_contrib('//')}) AS BIGINT) AS s
+        FROM (SELECT e.dst, e.w, e.out_w, r.rank_fp
+              FROM prew e JOIN {prev} r ON e.src = r.host)
+        GROUP BY dst
       ) s ON p.host = s.host
     )""")
         prev = f"pr{k}"
     joined = ",\n    ".join(passes)
     sep = "," if passes else ""
-    return f"""WITH pre AS ({edges_sql}),
+    return f"""WITH pre AS MATERIALIZED ({edges_sql}),
     prout AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w
               FROM pre GROUP BY src),
     prew AS MATERIALIZED (SELECT pre.src, pre.dst, pre.w, prout.out_w
                           FROM pre JOIN prout USING (src)),
-    prnodes AS (SELECT DISTINCT src AS host FROM pre
+    prnodes AS MATERIALIZED (SELECT DISTINCT src AS host FROM pre
                 UNION SELECT DISTINCT dst AS host FROM pre),
     prn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM prnodes),
     pr0 AS MATERIALIZED (

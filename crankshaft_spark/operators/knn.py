@@ -64,14 +64,15 @@ def _ring_guarantee2(ring: int, cell_size: float, grid: str) -> float:
     return float(g) ** 2
 
 
-def _topk_for(
-    left: DataFrame, pts: DataFrame, k: int, ring: int, cell_size: float,
-    exclude_self: bool, grid: str = "rect",
+def _candidate_pairs(
+    left: DataFrame, pts: DataFrame, ring: int, exclude_self: bool,
+    grid: str = "rect",
 ) -> DataFrame:
-    """Top-k candidates for `left` points against `pts` within `ring` cells.
-
-    Returns (id, x, y, nbr, d2, rank, knn_cnt, knn_maxd2).
-    """
+    """(id, nbr, d2) candidate pairs: `left` exploded to its ring-`ring`
+    cell block (rect) or hex k-ring, equi-joined to `pts` keyed by home
+    cell, exact planar d² attached.  The ONE cell-join candidate kernel
+    shared by the kNN loop and within_distance (the shared-builder rule —
+    a tuned join shape must not diverge between the two)."""
     ring_arr = (hex_ring_expr(F.col("cell"), ring) if grid == "hex"
                 else ring_cells_expr(F.col("cell"), ring))
     lhs = left.select(
@@ -87,12 +88,21 @@ def _topk_for(
     cand = lhs.join(rhs, "cell")
     if exclude_self:
         cand = cand.where(F.col("id") != F.col("nbr"))
-    cand = (
-        cand.select(
-            "id", "x", "y", "nbr",
-            planar_dist2(F.col("x"), F.col("y"), F.col("nx"), F.col("ny")).alias("d2"),
-        )
+    return cand.select(
+        "id", "nbr",
+        planar_dist2(F.col("x"), F.col("y"), F.col("nx"), F.col("ny")).alias("d2"),
     )
+
+
+def _topk_for(
+    left: DataFrame, pts: DataFrame, k: int, ring: int, cell_size: float,
+    exclude_self: bool, grid: str = "rect",
+) -> DataFrame:
+    """Top-k candidates for `left` points against `pts` within `ring` cells.
+
+    Returns (id, nbr, d2, rank, knn_cnt, knn_maxd2).
+    """
+    cand = _candidate_pairs(left, pts, ring, exclude_self, grid)
     w = Window.partitionBy("id").orderBy(F.col("d2").asc(), F.col("nbr").asc())
     topk = (
         cand.withColumn("rank", F.row_number().over(w))
@@ -202,18 +212,8 @@ def within_distance(
             f"within_distance: cell_size {size} < radius {radius} breaks "
             "the ring-1 completeness guarantee")
     pts = _norm_points(df, id_col, x, y, size)
-    lhs = pts.select(
-        "id", "x", "y", F.explode(ring_cells_expr(F.col("cell"), 1)).alias("cell"))
-    rhs = pts.select(
-        F.col("id").alias("nbr"), F.col("x").alias("nx"),
-        F.col("y").alias("ny"), "cell")
-    d2 = planar_dist2(F.col("x"), F.col("y"), F.col("nx"), F.col("ny"))
-    pairs = (
-        lhs.join(rhs, "cell")
-        .where(F.col("id") != F.col("nbr"))
-        .select("id", "nbr", d2.alias("d2"))
-        .where(F.col("d2") <= F.lit(float(radius) * float(radius)))
-    )
+    pairs = _candidate_pairs(pts, pts, 1, True).where(
+        F.col("d2") <= F.lit(float(radius) * float(radius)))
     w = Window.partitionBy("id").orderBy(F.col("d2").asc(), F.col("nbr").asc())
     return pairs.withColumn("rank", F.row_number().over(w))
 

@@ -1472,8 +1472,13 @@ def bm25_topk(
                 F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
                         " ")).alias("term"))
         .where(F.col("term") != ""))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # tf feeds df_t AND cand, and dl (derived from tf, not a second
+    # corpus scan) feeds avg AND cand — the lazy checkpoint pins the
+    # corpus tokenize+aggregate to ONE execution per action (the
+    # lm_score multi-consumer lesson)
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     n = docs.agg(F.count(F.lit(1)).alias("_n"))
     avg = (
         dl.agg(F.sum("dl").alias("_tl")).join(F.broadcast(n))
@@ -1513,19 +1518,19 @@ def bm25_oracle_sql(docs_sql: str, queries_sql: str, *, topk: int = 10) -> str:
     qtext)."""
     lnc = "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
     return f"""
-    WITH bmd AS ({docs_sql}),
+    WITH bmd AS MATERIALIZED ({docs_sql}),
     bmt AS (
       SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' '))
              AS term
       FROM bmd
     ),
-    bmtf AS (
+    bmtf AS MATERIALIZED (
       SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
       FROM bmt WHERE term <> '' GROUP BY 1, 2
     ),
     bmdl AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-      FROM bmt WHERE term <> '' GROUP BY 1
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      FROM bmtf GROUP BY 1
     ),
     bmn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bmd),
     bmavg AS (
