@@ -46,31 +46,32 @@ def _contrib(div: str) -> str:
             f"+ ((rank_fp % out_w) * w) {div} out_w")
 
 
-def host_links(pages: DataFrame) -> DataFrame:
+def host_links(pages: DataFrame, *, n_hosts: int = HOST_MOD) -> DataFrame:
     """(src, dst, w) host→host link counts derived closed-form from the
     synthesized page table (pages: page_id, host_id): page p of host h
-    emits links to (h + 1 + ((p·7919 + j·104729) mod 63)) mod 64 for
-    j = 1..HOST_LINKS_L.  Pure BIGINT arithmetic — identical in
-    HOST_LINKS_SQL — aggregated by one map-side-combinable count."""
+    emits links to (h + 1 + ((p·7919 + j·104729) mod (n_hosts−1)))
+    mod n_hosts for j = 1..HOST_LINKS_L.  Pure BIGINT arithmetic —
+    identical in host_links_sql — aggregated by one map-side-combinable
+    count."""
     links = pages.select(
         F.col("host_id").alias("src"),
         F.explode(F.expr(
             f"transform(sequence(1, {HOST_LINKS_L}), j -> "
-            f"(host_id + 1 + ((page_id * 7919 + j * 104729) % 63)) "
-            f"% {HOST_MOD})")).alias("dst"),
+            f"(host_id + 1 + ((page_id * 7919 + j * 104729) "
+            f"% {n_hosts - 1})) % {n_hosts})")).alias("dst"),
     )
     return links.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("long").alias("w"))
 
 
-def host_links_sql(pages_sql: str) -> str:
+def host_links_sql(pages_sql: str, *, n_hosts: int = HOST_MOD) -> str:
     """DuckDB mirror of ``host_links`` — same affine target walk, same
     count aggregate.  ``pages_sql`` must yield (page_id, host_id)."""
     return f"""
     SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
       SELECT host_id AS src,
-             (host_id + 1 + ((page_id * 7919 + j * 104729) % 63))
-               % {HOST_MOD} AS dst
+             (host_id + 1 + ((page_id * 7919 + j * 104729)
+               % {n_hosts - 1})) % {n_hosts} AS dst
       FROM ({pages_sql}) hlp,
            LATERAL unnest(range(1, {HOST_LINKS_L} + 1)) AS hlj(j)
     ) GROUP BY src, dst"""

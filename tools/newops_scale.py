@@ -32,7 +32,19 @@ component diameter — a 50-minute 2-core wall that measures a workload
 nobody runs.  Density, not row count, is dbscan's scale axis: hold
 pts/cell fixed when varying rows.
 
-Usage: python tools/newops_scale.py [op kde|dbscan] [N] [rows]
+Late-r4 ops (same protocol):
+  dwithin: radius-5 pairs at sub-critical density (the dbscan frame) —
+    the join+window shape under test, rank determinism asserted by sig.
+  tileclip: hashed triangles (legs up to 40 units) cut into a 100-unit
+    tile grid — the interpreted S-H fold is the per-row cost driver;
+    sig hashes the exact-double areas (bit-identity across layouts).
+  pagerank: 65536-host link graph from hashed page->host assignment,
+    host_links(n_hosts=65536) + 5 fixed-point rounds — per-round
+    shuffle O(edges); BIGINT ranks hash exactly.
+  bm25: hashed 20-token docs over a 1000-term vocabulary, 5 fixed
+    queries — inverted-index join + per-query top-k at corpus scale.
+
+Usage: python tools/newops_scale.py [op kde|dbscan|dwithin|tileclip|pagerank|bm25] [N] [rows]
 Prints one JSON line — record into BASELINE.md §4.
 """
 
@@ -58,7 +70,53 @@ pts = spark.range(1, rows + 1).select(
     F.pmod(F.xxhash64("id"), F.lit(W)).cast("double").alias("x"),
     F.pmod(F.xxhash64("id", F.lit(1)), F.lit(H)).cast("double").alias("y"))
 t0 = time.time()
-if op == "kde":
+if op == "dwithin":
+    from crankshaft_spark.operators.knn import within_distance
+    res = within_distance(pts, 5.0)
+    agg = res.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("id", "nbr", "rank", "d2")).alias("sig"),
+    ).collect()[0]
+elif op == "tileclip":
+    from crankshaft_spark.operators.geometry import tile_clip
+    tris = pts.select(
+        F.col("id").alias("poly_id"),
+        F.array(F.col("x"), F.col("x")
+                + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(40)).cast("double")
+                + 1.0, F.col("x") + 7.0).alias("xs"),
+        F.array(F.col("y"), F.col("y"), F.col("y")
+                + F.pmod(F.xxhash64("id", F.lit(3)), F.lit(40)).cast("double")
+                + 1.0).alias("ys"))
+    res = tile_clip(tris, tile_size=100.0)
+    agg = res.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("poly_id", "tx", "ty", "nvert", "area")).alias("sig"),
+    ).collect()[0]
+elif op == "pagerank":
+    from crankshaft_spark.operators.graph import host_links, pagerank_fp
+    pages = spark.range(1, rows + 1).select(
+        F.col("id").alias("page_id"),
+        F.pmod(F.xxhash64("id", F.lit(4)), F.lit(65536)).alias("host_id"))
+    res = pagerank_fp(host_links(pages, n_hosts=65536), iters=5)
+    agg = res.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("host", "rank_fp")).alias("sig"),
+    ).collect()[0]
+elif op == "bm25":
+    from crankshaft_spark.operators.text import bm25_topk
+    docs = spark.range(1, rows + 1).select(
+        F.col("id").alias("doc_id"),
+        F.expr("array_join(transform(sequence(1, 20), j -> "
+               "concat('t', pmod(xxhash64(id, j), 1000))), ' ')").alias("text"))
+    queries = spark.createDataFrame(
+        [(f"q{i}", " ".join(f"t{(i * 97 + j * 131) % 1000}" for j in range(4)))
+         for i in range(5)], "qid string, qtext string")
+    res = bm25_topk(docs, queries, topk=20)
+    agg = res.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("qid", "rank", "doc_id", "score_fp")).alias("sig"),
+    ).collect()[0]
+elif op == "kde":
     from crankshaft_spark.operators.grid import kde_grid
     res = kde_grid(pts, cell_size=10.0, bandwidth=10.0)
     agg = res.agg(
