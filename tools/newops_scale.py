@@ -4,8 +4,12 @@ N vs 4N cores.
 Evidences the north rule's two-cluster-size criterion on the round-4
 surface additions, same protocol as tools/simscale.py: closed-form
 synthetic points from spark.range (the row count is the variable under
-test), ONE timed run per core count (minutes-scale runtimes amortize the
-per-JVM warmup constant), output digest computed DISTRIBUTED (bit_xor of
+test), one FULL-SIZE UNTIMED WARMUP then one timed run per core count
+(first measurement of the late-r4 fast ops showed the ~15-20 s per-JVM
+cold constant — codegen JIT + shuffle infra — eating the ratio: dwithin
+47.7 s cold vs 15 s warm on the same input; the round-2 warmup lesson
+applies to every op whose timed run is under ~2 min), output digest
+computed DISTRIBUTED (bit_xor of
 xxhash64 over exact-integer output columns — collecting 10M rows to the
 driver would violate the point), rows-identical asserted across the two
 parallelism levels.
@@ -69,14 +73,18 @@ pts = spark.range(1, rows + 1).select(
     F.col("id"),
     F.pmod(F.xxhash64("id"), F.lit(W)).cast("double").alias("x"),
     F.pmod(F.xxhash64("id", F.lit(1)), F.lit(H)).cast("double").alias("y"))
-t0 = time.time()
+def measure():
+    t0 = time.time()
+    agg = build()
+    return agg, time.time() - t0
+
 if op == "dwithin":
     from crankshaft_spark.operators.knn import within_distance
-    res = within_distance(pts, 5.0)
-    agg = res.agg(
-        F.count("*").alias("n"),
-        F.bit_xor(F.xxhash64("id", "nbr", "rank", "d2")).alias("sig"),
-    ).collect()[0]
+    def build():
+        return within_distance(pts, 5.0).agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("id", "nbr", "rank", "d2")).alias("sig"),
+        ).collect()[0]
 elif op == "tileclip":
     from crankshaft_spark.operators.geometry import tile_clip
     tris = pts.select(
@@ -87,21 +95,21 @@ elif op == "tileclip":
         F.array(F.col("y"), F.col("y"), F.col("y")
                 + F.pmod(F.xxhash64("id", F.lit(3)), F.lit(40)).cast("double")
                 + 1.0).alias("ys"))
-    res = tile_clip(tris, tile_size=100.0)
-    agg = res.agg(
-        F.count("*").alias("n"),
-        F.bit_xor(F.xxhash64("poly_id", "tx", "ty", "nvert", "area")).alias("sig"),
-    ).collect()[0]
+    def build():
+        return tile_clip(tris, tile_size=100.0).agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("poly_id", "tx", "ty", "nvert", "area")).alias("sig"),
+        ).collect()[0]
 elif op == "pagerank":
     from crankshaft_spark.operators.graph import host_links, pagerank_fp
     pages = spark.range(1, rows + 1).select(
         F.col("id").alias("page_id"),
         F.pmod(F.xxhash64("id", F.lit(4)), F.lit(65536)).alias("host_id"))
-    res = pagerank_fp(host_links(pages, n_hosts=65536), iters=5)
-    agg = res.agg(
-        F.count("*").alias("n"),
-        F.bit_xor(F.xxhash64("host", "rank_fp")).alias("sig"),
-    ).collect()[0]
+    def build():
+        return pagerank_fp(host_links(pages, n_hosts=65536), iters=5).agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("host", "rank_fp")).alias("sig"),
+        ).collect()[0]
 elif op == "bm25":
     from crankshaft_spark.operators.text import bm25_topk
     docs = spark.range(1, rows + 1).select(
@@ -111,27 +119,29 @@ elif op == "bm25":
     queries = spark.createDataFrame(
         [(f"q{i}", " ".join(f"t{(i * 97 + j * 131) % 1000}" for j in range(4)))
          for i in range(5)], "qid string, qtext string")
-    res = bm25_topk(docs, queries, topk=20)
-    agg = res.agg(
-        F.count("*").alias("n"),
-        F.bit_xor(F.xxhash64("qid", "rank", "doc_id", "score_fp")).alias("sig"),
-    ).collect()[0]
+    def build():
+        return bm25_topk(docs, queries, topk=20).agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("qid", "rank", "doc_id", "score_fp")).alias("sig"),
+        ).collect()[0]
 elif op == "kde":
     from crankshaft_spark.operators.grid import kde_grid
-    res = kde_grid(pts, cell_size=10.0, bandwidth=10.0)
-    agg = res.agg(
-        F.count("*").alias("n"),
-        F.bit_xor(F.xxhash64("cell", "n_pts", "kde_fp")).alias("sig"),
-    ).collect()[0]
+    def build():
+        return kde_grid(pts, cell_size=10.0, bandwidth=10.0).agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("cell", "n_pts", "kde_fp")).alias("sig"),
+        ).collect()[0]
 else:
     from crankshaft_spark.operators.dbscan import dbscan
-    res = dbscan(pts, eps=10.0, min_pts=3)
-    agg = res.agg(
-        F.count("*").alias("n"),
-        F.bit_xor(F.xxhash64("id", F.coalesce("cluster", F.lit(-1)),
-                             "role")).alias("sig"),
-    ).collect()[0]
-dt = time.time() - t0
+    def build():
+        return dbscan(pts, eps=10.0, min_pts=3).agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("id", F.coalesce("cluster", F.lit(-1)),
+                                 "role")).alias("sig"),
+        ).collect()[0]
+warm = build()  # full-size untimed warmup (JIT + shuffle infra)
+agg, dt = measure()
+assert (warm["n"], warm["sig"]) == (agg["n"], agg["sig"])
 print(json.dumps({"cpus": cpus, "rows": rows, "sec": round(dt, 1),
                   "rows_per_sec": round(rows / dt),
                   "n_out": agg["n"], "sig": agg["sig"]}))
