@@ -189,3 +189,126 @@ def pagerank_oracle_sql(
     ){sep}
     {joined}
     SELECT host, rank_fp FROM {prev}"""
+
+
+def hits_fp(
+    edges: DataFrame,
+    *,
+    iters: int = 5,
+    scale: int = 10 ** 6,
+) -> DataFrame:
+    """(host, auth_fp, hub_fp) — Kleinberg HITS over a weighted directed
+    graph in BIGINT fixed point, the link-analysis companion to
+    pagerank_fp (hubs = pages that point at good authorities;
+    authorities = pages good hubs point at):
+
+        aᵏ(t) = Σ_{h→t} hᵏ⁻¹(h)·w    then max-normalized to ``scale``
+        hᵏ(h) = Σ_{h→t} aᵏ(t)·w      then max-normalized to ``scale``
+
+    Normalization is (x·scale) div max(x) — integer max and floor
+    division are order-free, so results are bit-identical at any
+    parallelism and replay exactly in DuckDB (hits_oracle_sql).  Nodes
+    with no in-edges get authority 0; no out-edges → hub 0 (the
+    standard convention).  Overflow domain: Σ h·w per node must stay
+    under 2⁶³/scale — with scale 10⁶ that allows ~9·10¹¹ weighted
+    in-links per node, far beyond any host graph.
+
+    Plan shape per round: two (src|dst)-keyed joins + two groupBy sums
+    + two broadcast one-row maxes, localCheckpointed — constant plan,
+    shuffle O(edges).
+    """
+    if iters < 0:
+        raise ValueError(f"hits_fp: iters must be >= 0, got {iters}")
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    e = edges.persist()
+    r = nodes.select(
+        "host", F.lit(scale).cast("long").alias("auth_fp"),
+        F.lit(scale).cast("long").alias("hub_fp")).localCheckpoint()
+
+    def norm(df: DataFrame, col: str) -> DataFrame:
+        mx = df.agg(F.max(col).alias("_mx"))
+        return df.join(F.broadcast(mx)).select(
+            "host",
+            F.expr(f"CASE WHEN _mx > 0 THEN ({col} * {scale}) div _mx "
+                   f"ELSE {col} END").alias(col))
+
+    for _ in range(iters):
+        a = (
+            e.join(r.select(F.col("host").alias("src"), "hub_fp"), "src")
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum(F.expr("hub_fp * w")).alias("auth_fp")))
+        a = nodes.join(a, "host", "left").na.fill({"auth_fp": 0})
+        a = norm(a, "auth_fp")
+        h = (
+            e.join(a.select(F.col("host").alias("dst"), "auth_fp"), "dst")
+            .groupBy(F.col("src").alias("host"))
+            .agg(F.sum(F.expr("auth_fp * w")).alias("hub_fp")))
+        h = nodes.join(h, "host", "left").na.fill({"hub_fp": 0})
+        h = norm(h, "hub_fp")
+        r = a.join(h, "host").localCheckpoint()
+    out = r.select("host", "auth_fp", "hub_fp")
+    e.unpersist()
+    return out
+
+
+def hits_oracle_sql(
+    edges_sql: str,
+    *,
+    iters: int = 5,
+    scale: int = 10 ** 6,
+) -> str:
+    """DuckDB mirror of ``hits_fp`` — one MATERIALIZED CTE per half-round
+    (authority then hub), HUGEINT sums cast back to BIGINT, the same
+    (x·scale) // max normalization.  ``edges_sql`` must yield (src, dst,
+    w BIGINT)."""
+    passes = []
+    prev = "ht0"
+    for k in range(1, iters + 1):
+        passes.append(f"""hta{k} AS MATERIALIZED (
+      SELECT n.host,
+             CAST(coalesce(s.a, 0) AS BIGINT) AS auth_fp
+      FROM htnodes n LEFT JOIN (
+        SELECT e.dst AS host, CAST(sum(r.hub_fp * e.w) AS BIGINT) AS a
+        FROM hte e JOIN {prev} r ON e.src = r.host
+        GROUP BY e.dst
+      ) s ON n.host = s.host
+    ),
+    htan{k} AS MATERIALIZED (
+      SELECT host,
+             CASE WHEN m.mx > 0 THEN (auth_fp * {scale}) // m.mx
+                  ELSE auth_fp END AS auth_fp
+      FROM hta{k}, (SELECT max(auth_fp) AS mx FROM hta{k}) m
+    ),
+    hth{k} AS MATERIALIZED (
+      SELECT n.host,
+             CAST(coalesce(s.h, 0) AS BIGINT) AS hub_fp
+      FROM htnodes n LEFT JOIN (
+        SELECT e.src AS host, CAST(sum(a.auth_fp * e.w) AS BIGINT) AS h
+        FROM hte e JOIN htan{k} a ON e.dst = a.host
+        GROUP BY e.src
+      ) s ON n.host = s.host
+    ),
+    ht{k} AS MATERIALIZED (
+      SELECT a.host, a.auth_fp,
+             CAST(CASE WHEN m.mx > 0 THEN (h.hub_fp * {scale}) // m.mx
+                  ELSE h.hub_fp END AS BIGINT) AS hub_fp
+      FROM htan{k} a JOIN hth{k} h ON a.host = h.host,
+           (SELECT max(hub_fp) AS mx FROM hth{k}) m
+    )""")
+        prev = f"ht{k}"
+    joined = ",\n    ".join(passes)
+    sep = "," if passes else ""
+    return f"""WITH hte AS MATERIALIZED ({edges_sql}),
+    htnodes AS MATERIALIZED (SELECT DISTINCT src AS host FROM hte
+                UNION SELECT DISTINCT dst AS host FROM hte),
+    ht0 AS MATERIALIZED (
+      SELECT host, CAST({scale} AS BIGINT) AS auth_fp,
+             CAST({scale} AS BIGINT) AS hub_fp
+      FROM htnodes
+    ){sep}
+    {joined}
+    SELECT host, auth_fp, hub_fp FROM {prev}"""

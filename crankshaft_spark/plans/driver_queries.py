@@ -882,16 +882,26 @@ def q_page_extract(spark, sf_dir):
         "page_id", "url", F.col("extracted_text").alias("text"),
         F.lit("warc").alias("src"),
     )
-    # late r4: host-graph PageRank arm — the link-structure quality prior
-    # over the closed-form host link graph; rank is BIGINT fixed point, so
-    # the string projection is integer-exact (page_id carries the host id)
-    pr = pagerank_fp(host_links(pages), iters=PAGERANK_ITERS).select(
+    # late r4: host-graph link-analysis arms — PageRank and HITS over the
+    # closed-form host link graph; ranks are BIGINT fixed point, so the
+    # string projections are integer-exact (page_id carries the host id)
+    from crankshaft_spark.operators.graph import hits_fp
+
+    links = host_links(pages)
+    pr = pagerank_fp(links, iters=PAGERANK_ITERS).select(
         F.col("host").alias("page_id"),
         F.concat(F.lit("host"), F.col("host").cast("string")).alias("url"),
         F.col("rank_fp").cast("string").alias("text"),
         F.lit("pagerank").alias("src"),
     )
-    return html_arm.unionByName(warc_arm).unionByName(pr)
+    ht = hits_fp(links, iters=PAGERANK_ITERS).select(
+        F.col("host").alias("page_id"),
+        F.concat(F.lit("host"), F.col("host").cast("string")).alias("url"),
+        F.concat(F.col("auth_fp").cast("string"), F.lit(":"),
+                 F.col("hub_fp").cast("string")).alias("text"),
+        F.lit("hits").alias("src"),
+    )
+    return html_arm.unionByName(warc_arm).unionByName(pr).unionByName(ht)
 
 
 PAGERANK_ITERS = 5
@@ -899,19 +909,24 @@ PAGERANK_ITERS = 5
 
 def o_page_extract():
     from crankshaft_spark.operators.graph import (
-        host_links_sql, pagerank_oracle_sql)
+        hits_oracle_sql, host_links_sql, pagerank_oracle_sql)
     from crankshaft_spark.sources.webpages import WEBPAGES_SQL
 
-    pr = pagerank_oracle_sql(
-        host_links_sql(f"SELECT page_id, host_id FROM ({WEBPAGES_SQL})"),
-        iters=PAGERANK_ITERS)
+    links = host_links_sql(f"SELECT page_id, host_id FROM ({WEBPAGES_SQL})")
+    pr = pagerank_oracle_sql(links, iters=PAGERANK_ITERS)
+    ht = hits_oracle_sql(links, iters=PAGERANK_ITERS)
     return f"""SELECT page_id, url, text, 'html' AS src FROM ({WEBPAGES_SQL})
     UNION ALL
     SELECT page_id, url, text, 'warc' AS src FROM ({WEBPAGES_SQL})
     UNION ALL
     SELECT host AS page_id, 'host' || CAST(host AS VARCHAR) AS url,
            CAST(rank_fp AS VARCHAR) AS text, 'pagerank' AS src
-    FROM ({pr})"""
+    FROM ({pr})
+    UNION ALL
+    SELECT host AS page_id, 'host' || CAST(host AS VARCHAR) AS url,
+           CAST(auth_fp AS VARCHAR) || ':' || CAST(hub_fp AS VARCHAR)
+             AS text, 'hits' AS src
+    FROM ({ht})"""
 
 
 def q_pip_assign(spark, sf_dir):

@@ -73,3 +73,52 @@ def test_host_links_never_dangling_and_no_self_loops(spark):
     for h, c in per_host_pages.items():
         if c:
             assert got[h] == HOST_LINKS_L * c
+
+
+def test_hits_matches_python_replay(spark):
+    from crankshaft_spark.operators.graph import hits_fp
+
+    df = spark.createDataFrame(EDGES, "src long, dst long, w long")
+    got = {r["host"]: (r["auth_fp"], r["hub_fp"])
+           for r in hits_fp(df, iters=5).collect()}
+    S = 10 ** 6
+    nodes = sorted({a for a, _, _ in EDGES} | {b for _, b, _ in EDGES})
+    auth = {h: S for h in nodes}
+    hub = {h: S for h in nodes}
+    for _ in range(5):
+        a = {h: 0 for h in nodes}
+        for s_, d, w in EDGES:
+            a[d] += hub[s_] * w
+        mx = max(a.values())
+        if mx > 0:
+            a = {h: (v * S) // mx for h, v in a.items()}
+        h2 = {h: 0 for h in nodes}
+        for s_, d, w in EDGES:
+            h2[s_] += a[d] * w
+        mx = max(h2.values())
+        if mx > 0:
+            h2 = {h: (v * S) // mx for h, v in h2.items()}
+        auth, hub = a, h2
+    assert got == {h: (auth[h], hub[h]) for h in nodes}
+    # conventions: node 5 (source-only) has authority 0; node 4
+    # (sink-only) has hub 0; max-normalized tops hit exactly S
+    assert got[5][0] == 0 and got[4][1] == 0
+    assert max(v[0] for v in got.values()) == S
+    assert max(v[1] for v in got.values()) == S
+
+
+def test_hits_parallelism_invariance(spark):
+    from crankshaft_spark.operators.graph import hits_fp
+
+    edges = [((i * 13) % 37, (i * 29 + 7) % 37, 1 + i % 3)
+             for i in range(300)]
+    edges = [e for e in edges if e[0] != e[1]]
+    a = hits_fp(
+        spark.createDataFrame(edges, "src long, dst long, w long")
+        .repartition(1), iters=3)
+    b = hits_fp(
+        spark.createDataFrame(edges, "src long, dst long, w long")
+        .repartition(16), iters=3)
+    ra = {r["host"]: (r["auth_fp"], r["hub_fp"]) for r in a.collect()}
+    rb = {r["host"]: (r["auth_fp"], r["hub_fp"]) for r in b.collect()}
+    assert ra == rb
