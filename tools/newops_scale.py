@@ -110,6 +110,16 @@ elif op == "pagerank":
             F.count("*").alias("n"),
             F.bit_xor(F.xxhash64("host", "rank_fp")).alias("sig"),
         ).collect()[0]
+elif op == "hits":
+    from crankshaft_spark.operators.graph import hits_fp, host_links
+    pages = spark.range(1, rows + 1).select(
+        F.col("id").alias("page_id"),
+        F.pmod(F.xxhash64("id", F.lit(4)), F.lit(65536)).alias("host_id"))
+    def build():
+        return hits_fp(host_links(pages, n_hosts=65536), iters=5).agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("host", "auth_fp", "hub_fp")).alias("sig"),
+        ).collect()[0]
 elif op == "bm25":
     from crankshaft_spark.operators.text import bm25_topk
     docs = spark.range(1, rows + 1).select(
