@@ -84,17 +84,24 @@ def pagerank_fp(
     scale_total: int = 10 ** 12,
     damp_num: int = 85,
     damp_den: int = 100,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(host, rank_fp) — damped PageRank over a weighted directed graph,
     carried entirely in BIGINT fixed point:
 
         r⁰(t)    = Q div n                         (Q = scale_total)
-        rᵏ⁺¹(t)  = base + (85 · Σ_{{h→t}} (rᵏ(h)·w(h,t)) div out(h)) div 100
-        base     = (15 · (Q div n)) div 100
+        rᵏ⁺¹(t)  = base(t) + (85 · Σ_{{h→t}} (rᵏ(h)·w(h,t)) div out(h)) div 100
+        base(t)  = (15 · (Q div n)) div 100
 
     Floor divisions make every step integer-exact; the per-target sum is
     a BIGINT sum (order-free).  Nodes = src ∪ dst of the edge table;
     dangling nodes (no out-edges) leak their mass, documented above.
+
+    ``seeds`` (a one-column ``host`` DataFrame) switches to PERSONALIZED
+    PageRank: the teleport mass goes uniformly to the seed set only —
+    n becomes |seeds ∩ nodes| in the formulas above, r⁰ and base(t) are
+    nonzero only at seeds, and the same integer algebra applies, so the
+    personalized form keeps the bit-identical / replayable contract.
 
     Plan shape: the edge table with out-degree attached is computed once
     and persisted; each round is one broadcast-rank join + groupBy(dst)
@@ -112,15 +119,26 @@ def pagerank_fp(
     )
     out = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     ew = edges.join(out, "src").persist()
-    n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    if seeds is None:
+        teleport = nodes
+    else:
+        teleport = nodes.join(
+            seeds.select(F.col("host")).distinct(), "host", "left_semi")
+    n1 = teleport.agg(F.count(F.lit(1)).alias("_n"))
     consts = n1.select(
         "_n",
         F.expr(f"{scale_total} div _n").alias("_r0"),
         F.expr(f"({damp_den - damp_num} * ({scale_total} div _n)) "
                f"div {damp_den}").alias("_base"),
     )
-    r = nodes.join(F.broadcast(consts)).select(
-        "host", F.col("_r0").alias("rank_fp"), "_base").localCheckpoint()
+    flagged = nodes.join(
+        teleport.select("host", F.lit(True).alias("_t")), "host", "left")
+    r = flagged.join(F.broadcast(consts)).select(
+        "host",
+        F.expr("CASE WHEN _t THEN _r0 ELSE CAST(0 AS BIGINT) END")
+        .alias("rank_fp"),
+        F.expr("CASE WHEN _t THEN _base ELSE CAST(0 AS BIGINT) END")
+        .alias("_base")).localCheckpoint()
     for _ in range(iters):
         contrib = (
             ew.join(r.select(F.col("host").alias("src"), "rank_fp"), "src")

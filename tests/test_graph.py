@@ -122,3 +122,44 @@ def test_hits_parallelism_invariance(spark):
     ra = {r["host"]: (r["auth_fp"], r["hub_fp"]) for r in a.collect()}
     rb = {r["host"]: (r["auth_fp"], r["hub_fp"]) for r in b.collect()}
     assert ra == rb
+
+
+def test_personalized_pagerank_replay(spark):
+    from crankshaft_spark.operators.graph import pagerank_fp
+
+    df = spark.createDataFrame(EDGES, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,), (5,)], "host long")
+    got = {r["host"]: r["rank_fp"]
+           for r in pagerank_fp(df, iters=4, seeds=seeds).collect()}
+
+    q = 10 ** 12
+    nodes = sorted({a for a, _, _ in EDGES} | {b for _, b, _ in EDGES})
+    out = {}
+    for a, _, w in EDGES:
+        out[a] = out.get(a, 0) + w
+    tele = {0, 5}
+    n = len(tele)
+    r = {h: (q // n if h in tele else 0) for h in nodes}
+    base = {h: ((15 * (q // n)) // 100 if h in tele else 0) for h in nodes}
+    for _ in range(4):
+        s = {h: 0 for h in nodes}
+        for a, b, w in EDGES:
+            s[b] += (r[a] // out[a]) * w + ((r[a] % out[a]) * w) // out[a]
+        r = {h: base[h] + (85 * s[h]) // 100 for h in nodes}
+    assert got == r
+    # teleport-restricted: mass concentrates at/near the seeds; a node
+    # unreachable from the seed set and outside it holds rank 0
+    assert got[0] > 0 and got[5] == base[5]  # 5 has no in-links
+
+
+def test_pagerank_default_unchanged_by_seeds_param(spark):
+    from crankshaft_spark.operators.graph import pagerank_fp
+
+    df = spark.createDataFrame(EDGES, "src long, dst long, w long")
+    a = {r["host"]: r["rank_fp"] for r in pagerank_fp(df, iters=3).collect()}
+    all_seeds = spark.createDataFrame(
+        [(h,) for h in sorted({x for e in EDGES for x in e[:2]})],
+        "host long")
+    b = {r["host"]: r["rank_fp"]
+         for r in pagerank_fp(df, iters=3, seeds=all_seeds).collect()}
+    assert a == b  # seeding with ALL nodes is the classic form
