@@ -124,6 +124,11 @@ def pagerank_fp(
     else:
         teleport = nodes.join(
             seeds.select(F.col("host")).distinct(), "host", "left_semi")
+        # loud guard instead of an ANSI DIVIDE_BY_ZERO deep in the plan
+        # (one bounded driver check — teleport sets are small by nature)
+        if teleport.limit(1).count() == 0:
+            raise ValueError(
+                "pagerank_fp: seeds do not intersect the graph's node set")
     n1 = teleport.agg(F.count(F.lit(1)).alias("_n"))
     consts = n1.select(
         "_n",
@@ -167,12 +172,15 @@ def pagerank_oracle_sql(
     scale_total: int = 10 ** 12,
     damp_num: int = 85,
     damp_den: int = 100,
+    seeds_sql: str | None = None,
 ) -> str:
     """DuckDB mirror of ``pagerank_fp`` — the driver loop unrolled as one
     MATERIALIZED CTE per round (level-synchronous replay; DuckDB's
     HUGEINT sums are cast back to BIGINT after the div, matching Spark's
     BIGINT algebra exactly).  ``edges_sql`` must yield (src, dst,
-    w BIGINT)."""
+    w BIGINT); ``seeds_sql`` (one ``host`` column) mirrors the
+    personalized form — teleport restricted to seeds ∩ nodes, r⁰/base
+    zero elsewhere."""
     base = f"({damp_den - damp_num} * ({scale_total} // prn.n)) // {damp_den}"
     passes = []
     prev = "pr0"
@@ -192,6 +200,9 @@ def pagerank_oracle_sql(
         prev = f"pr{k}"
     joined = ",\n    ".join(passes)
     sep = "," if passes else ""
+    tele = ("SELECT host FROM prnodes" if seeds_sql is None else
+            f"SELECT n.host FROM prnodes n JOIN (SELECT DISTINCT host "
+            f"FROM ({seeds_sql})) prs ON n.host = prs.host")
     return f"""WITH pre AS MATERIALIZED ({edges_sql}),
     prout AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w
               FROM pre GROUP BY src),
@@ -199,11 +210,15 @@ def pagerank_oracle_sql(
                           FROM pre JOIN prout USING (src)),
     prnodes AS MATERIALIZED (SELECT DISTINCT src AS host FROM pre
                 UNION SELECT DISTINCT dst AS host FROM pre),
-    prn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM prnodes),
+    prtele AS MATERIALIZED ({tele}),
+    prn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM prtele),
     pr0 AS MATERIALIZED (
-      SELECT host, CAST({scale_total} // prn.n AS BIGINT) AS rank_fp,
-             CAST({base} AS BIGINT) AS base
-      FROM prnodes, prn
+      SELECT n.host,
+             CAST(CASE WHEN t.host IS NOT NULL THEN {scale_total} // prn.n
+                  ELSE 0 END AS BIGINT) AS rank_fp,
+             CAST(CASE WHEN t.host IS NOT NULL THEN {base}
+                  ELSE 0 END AS BIGINT) AS base
+      FROM prnodes n LEFT JOIN prtele t ON n.host = t.host, prn
     ){sep}
     {joined}
     SELECT host, rank_fp FROM {prev}"""
@@ -227,9 +242,12 @@ def hits_fp(
     division are order-free, so results are bit-identical at any
     parallelism and replay exactly in DuckDB (hits_oracle_sql).  Nodes
     with no in-edges get authority 0; no out-edges → hub 0 (the
-    standard convention).  Overflow domain: Σ h·w per node must stay
-    under 2⁶³/scale — with scale 10⁶ that allows ~9·10¹¹ weighted
-    in-links per node, far beyond any host graph.
+    standard convention).  Overflow domain: the BINDING constraint is
+    the normalization product mx·scale < 2⁶³ where mx ≤ scale·(max
+    weighted in-degree) — with scale 10⁶ that bounds the weighted
+    in-degree at ~9.2·10⁶ per node (hubs saturate at scale on regular
+    graphs).  For heavier graphs lower ``scale`` (domain widens as
+    2⁶³/scale²) or pre-aggregate edge weights.
 
     Plan shape per round: two (src|dst)-keyed joins + two groupBy sums
     + two broadcast one-row maxes, localCheckpointed — constant plan,

@@ -885,9 +885,13 @@ def q_page_extract(spark, sf_dir):
     # late r4: host-graph link-analysis arms — PageRank and HITS over the
     # closed-form host link graph; ranks are BIGINT fixed point, so the
     # string projections are integer-exact (page_id carries the host id)
-    from crankshaft_spark.operators.graph import hits_fp
+    from crankshaft_spark.operators.graph import HOST_MOD, hits_fp
 
-    links = host_links(pages)
+    # persisted: three arms (pagerank, ppr, hits) reuse the O(pages)
+    # link aggregate; each operator's eager checkpoints would otherwise
+    # re-run it.  No safe unpersist point (lazy consumers) — bounded at
+    # one row per (src, dst) host pair.
+    links = host_links(pages).persist()
     pr = pagerank_fp(links, iters=PAGERANK_ITERS).select(
         F.col("host").alias("page_id"),
         F.concat(F.lit("host"), F.col("host").cast("string")).alias("url"),
@@ -901,7 +905,16 @@ def q_page_extract(spark, sf_dir):
                  F.col("hub_fp").cast("string")).alias("text"),
         F.lit("hits").alias("src"),
     )
-    return html_arm.unionByName(warc_arm).unionByName(pr).unionByName(ht)
+    seeds = spark.range(HOST_MOD).select(
+        F.col("id").alias("host")).where("host % 7 = 0")
+    ppr = pagerank_fp(links, iters=PPR_ITERS, seeds=seeds).select(
+        F.col("host").alias("page_id"),
+        F.concat(F.lit("host"), F.col("host").cast("string")).alias("url"),
+        F.col("rank_fp").cast("string").alias("text"),
+        F.lit("ppr").alias("src"),
+    )
+    return (html_arm.unionByName(warc_arm).unionByName(pr)
+            .unionByName(ht).unionByName(ppr))
 
 
 PAGERANK_ITERS = 5
@@ -911,6 +924,10 @@ PAGERANK_ITERS = 5
 #: machinery per round is identical, and the newops_scale 'hits' row runs
 #: the full 5 rounds at 65k hosts where O(edges) work dominates.
 HITS_ITERS = 2
+#: personalized-PageRank gate arm: teleport to hosts ≡ 0 (mod 7), 2
+#: rounds (same latency rationale as HITS_ITERS; the classic-form arm
+#: covers the deep-iteration path).
+PPR_ITERS = 2
 
 
 def o_page_extract():
@@ -921,6 +938,10 @@ def o_page_extract():
     links = host_links_sql(f"SELECT page_id, host_id FROM ({WEBPAGES_SQL})")
     pr = pagerank_oracle_sql(links, iters=PAGERANK_ITERS)
     ht = hits_oracle_sql(links, iters=HITS_ITERS)
+    ppr = pagerank_oracle_sql(
+        links, iters=PPR_ITERS,
+        seeds_sql=("SELECT h AS host FROM (SELECT unnest(range(64)) AS h)"
+                   " WHERE h % 7 = 0"))
     return f"""SELECT page_id, url, text, 'html' AS src FROM ({WEBPAGES_SQL})
     UNION ALL
     SELECT page_id, url, text, 'warc' AS src FROM ({WEBPAGES_SQL})
@@ -932,7 +953,11 @@ def o_page_extract():
     SELECT host AS page_id, 'host' || CAST(host AS VARCHAR) AS url,
            CAST(auth_fp AS VARCHAR) || ':' || CAST(hub_fp AS VARCHAR)
              AS text, 'hits' AS src
-    FROM ({ht})"""
+    FROM ({ht})
+    UNION ALL
+    SELECT host AS page_id, 'host' || CAST(host AS VARCHAR) AS url,
+           CAST(rank_fp AS VARCHAR) AS text, 'ppr' AS src
+    FROM ({ppr})"""
 
 
 def q_pip_assign(spark, sf_dir):

@@ -45,10 +45,12 @@ Late-r4 ops (same protocol):
   pagerank: 65536-host link graph from hashed page->host assignment,
     host_links(n_hosts=65536) + 5 fixed-point rounds — per-round
     shuffle O(edges); BIGINT ranks hash exactly.
+  hits: the same 65536-host graph, 5 full auth/hub rounds with
+    max-normalization — two O(edges) joins per round.
   bm25: hashed 20-token docs over a 1000-term vocabulary, 5 fixed
     queries — inverted-index join + per-query top-k at corpus scale.
 
-Usage: python tools/newops_scale.py [op kde|dbscan|dwithin|tileclip|pagerank|bm25] [N] [rows]
+Usage: python tools/newops_scale.py [op kde|dbscan|dwithin|tileclip|pagerank|hits|bm25] [N] [rows]
 Prints one JSON line — record into BASELINE.md §4.
 """
 
@@ -141,7 +143,7 @@ elif op == "kde":
             F.count("*").alias("n"),
             F.bit_xor(F.xxhash64("cell", "n_pts", "kde_fp")).alias("sig"),
         ).collect()[0]
-else:
+elif op == "dbscan":
     from crankshaft_spark.operators.dbscan import dbscan
     def build():
         return dbscan(pts, eps=10.0, min_pts=3).agg(
