@@ -103,22 +103,29 @@ def pagerank_fp(
     nonzero only at seeds, and the same integer algebra applies, so the
     personalized form keeps the bit-identical / replayable contract.
 
-    Plan shape: the edge table with out-degree attached is computed once
-    and persisted; each round is one broadcast-rank join + groupBy(dst)
-    sum + left join back to the node table, localCheckpointed so the
-    plan stays constant-size across rounds (the round-3 plan-growth
-    lesson).  At cluster scale rounds shuffle on (dst) only; rank and
-    node tables are one row per host.
+    Plan shape: the edge table is localCheckpointed once (truncating
+    its source lineage, which would otherwise be re-analyzed inside
+    every round's action — measured ~0.25 s driver overhead per action
+    at the gate, r4 verdict item 1), the out-degree-annotated copy is
+    localCheckpointed once more, and each round is one rank join +
+    groupBy(dst) sum + left join back, localCheckpointed every TWO
+    rounds so the plan stays bounded across rounds (the round-3
+    plan-growth lesson) at half the per-round checkpoint-job latency.
+    Between checkpoints the plan holds <= 2 rounds over RDD-scan leaves
+    (r is referenced twice per round -> <= 4 leaf copies: constant).
+    At cluster scale rounds shuffle on (dst) only; rank and node tables
+    are one row per host.
     """
     if iters < 0:
         raise ValueError(f"pagerank_fp: iters must be >= 0, got {iters}")
+    e = edges.localCheckpoint()
     nodes = (
-        edges.select(F.col("src").alias("host"))
-        .unionByName(edges.select(F.col("dst").alias("host")))
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
         .distinct()
     )
-    out = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    ew = edges.join(out, "src").persist()
+    out = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ew = e.join(out, "src").localCheckpoint()
     if seeds is None:
         teleport = nodes
     else:
@@ -144,7 +151,7 @@ def pagerank_fp(
         .alias("rank_fp"),
         F.expr("CASE WHEN _t THEN _base ELSE CAST(0 AS BIGINT) END")
         .alias("_base")).localCheckpoint()
-    for _ in range(iters):
+    for k in range(1, iters + 1):
         contrib = (
             ew.join(r.select(F.col("host").alias("src"), "rank_fp"), "src")
             .select(
@@ -159,10 +166,10 @@ def pagerank_fp(
                 F.expr(f"_base + ({damp_num} * coalesce(_s, 0)) "
                        f"div {damp_den}").alias("rank_fp"),
                 "_base")
-        ).localCheckpoint()
-    out_df = r.select("host", "rank_fp")
-    ew.unpersist()
-    return out_df
+        )
+        if k % 2 == 0 or k == iters:
+            r = r.localCheckpoint()
+    return r.select("host", "rank_fp")
 
 
 def pagerank_oracle_sql(
@@ -249,46 +256,70 @@ def hits_fp(
     graphs).  For heavier graphs lower ``scale`` (domain widens as
     2⁶³/scale²) or pre-aggregate edge weights.
 
-    Plan shape per round: two (src|dst)-keyed joins + two groupBy sums
-    + two broadcast one-row maxes, localCheckpointed — constant plan,
-    shuffle O(edges).
+    Plan shape per round (r5 rewrite — r4 verdict item 1: the gate graph
+    is one row per host, so per-round driver latency, not work,
+    dominated; measured ~0.25 s of Catalyst/Py4J overhead per ACTION
+    regardless of data size).  The loop therefore runs ONE action per
+    round: the pre-norm hub aggregate is localCheckpointed (truncating
+    lineage so every round's plan is constant-size with RDD-scan
+    leaves), and both max-normalizations stay LAZY broadcast one-row
+    CASE joins folded into the next round's plan — identical subplans
+    dedupe via exchange reuse at execution.  The edge table itself is
+    localCheckpointed once up front: its source lineage (the synthetic
+    page derivation at the gate; a join pipeline in production) would
+    otherwise be re-analyzed inside every round's action.  The
+    zero-fill join against the node table runs ONCE after the loop —
+    hosts absent from a round's aggregate carry value 0, contribute 0
+    to the next round's sums, and leave the max unchanged, so deferring
+    the fill is value-identical.  Shuffle O(edges) per round.
     """
     if iters < 0:
         raise ValueError(f"hits_fp: iters must be >= 0, got {iters}")
+    e = edges.localCheckpoint()
     nodes = (
-        edges.select(F.col("src").alias("host"))
-        .unionByName(edges.select(F.col("dst").alias("host")))
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
         .distinct()
     )
-    e = edges.persist()
-    r = nodes.select(
-        "host", F.lit(scale).cast("long").alias("auth_fp"),
-        F.lit(scale).cast("long").alias("hub_fp")).localCheckpoint()
 
-    def norm(df: DataFrame, col: str) -> DataFrame:
-        mx = df.agg(F.max(col).alias("_mx"))
-        return df.join(F.broadcast(mx)).select(
+    def norm(raw: DataFrame, col: str) -> DataFrame:
+        """Lazy max-normalization: one-row broadcast + CASE (no action)."""
+        mx = raw.agg(F.max(col).alias("_mx"))
+        return raw.join(F.broadcast(mx)).select(
             "host",
             F.expr(f"CASE WHEN _mx > 0 THEN ({col} * {scale}) div _mx "
                    f"ELSE {col} END").alias(col))
 
-    for _ in range(iters):
-        a = (
-            e.join(r.select(F.col("host").alias("src"), "hub_fp"), "src")
+    if iters == 0:
+        return nodes.select(
+            "host", F.lit(scale).cast("long").alias("auth_fp"),
+            F.lit(scale).cast("long").alias("hub_fp"))
+
+    # round 0: every node starts at `scale`; only hub feeds round 1, and
+    # only through the src-keyed join, so seeding src hosts suffices.
+    h_raw = e.select(F.col("src").alias("host")).distinct().select(
+        "host", F.lit(scale).cast("long").alias("hub_fp")).localCheckpoint()
+    a = None
+    for k in range(1, iters + 1):
+        a = norm(
+            e.join(norm(h_raw, "hub_fp")
+                   .select(F.col("host").alias("src"), "hub_fp"), "src")
             .groupBy(F.col("dst").alias("host"))
-            .agg(F.sum(F.expr("hub_fp * w")).alias("auth_fp")))
-        a = nodes.join(a, "host", "left").na.fill({"auth_fp": 0})
-        a = norm(a, "auth_fp")
-        h = (
+            .agg(F.sum(F.expr("hub_fp * w")).alias("auth_fp")), "auth_fp")
+        if k == iters:
+            # final a feeds both the last hub aggregate and the output
+            # join — materialize it so the round runs exactly once
+            a = a.localCheckpoint()
+        h_raw = (
             e.join(a.select(F.col("host").alias("dst"), "auth_fp"), "dst")
             .groupBy(F.col("src").alias("host"))
-            .agg(F.sum(F.expr("auth_fp * w")).alias("hub_fp")))
-        h = nodes.join(h, "host", "left").na.fill({"hub_fp": 0})
-        h = norm(h, "hub_fp")
-        r = a.join(h, "host").localCheckpoint()
-    out = r.select("host", "auth_fp", "hub_fp")
-    e.unpersist()
-    return out
+            .agg(F.sum(F.expr("auth_fp * w")).alias("hub_fp"))
+        ).localCheckpoint()
+    return (
+        nodes.join(a, "host", "left")
+        .join(norm(h_raw, "hub_fp"), "host", "left")
+        .na.fill({"auth_fp": 0, "hub_fp": 0})
+        .select("host", "auth_fp", "hub_fp"))
 
 
 def hits_oracle_sql(

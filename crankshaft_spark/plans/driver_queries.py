@@ -885,29 +885,40 @@ def q_page_extract(spark, sf_dir):
     # late r4: host-graph link-analysis arms — PageRank and HITS over the
     # closed-form host link graph; ranks are BIGINT fixed point, so the
     # string projections are integer-exact (page_id carries the host id)
+    from concurrent.futures import ThreadPoolExecutor
+
     from crankshaft_spark.operators.graph import HOST_MOD, hits_fp
 
-    # persisted: three arms (pagerank, ppr, hits) reuse the O(pages)
-    # link aggregate; each operator's eager checkpoints would otherwise
-    # re-run it.  No safe unpersist point (lazy consumers) — bounded at
-    # one row per (src, dst) host pair.
-    links = host_links(pages).persist()
-    pr = pagerank_fp(links, iters=PAGERANK_ITERS).select(
+    # checkpointed once: three arms (pagerank, ppr, hits) reuse the
+    # O(pages) link aggregate as an RDD-scan leaf (each op's own input
+    # checkpoint then re-reads blocks, not the synth derivation).  The
+    # arms' iterative loops are driver-latency-bound at gate scale
+    # (~0.25 s Catalyst/Py4J per action — r4 verdict item 1), so their
+    # construction runs on three threads: Spark job submission is
+    # thread-safe, the arms share no mutable state, and the integer
+    # algebra keeps results bit-identical regardless of interleaving.
+    links = host_links(pages).localCheckpoint()
+    seeds = spark.range(HOST_MOD).select(
+        F.col("id").alias("host")).where("host % 7 = 0")
+    with ThreadPoolExecutor(3) as pool:
+        f_pr = pool.submit(pagerank_fp, links, iters=PAGERANK_ITERS)
+        f_ht = pool.submit(hits_fp, links, iters=HITS_ITERS)
+        f_ppr = pool.submit(
+            lambda: pagerank_fp(links, iters=PPR_ITERS, seeds=seeds))
+    pr = f_pr.result().select(
         F.col("host").alias("page_id"),
         F.concat(F.lit("host"), F.col("host").cast("string")).alias("url"),
         F.col("rank_fp").cast("string").alias("text"),
         F.lit("pagerank").alias("src"),
     )
-    ht = hits_fp(links, iters=HITS_ITERS).select(
+    ht = f_ht.result().select(
         F.col("host").alias("page_id"),
         F.concat(F.lit("host"), F.col("host").cast("string")).alias("url"),
         F.concat(F.col("auth_fp").cast("string"), F.lit(":"),
                  F.col("hub_fp").cast("string")).alias("text"),
         F.lit("hits").alias("src"),
     )
-    seeds = spark.range(HOST_MOD).select(
-        F.col("id").alias("host")).where("host % 7 = 0")
-    ppr = pagerank_fp(links, iters=PPR_ITERS, seeds=seeds).select(
+    ppr = f_ppr.result().select(
         F.col("host").alias("page_id"),
         F.concat(F.lit("host"), F.col("host").cast("string")).alias("url"),
         F.col("rank_fp").cast("string").alias("text"),
@@ -918,16 +929,12 @@ def q_page_extract(spark, sf_dir):
 
 
 PAGERANK_ITERS = 5
-#: the hits arm runs 2 rounds at the entry: on the 64-host gate graph the
-#: cost is pure per-round stage latency (~3 s/round of AQE scheduling on
-#: one-row-per-host tables), not work — the round count is a knob, the
-#: machinery per round is identical, and the newops_scale 'hits' row runs
-#: the full 5 rounds at 65k hosts where O(edges) work dominates.
-HITS_ITERS = 2
-#: personalized-PageRank gate arm: teleport to hosts ≡ 0 (mod 7), 2
-#: rounds (same latency rationale as HITS_ITERS; the classic-form arm
-#: covers the deep-iteration path).
-PPR_ITERS = 2
+#: r5: the r4 HITS_ITERS=2 / PPR_ITERS=2 latency knobs are gone — the
+#: graph ops now checkpoint every 2 rounds and HITS folds each
+#: half-round pair into one lazy plan (graph.py), so the gate runs the
+#: documented 5-round defaults (r4 verdict item 1).
+HITS_ITERS = 5
+PPR_ITERS = 5
 
 
 def o_page_extract():
