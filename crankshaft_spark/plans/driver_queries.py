@@ -2804,17 +2804,34 @@ _SEG_PREDICT_SQL = (
 )
 
 
+#: GBT gate-arm hyperparameters: 20 trees / lr 0.4 / depth 5 fit the
+#: linear-plus-noise target to rmse ~2.5x inside the reference's own
+#: tolerance at sf0.01 (the correctness-gate scale) in ~20 sequential
+#: fit jobs — the cheapest config with a comfortable verdict margin.
+_GBT_ARM = dict(n_estimators=20, learning_rate=0.4, max_depth=5)
+
+
 def q_segmentation(spark, sf_dir):
     """CDB_CreateAndPredictSegment's train-on-suppliers / predict-on-
-    customers contract with the closed-form OLS learner arm (Cramer's
-    rule over exact integer power sums — oracle-replayable since r4;
-    target = 3·f1 + 2·f2 + noise so the fit has real signal).  The
-    reference's GBM learner (create_and_predict_segment, pyspark.ml
-    GBTRegressor) remains the parity arm, fixture-tested in
-    tests/test_ml.py — a subsampled sklearn/GBT stream is not replayable
-    cross-engine by design, so the gate entry carries the deterministic
-    learner."""
-    from crankshaft_spark.operators.segmentation import segmentation_ols
+    customers contract, two arms (r4 verdict item 2):
+
+    * ``ols`` — the closed-form OLS learner (Cramer's rule over exact
+      integer power sums, oracle-replayable since r4; target =
+      3·f1 + 2·f2 + noise so the fit has real signal), one row per
+      predict id.
+    * ``gbt`` — the reference's actual GBM path
+      (create_and_predict_segment, pyspark.ml GBTRegressor,
+      05_segmentation.sql:2-102).  A subsampled GBT stream is not
+      replayable cross-engine by design, so the arm reduces to ONE
+      verdict row the oracle states as a constant: prediction = 1.0
+      iff RMSE(gbt, 3·f1+2·f2) < 0.3·mean(truth) — the reference test
+      suite's own tolerance (test_segmentation.py:71-139, mirrored in
+      tests/test_ml.py) — and accuracy = 1.0 iff the held-out MSE
+      channel is finite and non-negative.  A fit regression flips the
+      verdict row and breaks the value hash.
+    """
+    from crankshaft_spark.operators.segmentation import (
+        create_and_predict_segment, segmentation_ols)
 
     sup = load_table(spark, sf_dir, "supplier")
     sk = F.col("s_suppkey")
@@ -2832,16 +2849,40 @@ def q_segmentation(spark, sf_dir):
         ((ck * 9973) % 24000).cast("double").alias("f1"),
         ((ck * 7919) % 9600).cast("double").alias("f2"),
     )
-    return segmentation_ols(train, "target", ["f1", "f2"], predict)
+    ols = segmentation_ols(train, "target", ["f1", "f2"], predict) \
+        .withColumn("arm", F.lit("ols"))
+    gbt = create_and_predict_segment(
+        train, "target", ["f1", "f2"], predict, **_GBT_ARM)
+    truth = predict.select("id", (3 * F.col("f1") + 2 * F.col("f2"))
+                           .alias("_t"))
+    gbt_verdict = (
+        gbt.join(truth, "id")
+        .agg(F.sqrt(F.avg(F.pow(F.col("prediction") - F.col("_t"), 2)))
+             .alias("_rmse"),
+             F.avg("_t").alias("_mt"),
+             F.max("accuracy").alias("_acc"))
+        .select(
+            F.lit(-1).cast("long").alias("id"),
+            F.expr("CAST(CASE WHEN _rmse < 0.3 * _mt THEN 1.0 ELSE 0.0 "
+                   "END AS DOUBLE)").alias("prediction"),
+            F.expr("CAST(CASE WHEN NOT isnan(_acc) AND _acc >= 0 THEN "
+                   "1.0 ELSE 0.0 END AS DOUBLE)").alias("accuracy"),
+            F.lit("gbt").alias("arm"),
+        ))
+    return ols.unionByName(gbt_verdict)
 
 
 def o_segmentation():
     from crankshaft_spark.operators.segmentation import (
         segmentation_ols_oracle_sql)
 
-    return segmentation_ols_oracle_sql(
+    ols = segmentation_ols_oracle_sql(
         _SEG_TRAIN_SQL, _SEG_PREDICT_SQL, target="target", f1="f1",
         f2="f2")
+    return f"""SELECT id, prediction, accuracy, 'ols' AS arm FROM ({ols})
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS id, CAST(1.0 AS DOUBLE) AS prediction,
+           CAST(1.0 AS DOUBLE) AS accuracy, 'gbt' AS arm"""
 
 
 # ------------------------------------------------- merged catalog entries ---
