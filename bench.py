@@ -4,7 +4,12 @@ Prints ONE JSON line:
   {"metric": "hotspot_pipeline_pages_per_sec", "value": <pages/sec>,
    "unit": "pages/sec", "pipeline_sec": ..., "pages": ...,
    "builds": {"knn_weights": sec}, "queries": {<name>: sec, ...},
-   "sf": <sf>, "cpus": N}
+   "arms": {<name>: {<arm>: sec, ...}, ...}, "sf": <sf>, "cpus": N}
+
+"arms" are single-run per-arm attributions for the multi-arm entries
+(ARM_COLS + the page_extract builders) — a regression in ONE arm is
+visible without hand-audits; they re-pay shared builds and are noisier
+than the best-of-2 "queries" numbers.
 
 "builds" times the shared kNN weight-table build once; edge-consuming
 queries (moran_local/_rate, getis_z, markov) are timed against the cached
@@ -55,6 +60,29 @@ HEADLINE = [
     "ann_cosine", "embed_neardup", "kmeans_spatial", "voronoi", "pia",
     "media_decode", "media_real",
 ]
+
+# Per-arm attribution (round 5): multi-arm entries hide single-arm
+# regressions in their total, so each arm is timed once via a filter on
+# the entry's discriminator column (Catalyst collapses the other union
+# branches to empty under `lit(col) = value`, so only that arm's plan
+# runs — shared builds are re-paid per arm and the timings are
+# single-run, i.e. attribution, not a best-of protocol).  page_extract
+# is special-cased below: its graph arms run eagerly at construction.
+ARM_COLS = {
+    "knn_edges": ("grid", ["rect", "hex", "ripley"]),
+    "moran_global": ("variant", ["value", "rate", "geary", "jc_bb",
+                                 "jc_bw", "jc_ww", "quadrat_vmr",
+                                 "clark_evans"]),
+    "dedup_exact": ("method", ["text", "norm", "url", "para", "stream"]),
+    "minhash_lsh": ("kind", ["pair", "member", "survivor"]),
+    "fingerprints": ("arm", ["fp", "tfidf", "bm25"]),
+    "embed_neardup": ("kind", ["pair", "member", "survivor"]),
+    "media_decode": ("kind", ["image", "audio", "video"]),
+    "media_real": ("kind", ["image", "audio", "video"]),
+    "overlap_sum": ("arm", ["overlap", "tileclip"]),
+    "densify": ("arm", ["densify", "simplify", "interp"]),
+    "tin_map": ("arm", ["tin", "alpha"]),
+}
 
 
 def main() -> None:
@@ -128,6 +156,24 @@ def main() -> None:
         timings[name] = round(best, 3)
     driver_queries.set_edges_override(None)
 
+    # -- per-arm attribution (single runs; see ARM_COLS note) ---------------
+    arms: dict[str, dict[str, float]] = {}
+    for name, (col, vals) in ARM_COLS.items():
+        df = qs[name](spark, sf_dir)
+        for v in vals:
+            t0 = time.time()
+            materialize(df.where(F.col(col) == v))
+            arms.setdefault(name, {})[v] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+    # page_extract's iterative graph arms execute at construction, so
+    # they get dedicated builders (shared link table built untimed)
+    pe = driver_queries.page_extract_arm_builders(spark, sf_dir)
+    for v, build in pe.items():
+        t0 = time.time()
+        materialize(build())
+        arms.setdefault("page_extract", {})[v] = round(time.time() - t0, 3)
+    spark.catalog.clearCache()
+
     print(json.dumps({
         "metric": "hotspot_pipeline_pages_per_sec",
         "value": round(n_pages / pipeline_sec, 1),
@@ -136,6 +182,7 @@ def main() -> None:
         "pages": n_pages,
         "builds": builds,
         "queries": timings,
+        "arms": arms,
         "sf": sf,
         "cpus": cpus,
     }))

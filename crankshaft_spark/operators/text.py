@@ -1455,36 +1455,25 @@ def bm25_topk(
     *per term* so the per-document sum is an order-free integer sum.
     Ranking ties break (score_fp DESC, doc_id ASC) — total order.
 
-    Scale shape: inverted-index equi-join — the tokenized query table
-    (tiny, broadcast) joins the (doc, term, tf) posting aggregate on
-    term; per-(query, doc) integer sum; per-query top-k window whose
-    partition is the query's candidate set (parallel across queries).
-    Never a cross join; corpus-side work is one tokenize + two
-    map-side-combinable aggregates.  Query terms absent from the corpus
+    Scale shape (r5, r4 verdict item 4): the corpus never aggregates on
+    (doc, term) for terms nobody asked about — the token explode is
+    LEFT-SEMI pruned by the broadcast query-term set BEFORE the posting
+    aggregate, so the (doc, term, tf) shuffle carries only queried
+    terms (~|q_terms|/|vocab| of the corpus; the r4 shape shuffled and
+    checkpointed all 160M (doc, term) rows at the 8M-doc scale row to
+    serve a 20-term query set).  Document length is a per-row column
+    expression over the doc text (no second corpus aggregate, no
+    shuffle), so corpus-side work is two tokenize passes and one pruned
+    combinable aggregate.  The tiny idf table broadcasts onto the
+    postings; per-(query, doc) integer sum; per-query top-k window
+    whose partition is the query's candidate set (parallel across
+    queries).  Never a cross join.  Query terms absent from the corpus
     contribute nothing (inner join on the posting list), matching BM25.
+    The df/idf channel is computed from the pruned postings — exact,
+    since only query terms reach the idf join in both engines.
     """
     from pyspark.sql.window import Window
 
-    toks = (
-        docs.select(
-            F.col(id_col),
-            F.explode(
-                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                        " ")).alias("term"))
-        .where(F.col("term") != ""))
-    # tf feeds df_t AND cand, and dl (derived from tf, not a second
-    # corpus scan) feeds avg AND cand — the lazy checkpoint pins the
-    # corpus tokenize+aggregate to ONE execution per action (the
-    # lm_score multi-consumer lesson)
-    tf = toks.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    n = docs.agg(F.count(F.lit(1)).alias("_n"))
-    avg = (
-        dl.agg(F.sum("dl").alias("_tl")).join(F.broadcast(n))
-        .select((F.col("_tl").cast("double") / F.col("_n")).alias("avgdl"),
-                "_n"))
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     qterms = (
         queries.select(
             F.col(query_id_col).alias("qid"),
@@ -1493,6 +1482,35 @@ def bm25_topk(
                         " ")).alias("term"))
         .where(F.col("term") != "")
         .distinct())
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        " ")).alias("term"))
+        .where(F.col("term") != ""))
+    # tf feeds df_t AND cand — the lazy checkpoint pins the (pruned)
+    # tokenize+aggregate to ONE execution per action (the lm_score
+    # multi-consumer lesson)
+    tf = (
+        toks.join(F.broadcast(qterms.select("term").distinct()),
+                  "term", "left_semi")
+        .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False))
+    # dl = token count per doc, as column math over the doc row (1-param
+    # lambda — the HOF arity trap): sum(tf) over the pruned postings
+    # would undercount, and a full-vocabulary aggregate is the shuffle
+    # this rewrite removes.
+    dl = docs.select(
+        F.col(id_col),
+        F.expr(f"CAST(size(filter(split(lower(coalesce({text_col}, '')), "
+               f"' '), t -> t != '')) AS BIGINT)").alias("dl"))
+    n = docs.agg(F.count(F.lit(1)).alias("_n"))
+    avg = (
+        dl.agg(F.sum("dl").alias("_tl")).join(F.broadcast(n))
+        .select((F.col("_tl").cast("double") / F.col("_n")).alias("avgdl"),
+                "_n"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     idf = (
         qterms.join(df_t, "term").join(F.broadcast(avg))
         .withColumn("idf_fp", _ln_cents(F.col("_n")) - _ln_cents(F.col("_df"))))

@@ -937,6 +937,33 @@ HITS_ITERS = 5
 PPR_ITERS = 5
 
 
+def page_extract_arm_builders(spark, sf_dir):
+    """Per-arm builders for bench attribution (r4 verdict item 5): the
+    entry's graph arms run EAGERLY at query construction (checkpointed
+    driver loops), so bench.py's column-filter arm timing cannot isolate
+    them — these builders re-create each arm alone, sharing one untimed
+    link-table checkpoint the way the entry does."""
+    from crankshaft_spark.operators.graph import (
+        HOST_MOD, hits_fp, host_links, pagerank_fp)
+    from crankshaft_spark.sources.warc import warc_roundtrip_pages
+    from crankshaft_spark.sources.webpages import extract_text, synth_webpages
+
+    pages = synth_webpages(spark, sf_dir)
+    links = host_links(pages).localCheckpoint()
+    seeds = spark.range(HOST_MOD).select(
+        F.col("id").alias("host")).where("host % 7 = 0")
+    return {
+        "html": lambda: extract_text(pages).select(
+            "page_id", "url", "extracted_text"),
+        "warc": lambda: extract_text(
+            warc_roundtrip_pages(spark, sf_dir).filter("ok")).select(
+            "page_id", "url", "extracted_text"),
+        "pagerank": lambda: pagerank_fp(links, iters=PAGERANK_ITERS),
+        "hits": lambda: hits_fp(links, iters=HITS_ITERS),
+        "ppr": lambda: pagerank_fp(links, iters=PPR_ITERS, seeds=seeds),
+    }
+
+
 def o_page_extract():
     from crankshaft_spark.operators.graph import (
         hits_oracle_sql, host_links_sql, pagerank_oracle_sql)

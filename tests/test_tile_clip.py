@@ -113,3 +113,24 @@ def test_tile_clip_outside_tiles_absent(spark):
         assert all(x0 - 1e-9 <= v <= x0 + 6.0 + 1e-9 for v in r["xs"])
         assert all(y0 - 1e-9 <= v <= y0 + 6.0 + 1e-9 for v in r["ys"])
         assert r["area"] > 0.0 and r["nvert"] >= 3
+
+
+def test_tile_clip_numpy_fold_bit_identical(spark):
+    """The vectorized numpy kernel and the JVM aggregate fold are the
+    same IEEE op sequence — every row, vertex and area must be equal
+    bit-for-bit (the fold stays the engine-side mirror of the oracle)."""
+    df = spark.createDataFrame(
+        POLYS, "poly_id long, xs array<double>, ys array<double>")
+    key = lambda r: (r["poly_id"], r["tx"], r["ty"])  # noqa: E731
+    a = {key(r): r for r in tile_clip(df, tile_size=6.0,
+                                      impl="numpy").collect()}
+    b = {key(r): r for r in tile_clip(df, tile_size=6.0,
+                                      impl="fold").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["nvert"] == b[k]["nvert"]
+        assert a[k]["xs"] == b[k]["xs"] and a[k]["ys"] == b[k]["ys"]
+        assert a[k]["area"] == b[k]["area"]  # bit-identical
+
+    with pytest.raises(ValueError):
+        tile_clip(df, tile_size=6.0, impl="nope")

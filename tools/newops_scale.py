@@ -151,6 +151,8 @@ elif op == "dbscan":
             F.bit_xor(F.xxhash64("id", F.coalesce("cluster", F.lit(-1)),
                                  "role")).alias("sig"),
         ).collect()[0]
+else:
+    sys.exit(f"unknown op {op!r}")
 warm = build()  # full-size untimed warmup (JIT + shuffle infra)
 agg, dt = measure()
 assert (warm["n"], warm["sig"]) == (agg["n"], agg["sig"])
@@ -170,8 +172,15 @@ def run(op: str, cpus: int, rows: int) -> dict:
     return json.loads(line)
 
 
+KNOWN_OPS = ("kde", "dbscan", "dwithin", "tileclip", "pagerank", "hits",
+             "bm25")
+
+
 def main() -> None:
     op = sys.argv[1] if len(sys.argv) > 1 else "kde"
+    if op not in KNOWN_OPS:
+        sys.exit(f"unknown op {op!r}; usage: python tools/newops_scale.py "
+                 f"[op {'|'.join(KNOWN_OPS)}] [N] [rows]")
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     rows = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000_000
     lo = run(op, n, rows)
