@@ -122,6 +122,18 @@ class StageRunner:
         table = f"{self.base_dir}.{name}"
         full_token = f"{self.version}:{token}"
         spark = self.spark
+        # loud runtime gate (r4 verdict item 8): this sandbox ships no
+        # iceberg-spark jar, so the path has never executed here — fail
+        # with guidance instead of an opaque catalog-plugin stack trace.
+        cat = self.base_dir.split(".", 1)[0]
+        if spark.conf.get(f"spark.sql.catalog.{cat}", None) is None:
+            raise RuntimeError(
+                f"StageRunner(table_format='iceberg'): no catalog at "
+                f"spark.sql.catalog.{cat}. This path needs the "
+                f"iceberg-spark runtime jar on the classpath and an "
+                f"Iceberg catalog configured (neither ships in the test "
+                f"sandbox — UNTESTED at runtime here, see README); use "
+                f"table_format='parquet' otherwise.")
         try:
             props = {r[0]: r[1] for r in spark.sql(
                 f"SHOW TBLPROPERTIES {table}").collect()}
