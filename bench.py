@@ -91,6 +91,12 @@ def main() -> None:
     mult = int(os.environ.get("BENCH_MULT", "100"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # load BEFORE the session spins up: >~1 means something else is on
+    # the box and the per-query numbers ride the documented ±3x
+    # contention band (r4 verdict item 9 — the driver bench read 2-3x
+    # the idle best-of readings; make the condition visible in the JSON)
+    load_start = round(os.getloadavg()[0], 1)
+
     spark = get_session(master=f"local[{cpus}]", app_name="crankshaft_bench",
                         shuffle_partitions=max(cpus, 32))
     spark.sparkContext.setLogLevel("ERROR")
@@ -185,6 +191,7 @@ def main() -> None:
         "arms": arms,
         "sf": sf,
         "cpus": cpus,
+        "loadavg_start": load_start,
     }))
     spark.stop()
 

@@ -1427,6 +1427,11 @@ def tfidf_oracle_sql(docs_sql: str, *, k: int = 5) -> str:
 #: verbatim by BOTH engines (column names idf_fp BIGINT, tf BIGINT,
 #: dl BIGINT, avgdl DOUBLE; every literal CAST so DuckDB's DECIMAL parse
 #: can't change the arithmetic).  Operand order is part of the contract.
+#: phase-1 salt fan-out of the two-phase top-k (see bm25_topk): the
+#: final per-query rank sees at most topk·_BM25_SALTS rows, while phase
+#: 1 runs |queries|·_BM25_SALTS parallel partitions.
+_BM25_SALTS = 32
+
 BM25_TS = ("CAST(idf_fp AS DOUBLE) * (tf * CAST(2.2 AS DOUBLE)) / "
            "(tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) "
            "+ (CAST(0.75 AS DOUBLE) * dl) / avgdl))")
@@ -1521,10 +1526,27 @@ def bm25_topk(
             "_ts_fp", F.expr(f"CAST(floor({BM25_TS}) AS BIGINT)"))
         .groupBy("qid", id_col)
         .agg(F.sum("_ts_fp").alias("score_fp")))
-    w = Window.partitionBy("qid").orderBy(
-        F.col("score_fp").desc(), F.col(id_col).asc())
+    # two-phase top-k (r5): a per-query window alone is one reducer per
+    # query — with few queries and large candidate sets (every posting
+    # of every query term) the final stage's parallelism is |queries|,
+    # a per-query global-window trap at corpus scale.  Phase 1 takes
+    # the top-k within (qid, doc-hash salt) — parallelism |queries| ×
+    # _BM25_SALTS — which provably contains the global top-k (any doc
+    # in the query's top-k is in its salt bucket's top-k under the same
+    # total order); phase 2 ranks the surviving ≤ k·salts rows per
+    # query.  Same total order both phases (score_fp DESC, doc_id ASC)
+    # → identical output to the one-window form and to the oracle.
+    order = (F.col("score_fp").desc(), F.col(id_col).asc())
+    pre = Window.partitionBy("qid", "_salt").orderBy(*order)
+    pruned = (
+        scores.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)),
+                            F.lit(_BM25_SALTS)))
+        .withColumn("_pr", F.row_number().over(pre))
+        .where(F.col("_pr") <= topk))
+    w = Window.partitionBy("qid").orderBy(*order)
     return (
-        scores.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= topk)
         .select("qid", "rank", id_col, "score_fp"))
 
