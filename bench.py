@@ -109,9 +109,13 @@ def main() -> None:
     # timed action materializes all columns (scalebench's timed run
     # collect()s for the same reason — row-identity assertions)
     materialize(hotspot_pipeline(spark, sf_dir, pages=pages))
-    t0 = time.time()
-    materialize(hotspot_pipeline(spark, sf_dir, pages=pages))
-    pipeline_sec = time.time() - t0
+    # best-of-3 (r5): the single timed run sampled the ±3x VM band —
+    # one r5 reading was 6.0 s against a 3.9-4.3 s steady state
+    pipeline_sec = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        materialize(hotspot_pipeline(spark, sf_dir, pages=pages))
+        pipeline_sec = min(pipeline_sec, time.time() - t0)
 
     # -- headline operator queries ------------------------------------------
     # Per-query protocol (round 2+): best of 2 runs, caches cleared between

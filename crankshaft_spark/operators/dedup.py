@@ -549,24 +549,18 @@ def dedup_components(
     members (_keepers_from_components); use that for keep-one-per-cluster
     filtering of docs.
 
-    Algorithm: FRONTIER (delta) hash-min label propagation with pointer
-    jumping (r5 rewrite — the r4 full-table rounds re-shuffled the whole
-    label table ~6x per round while late rounds moved only hundreds of
-    labels; the changed-count tail was a ~55 s parallelism-independent
-    cost in the dbscan scale row).  Every node starts with its own id;
-    each round joins the edge table against the FRONTIER only (the
-    labels that changed last round — round 0: all), takes the min
-    arriving label per dst, keeps strict improvements vs the current
-    table, shortcuts them twice through the full label table
-    (lbl <- min(lbl, lbl(lbl)) — left join, so frontier rows whose
-    label is a root pass through), and merges the delta back with a
-    least().  AQE broadcasts the shrinking delta side automatically, so
-    tail rounds are map-only scans of the cached label table.  The
-    prop-only fixpoint (empty delta = no edge can improve any label) is
-    the exact connected components and is identical at any parallelism;
-    jumps only accelerate, never define, the result.  ``max_rounds``
-    (default 50) is a loud-failure backstop only — convergence needs
-    ~diameter/2^jumps rounds.
+    Algorithm: hash-min label propagation with pointer jumping.  Every node
+    starts with its own id; each round every node takes the min label over
+    itself and its neighbors (self-loops make that one edge join + one
+    map-side-combinable min aggregate), then shortcuts lbl <- lbl(lbl)
+    (one more join on the round's own label table).  The jump halves the
+    remaining label-tree depth, so convergence is O(log d) rounds for
+    diameter d — real LSH dup graphs at sf0.01 already contain chains
+    deeper than 6, and a plain fixed-round propagation silently splits
+    them.  Rounds run until a full round changes nothing (label sets are
+    monotone decreasing, so the fixpoint is exact connected components and
+    is identical at any parallelism); ``max_rounds`` (default 50, i.e.
+    graphs beyond ~2^50-diameter) is a loud-failure backstop only.
 
     The result is defined by the FIXPOINT, not the round count — the
     DuckDB oracle (components_oracle_sql) reaches the same fixpoint by a
@@ -586,80 +580,65 @@ def dedup_components(
         .distinct()
     )
     und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    # localCheckpoint, not persist: every round's action would otherwise
-    # re-ANALYZE the caller's full pair-pipeline lineage (r5 lesson), and
-    # self-loops are unnecessary under delta propagation (a node's own
-    # label is consulted via the improvement join, not the edge list)
     edges = (
         und
         .unionByName(und.select(F.col("dst").alias("src"),
                                 F.col("src").alias("dst")))
-        .localCheckpoint()
+        .unionByName(nodes.select(F.col("id").alias("src"),
+                                  F.col("id").alias("dst")))
+        .persist()
     )
+    edges.count()  # materialize once: every round joins this same table
     # every round's label table is localCheckpoint'd, NOT persist'd:
     # persist caches the data but Catalyst keeps the FULL logical plan,
     # so an iterative loop's per-round plan grows geometrically (the jump
-    # joins reference the label subtree several times per level) and
+    # self-joins reference the label subtree several times per level) and
     # analysis time explodes after a few rounds (measured: round 4 at
     # sf0.1 took 157 s with persist, constant ~2 s with the checkpoint).
     sc = docs.sparkSession.sparkContext
     labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint(
         eager=True)
     prev_ids = _checkpointed_rdd_ids(labels)
-    frontier = labels
     for _ in range(max_rounds):
-        dmin = (
-            edges.join(frontier.select(F.col("id").alias("src"), "lbl"),
-                       "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("lbl").alias("nlbl"))
+        prop = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(edges["dst"].alias("id"))
+            .agg(F.min("lbl").alias("lbl"))
         )
-        delta = (
-            dmin.join(labels, "id")
-            .where(F.col("nlbl") < F.col("lbl"))
-            .select("id", F.col("nlbl").alias("lbl"))
-        )
-        # two pointer jumps per round, THROUGH the current full label
-        # table (left join: a delta row whose label is already a root
-        # has no match and passes through).  lbl <- min(lbl, lbl(lbl))
-        # is monotone toward the component min, so the fixpoint — which
+        # two pointer jumps per round: each jump is one tiny self-join on
+        # the round's label table, but every ROUND costs a full Spark
+        # action (the convergence count), so trading joins for rounds
+        # cuts the dominant fixed cost.  lbl <- min(lbl, lbl(lbl)) is
+        # monotone toward the component min, so the fixpoint — which
         # defines the result — is unchanged.
+        cur = prop
         for _ in range(2):
-            jump = labels.select(F.col("id").alias("jid"),
-                                 F.col("lbl").alias("jlbl"))
-            delta = (
-                delta.join(jump, delta["lbl"] == jump["jid"], "left")
-                .select(delta["id"],
-                        F.least(delta["lbl"],
-                                F.coalesce(F.col("jlbl"), delta["lbl"]))
-                        .alias("lbl"))
+            jump = cur.select(F.col("id").alias("jid"),
+                              F.col("lbl").alias("jlbl"))
+            cur = (
+                cur.alias("c")
+                .join(jump.alias("j"), F.col("c.lbl") == F.col("j.jid"))
+                .select(F.col("c.id").alias("id"),
+                        F.least(F.col("c.lbl"), F.col("j.jlbl"))
+                         .alias("lbl"))
             )
-        delta = delta.localCheckpoint(eager=False)
-        changed = delta.count()
-        if changed == 0:
-            _release_rdds(sc, _checkpointed_rdd_ids(delta))
-            break
-        new = (
-            labels.join(delta.select(F.col("id").alias("did"),
-                                     F.col("lbl").alias("dlbl")),
-                        labels["id"] == F.col("did"), "left")
-            .select(labels["id"],
-                    F.least(labels["lbl"],
-                            F.coalesce(F.col("dlbl"), labels["lbl"]))
-                    .alias("lbl"))
-        ).localCheckpoint(eager=False)
-        # the next round's count materializes new's checkpoint lazily;
-        # release the PREVIOUS round's label blocks deterministically
-        # once the merge below no longer needs them
-        new.count()
-        new_ids = (_checkpointed_rdd_ids(new)
-                   | _checkpointed_rdd_ids(delta))
+        new = cur.localCheckpoint(eager=False)
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "plbl"), "id")
+            .where(F.col("lbl") != F.col("plbl")).count()
+        )
+        # the count materialized new's checkpoint; the PREVIOUS round's
+        # label blocks are now dead — release them deterministically
+        # instead of waiting on the ContextCleaner
+        new_ids = _checkpointed_rdd_ids(new)
         _release_rdds(sc, prev_ids)
         prev_ids = new_ids
         labels = new
-        frontier = delta
+        if changed == 0:
+            break
     else:
         _release_rdds(sc, prev_ids)
+        edges.unpersist()
         raise ValueError(
             f"dedup_components did not converge in {max_rounds} rounds")
     sizes = labels.groupBy(F.col("lbl").alias("component")).agg(
