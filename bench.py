@@ -66,19 +66,24 @@ HEADLINE = [
 # the entry's discriminator column (Catalyst collapses the other union
 # branches to empty under `lit(col) = value`, so only that arm's plan
 # runs — shared builds are re-paid per arm and the timings are
-# single-run, i.e. attribution, not a best-of protocol).  page_extract
-# is special-cased below: its graph arms run eagerly at construction.
+# single-run, i.e. attribution, not a best-of protocol).  A tuple
+# (label, [values]) times one isin() filter — for sibling rows that are
+# one computation (the three join-counts stats share one aggregate and
+# a NON-literal discriminator, so per-stat filters could not prune the
+# branch anyway; review finding r5).  page_extract is special-cased
+# below (its graph arms run eagerly at construction).  media_decode/
+# media_real are NOT listed: they are single-pipeline entries — every
+# kind decodes in one mapInPandas pass, so a kind filter cannot isolate
+# anything and the numbers would misattribute (review finding r5).
 ARM_COLS = {
-    "knn_edges": ("grid", ["rect", "hex", "ripley"]),
-    "moran_global": ("variant", ["value", "rate", "geary", "jc_bb",
-                                 "jc_bw", "jc_ww", "quadrat_vmr",
-                                 "clark_evans"]),
+    "knn_edges": ("grid", ["rect", "hex", "ripley", "dwithin"]),
+    "moran_global": ("variant", ["value", "rate", "geary",
+                                 ("jc", ["jc_bb", "jc_bw", "jc_ww"]),
+                                 "quadrat_vmr", "clark_evans"]),
     "dedup_exact": ("method", ["text", "norm", "url", "para", "stream"]),
     "minhash_lsh": ("kind", ["pair", "member", "survivor"]),
     "fingerprints": ("arm", ["fp", "tfidf", "bm25"]),
     "embed_neardup": ("kind", ["pair", "member", "survivor"]),
-    "media_decode": ("kind", ["image", "audio", "video"]),
-    "media_real": ("kind", ["image", "audio", "video"]),
     "overlap_sum": ("arm", ["overlap", "tileclip"]),
     "densify": ("arm", ["densify", "simplify", "interp"]),
     "tin_map": ("arm", ["tin", "alpha"]),
@@ -171,9 +176,11 @@ def main() -> None:
     for name, (col, vals) in ARM_COLS.items():
         df = qs[name](spark, sf_dir)
         for v in vals:
+            label, pred = (v, F.col(col) == v) if isinstance(v, str) \
+                else (v[0], F.col(col).isin(*v[1]))
             t0 = time.time()
-            materialize(df.where(F.col(col) == v))
-            arms.setdefault(name, {})[v] = round(time.time() - t0, 3)
+            materialize(df.where(pred))
+            arms.setdefault(name, {})[label] = round(time.time() - t0, 3)
         spark.catalog.clearCache()
     # page_extract's iterative graph arms execute at construction, so
     # they get dedicated builders (shared link table built untimed)

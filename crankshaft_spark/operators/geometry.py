@@ -1538,36 +1538,53 @@ def tile_clip(
                     cvals = pdf[cname].to_numpy(dtype=np.float64)
                     vx, vy, rid, lens = _sh_clip_flat(
                         vx, vy, rid, lens, cvals, ax, dr)
-                keep = lens >= 3
-                bounds = np.cumsum(lens)[:-1]
-                rx = np.split(vx, bounds)
-                ry = np.split(vy, bounds)
+                # shoelace area in the SAME left-fold order as the SQL
+                # aggregate / DuckDB list fold.  NOT np.add.reduceat —
+                # measured: reduceat reorders even a 3-element segment
+                # (ulp drift vs the sequential fold).  Instead fold by
+                # VERTEX POSITION: one vectorized masked add per ring
+                # slot j gives every row the exact left-to-right sum
+                # (((0+p0)+p1)+...), and max ring length is bounded by
+                # the input nvert + 4 clip passes.  Computing area here
+                # (not as a Spark column) also keeps the area>0 filter
+                # from re-inlining an interpreted HOF below the project
+                # (the r4 tile_clip trap — review finding r5).
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                total = vx.shape[0]
+                s1 = np.zeros(n, dtype=np.float64)
+                s2 = np.zeros(n, dtype=np.float64)
+                if total:
+                    idx = np.arange(total, dtype=np.int64)
+                    nxt = idx + 1
+                    last = (starts + lens - 1)[lens > 0]
+                    nxt[last] = starts[lens > 0]
+                    prod1 = vx * vy[nxt]
+                    prod2 = vy * vx[nxt]
+                    for j in range(int(lens.max())):
+                        m = lens > j
+                        s1[m] += prod1[starts[m] + j]
+                        s2[m] += prod2[starts[m] + j]
+                area = np.abs(0.5 * (s1 - s2))
+                keep = (lens >= 3) & (area > 0.0)
+                rbounds = np.cumsum(lens)[:-1]
+                rx = np.split(vx, rbounds)
+                ry = np.split(vy, rbounds)
+                sel = np.flatnonzero(keep)
                 out = pd.DataFrame({
                     "poly_id": pdf["poly_id"].to_numpy()[keep],
                     "tx": pdf["tx"].to_numpy()[keep],
                     "ty": pdf["ty"].to_numpy()[keep],
-                    "xs": [rx[i] for i in np.flatnonzero(keep)],
-                    "ys": [ry[i] for i in np.flatnonzero(keep)],
+                    "nvert": lens[keep].astype("int32"),
+                    "xs": [rx[i] for i in sel],
+                    "ys": [ry[i] for i in sel],
+                    "area": area[keep],
                 })
                 yield out
 
-        clipped = cand.select(*cols).mapInPandas(
+        return cand.select(*cols).mapInPandas(
             clip_batches,
-            schema="poly_id long, tx int, ty int, "
-                   "xs array<double>, ys array<double>")
-        sx1 = ("aggregate(sequence(1, size(xs)), CAST(0.0 AS DOUBLE), "
-               "(a, i) -> a + element_at(xs, i) "
-               "* element_at(ys, i % size(xs) + 1))")
-        sx2 = ("aggregate(sequence(1, size(xs)), CAST(0.0 AS DOUBLE), "
-               "(a, i) -> a + element_at(ys, i) "
-               "* element_at(xs, i % size(xs) + 1))")
-        return (
-            clipped
-            .withColumn("area", F.expr(f"abs(0.5 * (({sx1}) - ({sx2})))"))
-            .where(F.expr("area > 0.0"))
-            .select("poly_id", "tx", "ty",
-                    F.expr("size(xs)").alias("nvert"), "xs", "ys", "area")
-        )
+            schema="poly_id long, tx int, ty int, nvert int, "
+                   "xs array<double>, ys array<double>, area double")
     if impl != "fold":
         raise ValueError(f"tile_clip: unknown impl {impl!r}")
     # two deliberate barriers (the with_hilbert lesson — HOFs evaluate

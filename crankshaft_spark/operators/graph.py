@@ -30,6 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from crankshaft_spark.operators.dedup import (
+    _checkpointed_rdd_ids, _release_rdds)
+
 #: links emitted per page; targets are a keyed affine walk over the other
 #: 63 host slots, so dst != src by construction and every host with >= 1
 #: page has out-degree >= 1.
@@ -151,6 +154,13 @@ def pagerank_fp(
         .alias("rank_fp"),
         F.expr("CASE WHEN _t THEN _base ELSE CAST(0 AS BIGINT) END")
         .alias("_base")).localCheckpoint()
+    # r0/ew are materialized -> e's blocks are no longer read; release
+    # checkpoint storage deterministically instead of waiting on GC +
+    # ContextCleaner (review finding r5 — repeated invocations in one
+    # JVM otherwise stack stale edge-table copies)
+    sc = edges.sparkSession.sparkContext
+    _release_rdds(sc, _checkpointed_rdd_ids(e))
+    prev_ids = _checkpointed_rdd_ids(r)
     for k in range(1, iters + 1):
         contrib = (
             ew.join(r.select(F.col("host").alias("src"), "rank_fp"), "src")
@@ -169,6 +179,9 @@ def pagerank_fp(
         )
         if k % 2 == 0 or k == iters:
             r = r.localCheckpoint()
+            _release_rdds(sc, prev_ids)
+            prev_ids = _checkpointed_rdd_ids(r)
+    _release_rdds(sc, _checkpointed_rdd_ids(ew))
     return r.select("host", "rank_fp")
 
 
@@ -276,11 +289,15 @@ def hits_fp(
     if iters < 0:
         raise ValueError(f"hits_fp: iters must be >= 0, got {iters}")
     e = edges.localCheckpoint()
+    # nodes checkpointed (one extra one-row-per-host action) so e's
+    # blocks can be released at loop end instead of surviving until the
+    # caller materializes the output fill join (review finding r5)
     nodes = (
         e.select(F.col("src").alias("host"))
         .unionByName(e.select(F.col("dst").alias("host")))
         .distinct()
-    )
+    ).localCheckpoint()
+    sc = edges.sparkSession.sparkContext
 
     def norm(raw: DataFrame, col: str) -> DataFrame:
         """Lazy max-normalization: one-row broadcast + CASE (no action)."""
@@ -299,6 +316,7 @@ def hits_fp(
     # only through the src-keyed join, so seeding src hosts suffices.
     h_raw = e.select(F.col("src").alias("host")).distinct().select(
         "host", F.lit(scale).cast("long").alias("hub_fp")).localCheckpoint()
+    prev_ids = _checkpointed_rdd_ids(h_raw)
     a = None
     for k in range(1, iters + 1):
         a = norm(
@@ -315,6 +333,12 @@ def hits_fp(
             .groupBy(F.col("src").alias("host"))
             .agg(F.sum(F.expr("auth_fp * w")).alias("hub_fp"))
         ).localCheckpoint()
+        # h_raw(k) materialized -> h_raw(k-1) is no longer read (the
+        # final a above was checkpointed BEFORE this, so its read of
+        # h_raw(iters-1) already happened)
+        _release_rdds(sc, prev_ids)
+        prev_ids = _checkpointed_rdd_ids(h_raw)
+    _release_rdds(sc, _checkpointed_rdd_ids(e))
     return (
         nodes.join(a, "host", "left")
         .join(norm(h_raw, "hub_fp"), "host", "left")

@@ -76,7 +76,13 @@ def create_and_predict_segment(
     predict = _impute(predict.select("id", *feature_cols), list(feature_cols), means)
 
     va = VectorAssembler(inputCols=list(feature_cols), outputCol="_feat")
-    fit_df, test_df = va.transform(train).randomSplit([0.8, 0.2], seed=seed)
+    # randomSplit draws per-PARTITION seeded streams, so the train/test
+    # assignment (and hence the fitted model) would vary with session
+    # parallelism and input layout; pinning the partitioning by row id
+    # makes the split — and the gate entry's verdict row riding on it —
+    # independent of local[N] (review finding r5)
+    fit_df, test_df = va.transform(train).repartition(16, "id") \
+        .randomSplit([0.8, 0.2], seed=seed)
 
     gbt = GBTRegressor(
         featuresCol="_feat",
