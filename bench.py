@@ -70,7 +70,10 @@ HEADLINE = [
 # (label, [values]) times one isin() filter — for sibling rows that are
 # one computation (the three join-counts stats share one aggregate and
 # a NON-literal discriminator, so per-stat filters could not prune the
-# branch anyway; review finding r5).  page_extract is special-cased
+# branch anyway; review finding r5).  Caveat, same cause: that
+# non-literal jc branch survives EVERY moran_global arm filter, so each
+# of that entry's arm numbers also carries the jc aggregate — read them
+# as arm + jc, not arm alone.  page_extract is special-cased
 # below (its graph arms run eagerly at construction).  media_decode/
 # media_real are NOT listed: they are single-pipeline entries — every
 # kind decodes in one mapInPandas pass, so a kind filter cannot isolate

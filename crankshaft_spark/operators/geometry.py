@@ -1365,6 +1365,21 @@ def _sh_emit(p: str, q: str, ax: str, dr: str, c: str,
 _TILE_BOUNDS = ((0, 1.0, "_x0"), (0, -1.0, "_x1"), (1, 1.0, "_y0"), (1, -1.0, "_y1"))
 
 
+def _ring_wrap_next(lens):
+    """(starts, nxt) for concatenated rings in flat form: per-ring start
+    offsets and the wrap-around next-vertex index.  ONE builder shared
+    by _sh_clip_flat and the in-batch shoelace fold (the shared-builder
+    rule — a hand-inlined copy silently diverges when the wrap logic is
+    touched)."""
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    total = int(lens.sum())
+    idx = np.arange(total, dtype=np.int64)
+    nxt = idx + 1
+    nz = lens > 0
+    nxt[(starts + lens - 1)[nz]] = starts[nz]
+    return starts, nxt
+
+
 def _sh_clip_flat(vx, vy, rid, lens, cvals, ax: int, dr: float):
     """One vectorized Sutherland–Hodgman half-plane pass over a RAGGED
     batch of rings in flat form — the numpy twin of one ``_sh_emit``
@@ -1378,15 +1393,11 @@ def _sh_clip_flat(vx, vy, rid, lens, cvals, ax: int, dr: float):
     copied through verbatim — mirroring the fold's ``size(acc) < 3``
     guard.  Returns the pass's (vx, vy, rid, lens).
     """
-    n = lens.shape[0]
     total = vx.shape[0]
     if total == 0:
         return vx, vy, rid, lens
-    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    idx = np.arange(total, dtype=np.int64)
-    nxt = idx + 1
-    last = (starts + lens - 1)[lens > 0]
-    nxt[last] = starts[lens > 0]
+    n = lens.shape[0]
+    _, nxt = _ring_wrap_next(lens)
     pv = vx if ax == 0 else vy
     c = cvals[rid]
     frozen = (lens < 3)[rid]
@@ -1460,8 +1471,9 @@ def tile_clip(
       allocation cost (0.575 N→4N at 20M rows) plus an ~8–14 s
       plan→RDD driver constant from the checkpoint fence its
       re-inlining hazard required; the numpy arm removes both.  The
-      shoelace area still runs JVM-side over the returned arrays —
-      sequential fold, oracle-exact.
+      shoelace area is folded IN-BATCH in the same left-to-right order
+      as the oracle's sequential fold (position-wise vectorized
+      accumulation — oracle-exact).
     * ``"fold"`` — the original single JVM ``aggregate`` expression over
       the four half-planes; kept as the engine-side mirror of the
       oracle's CTE unroll and as the zero-Python-stage fallback.
@@ -1542,28 +1554,36 @@ def tile_clip(
                 # aggregate / DuckDB list fold.  NOT np.add.reduceat —
                 # measured: reduceat reorders even a 3-element segment
                 # (ulp drift vs the sequential fold).  Instead fold by
-                # VERTEX POSITION: one vectorized masked add per ring
-                # slot j gives every row the exact left-to-right sum
-                # (((0+p0)+p1)+...), and max ring length is bounded by
-                # the input nvert + 4 clip passes.  Computing area here
-                # (not as a Spark column) also keeps the area>0 filter
-                # from re-inlining an interpreted HOF below the project
-                # (the r4 tile_clip trap — review finding r5).
-                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-                total = vx.shape[0]
+                # VERTEX POSITION over rings sorted by length: slot j
+                # touches only the still-active prefix, so total work is
+                # O(sum of ring lengths), not O(rows × max length) (one
+                # huge ring no longer inflates the whole batch), while
+                # each row still accumulates the exact left-to-right
+                # sum (((0+p0)+p1)+...).  Computing area here (not as a
+                # Spark column) also keeps the area>0 filter from
+                # re-inlining an interpreted HOF below the project (the
+                # r4 tile_clip trap — review finding r5).
+                starts, nxt = (None, None)
                 s1 = np.zeros(n, dtype=np.float64)
                 s2 = np.zeros(n, dtype=np.float64)
-                if total:
-                    idx = np.arange(total, dtype=np.int64)
-                    nxt = idx + 1
-                    last = (starts + lens - 1)[lens > 0]
-                    nxt[last] = starts[lens > 0]
+                if vx.shape[0]:
+                    starts, nxt = _ring_wrap_next(lens)
                     prod1 = vx * vy[nxt]
                     prod2 = vy * vx[nxt]
-                    for j in range(int(lens.max())):
-                        m = lens > j
-                        s1[m] += prod1[starts[m] + j]
-                        s2[m] += prod2[starts[m] + j]
+                    order = np.argsort(-lens, kind="stable")
+                    lens_o = lens[order]
+                    starts_o = starts[order]
+                    s1o = np.zeros(n, dtype=np.float64)
+                    s2o = np.zeros(n, dtype=np.float64)
+                    neg = -lens_o
+                    for j in range(int(lens_o[0])):
+                        k = int(np.searchsorted(neg, -(j + 1),
+                                                side="right"))
+                        at = starts_o[:k] + j
+                        s1o[:k] += prod1[at]
+                        s2o[:k] += prod2[at]
+                    s1[order] = s1o
+                    s2[order] = s2o
                 area = np.abs(0.5 * (s1 - s2))
                 keep = (lens >= 3) & (area > 0.0)
                 rbounds = np.cumsum(lens)[:-1]

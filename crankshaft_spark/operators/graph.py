@@ -308,6 +308,8 @@ def hits_fp(
                    f"ELSE {col} END").alias(col))
 
     if iters == 0:
+        # nodes is materialized; e's blocks are already unreferenced
+        _release_rdds(sc, _checkpointed_rdd_ids(e))
         return nodes.select(
             "host", F.lit(scale).cast("long").alias("auth_fp"),
             F.lit(scale).cast("long").alias("hub_fp"))

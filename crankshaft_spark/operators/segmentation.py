@@ -76,13 +76,20 @@ def create_and_predict_segment(
     predict = _impute(predict.select("id", *feature_cols), list(feature_cols), means)
 
     va = VectorAssembler(inputCols=list(feature_cols), outputCol="_feat")
-    # randomSplit draws per-PARTITION seeded streams, so the train/test
-    # assignment (and hence the fitted model) would vary with session
-    # parallelism and input layout; pinning the partitioning by row id
-    # makes the split — and the gate entry's verdict row riding on it —
-    # independent of local[N] (review finding r5)
-    fit_df, test_df = va.transform(train).repartition(16, "id") \
-        .randomSplit([0.8, 0.2], seed=seed)
+    # 80/20 held-out split derived from ROW IDENTITY (the repo's
+    # portable-RNG pattern, u = hash32('segsplit:seed:id')/2^32), never
+    # from randomSplit's per-PARTITION seeded streams: the assignment —
+    # and the gate entry's verdict row riding on the fitted model — is
+    # bit-identical at any parallelism and input layout, with no
+    # repartition/sort (review finding r5, CLAUDE.md invariant)
+    assembled = va.transform(train).withColumn(
+        "_u",
+        F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.lit("segsplit"), F.lit(str(int(seed))),
+            F.col("id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") / F.lit(float(2 ** 32)))
+    fit_df = assembled.where(F.col("_u") < 0.8).drop("_u")
+    test_df = assembled.where(F.col("_u") >= 0.8).drop("_u")
 
     gbt = GBTRegressor(
         featuresCol="_feat",
